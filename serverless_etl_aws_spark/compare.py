@@ -1,0 +1,133 @@
+"""Local oracle-differential harness — mirrors the driver's check.
+
+Runs a registry query on Spark and its SQL twin on DuckDB over the same
+parquet fixtures, then compares row count, sorted-column schema, and
+order-insensitive values (exact for ints/strings/bools, bit-exact for
+floats — the decimal discipline in queries/_util.py is what makes float
+exactness achievable).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import schemas
+from .catalog import table_path
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Register fixture views the way the driver does (plain read_parquet)."""
+    con = duckdb.connect()
+    for name in schemas.TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+        )
+    return con
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalize dtypes, sort rows by all columns."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1).copy()
+    for c in pdf.columns:
+        dt = pdf[c].dtype
+        if pd.api.types.is_integer_dtype(dt):
+            pdf[c] = pdf[c].astype("Int64")
+        elif pd.api.types.is_float_dtype(dt):
+            pdf[c] = pdf[c].astype("float64")
+        elif pd.api.types.is_bool_dtype(dt):
+            pdf[c] = pdf[c].astype("boolean")
+        elif pd.api.types.is_datetime64_any_dtype(dt):
+            pdf[c] = pd.to_datetime(pdf[c]).astype("datetime64[us]")
+    pdf = pdf.sort_values(by=list(pdf.columns), na_position="last", kind="mergesort")
+    return pdf.reset_index(drop=True)
+
+
+@dataclass
+class CompareResult:
+    key: str
+    rows_spark: int
+    rows_oracle: int | None
+    schema_match: bool | None
+    values_match: bool | None
+    detail: str = ""
+    ok: bool = field(init=False)
+
+    def __post_init__(self) -> None:
+        if self.rows_oracle is None:
+            self.ok = self.rows_spark >= 0
+        else:
+            self.ok = bool(
+                self.rows_spark == self.rows_oracle
+                and self.schema_match
+                and self.values_match
+            )
+
+
+def compare(
+    key: str, spark_df: DataFrame, sql: str | None, sf_dir: str
+) -> CompareResult:
+    spdf = spark_df.toPandas()
+    if sql is None:
+        return CompareResult(key, len(spdf), None, None, None, "rows-only")
+    con = duckdb_connect(sf_dir)
+    try:
+        odf = con.sql(sql).df()
+    finally:
+        con.close()
+    s, o = normalize(spdf), normalize(odf)
+    if list(s.columns) != list(o.columns):
+        return CompareResult(
+            key, len(s), len(o), False, None,
+            f"columns spark={list(s.columns)} oracle={list(o.columns)}",
+        )
+    if len(s) != len(o):
+        return CompareResult(key, len(s), len(o), True, None, "row count differs")
+    detail = ""
+    values_match = True
+    for c in s.columns:
+        a, b = s[c], o[c]
+        if a.isna().sum() != b.isna().sum() or not (
+            a.isna().values == b.isna().values
+        ).all():
+            values_match, detail = False, f"null pattern differs in {c}"
+            break
+        mask = ~a.isna()
+        av, bv = a[mask], b[mask]
+        if pd.api.types.is_float_dtype(a.dtype):
+            if not np.array_equal(
+                av.values.astype("float64"), bv.values.astype("float64")
+            ):
+                bad = np.abs(av.values - bv.values).max()
+                values_match, detail = False, f"float mismatch in {c} (max |Δ|={bad})"
+                break
+        else:
+            if not (av.astype(str).values == bv.astype(str).values).all():
+                values_match, detail = False, f"value mismatch in {c}"
+                break
+    return CompareResult(key, len(s), len(o), True, values_match, detail)
+
+
+def run_all(
+    spark: SparkSession, sf_dir: str, keys: list[str] | None = None
+) -> list[CompareResult]:
+    from .queries import build_registry
+
+    registry = build_registry()
+    results = []
+    for key, q in registry.items():
+        if keys and key not in keys:
+            continue
+        try:
+            results.append(compare(key, q.fn(spark, sf_dir), q.sql, sf_dir))
+        except Exception as exc:  # surface, don't abort the sweep
+            results.append(
+                CompareResult(key, -1, None, None, False, f"ERROR: {exc}")
+            )
+            results[-1].ok = False
+    return results

@@ -1,0 +1,70 @@
+"""As-of join — match each left row to the latest right row at-or-before it.
+
+Spark has no native ASOF JOIN (DuckDB does). The scalable composition used
+here is the **union + running-last trick**:
+
+1. Tag right rows 0 and left rows 1, union them on (key, time).
+2. Sort within each key partition by (time, tag, right-id) — a window, not
+   a global sort.
+3. ``last(right_value, ignoreNulls=True)`` over
+   ``rowsBetween(unboundedPreceding, currentRow)`` gives, at every left
+   row, the most recent right row with ``right.time <= left.time``
+   (inclusive, because tag 0 sorts before tag 1 at equal times).
+4. Keep only left rows.
+
+Scale notes (100 TB): this is ONE shuffle on the join key (same cost as any
+hash join on the key) and a linear window pass — no range-explosion, no
+skew beyond what the key itself has. The alternative (theta-join +
+row_number) materializes every candidate pair and is quadratic per key;
+avoid it. If the right side is tiny, broadcast it and use a
+``max_by``-style aggregation instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+    prefix: str = "matched_",
+) -> DataFrame:
+    """Left as-of join: for each left row, latest right row per ``on`` key
+    with ``right_time <= left_time``. Right columns come back as
+    ``{prefix}{col}``; unmatched left rows keep them NULL.
+    """
+    lhs = left.withColumn("__tag", F.lit(1)).withColumn(
+        "__t", F.col(left_time)
+    )
+    rhs_cols: list[Column] = [
+        F.col(on),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__tag"),
+    ]
+    rhs = right.select(*rhs_cols, *[F.col(c).alias(f"__r_{c}") for c in right_cols])
+
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+    # Deterministic intra-key order: time, then right-before-left at equal
+    # times (inclusive as-of), then right id columns as final tiebreak.
+    order = [F.col("__t"), F.col("__tag")] + [
+        F.col(f"__r_{c}") for c in right_cols
+    ]
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = unioned
+    for c in right_cols:
+        out = out.withColumn(
+            f"{prefix}{c}", F.last(f"__r_{c}", ignorenulls=True).over(w)
+        )
+    keep = [c for c in left.columns] + [f"{prefix}{c}" for c in right_cols]
+    return out.filter(F.col("__tag") == 1).select(*keep)

@@ -1,0 +1,66 @@
+"""Shared helpers for oracle-parity queries.
+
+Float discipline (SURVEY.md §2B notes): the driver hash-compares values, so
+any aggregate over doubles must be bit-identical between Spark and DuckDB.
+Summation order differs between engines, so sums/averages of doubles are
+computed over exact decimals (cast inputs to DECIMAL, aggregate exactly,
+cast the final result to double, round). Per-row double arithmetic is
+deterministic IEEE and needs no special handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+
+DEC = "decimal(18,4)"
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.load_table(spark, sf_dir, name)
+
+
+def dec(col: str | Column) -> Column:
+    """Cast to the engine's exact intermediate decimal type."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC)
+
+
+def dsum(col: str | Column, scale: int = 2) -> Column:
+    """Exact decimal sum → double, rounded. Mirror in DuckDB with
+    ``ROUND(CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE), scale)``."""
+    return F.round(F.sum(dec(col)).cast("double"), scale)
+
+
+def davg(col: str | Column, scale: int = 2) -> Column:
+    """Exact decimal sum / count → double, rounded. Mirror in DuckDB with
+    ``ROUND(CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), scale)``.
+    (Dividing the exact sum as a double by an integer count is a single
+    deterministic IEEE op in both engines.)"""
+    return F.round(F.sum(dec(col)).cast("double") / F.count(F.lit(1)), scale)
+
+
+def revenue_dec() -> Column:
+    """Exact revenue term: DECIMAL(l_extendedprice) * DECIMAL(1-l_discount).
+    DuckDB mirror: ``CAST(l_extendedprice AS DECIMAL(18,4)) *
+    CAST(1 - l_discount AS DECIMAL(18,4))``."""
+    return dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(DEC)
+
+
+# SQL fragments for the DuckDB side, kept next to their Spark twins above.
+SQL_REVENUE_DEC = (
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))"
+)
+
+
+def sql_dsum(expr: str, scale: int = 2) -> str:
+    return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE), {scale})"
+
+
+def sql_davg(expr: str, scale: int = 2) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+        f" / COUNT(*), {scale})"
+    )

@@ -1,0 +1,278 @@
+"""Join operators: inner/broadcast/multiway/left/semi/anti/range/as-of.
+
+The reference performs no joins (SURVEY.md §2A, "explicitly absent") — it
+delegates everything to Spark inside Glue (reference:
+src/glue_scripts/bronze_to_silver.py:12 imports pyspark.sql.functions but
+never uses them). These queries expose the join surface natively.
+
+Scale notes (100 TB):
+- Dimension tables (region/nation/part at this ratio) are broadcast —
+  ``F.broadcast`` hints or AQE's size estimate keep the fact table
+  shuffle-free.
+- Fact⋈fact joins shuffle on the key; AQE skew-join splits hot keys.
+- The range join uses the bucketed-equi-join rewrite so it scales as an
+  equi join instead of a nested-loop cross product.
+- The as-of join is the union+window composition (one shuffle, linear) —
+  see operators/asof.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from . import Query
+from ._util import SQL_REVENUE_DEC, dsum, revenue_dec, sql_dsum, t
+
+
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    return orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "inner"
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+JOIN_INNER_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dim broadcast join: part (200 rows/sf0.001) broadcast to every
+    lineitem partition — no shuffle of the fact table at any scale where
+    part fits the broadcast threshold."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("line_count"),
+            F.round(F.sum(revenue_dec()).cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+JOIN_BROADCAST_SQL = f"""
+SELECT p_brand,
+       COUNT(*) AS line_count,
+       ROUND(CAST(SUM({SQL_REVENUE_DEC}) AS DOUBLE), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: lineitem⋈orders⋈customer⋈nation⋈region, revenue per
+    nation for one region + date range. Catalyst broadcast-joins the
+    dimension chain and shuffles only on the fact keys; AQE reorders if
+    stats warrant."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue_dec()).cast("double"), 2).alias("revenue"))
+    )
+
+
+JOIN_MULTIWAY_SQL = f"""
+SELECT n_name,
+       ROUND(CAST(SUM({SQL_REVENUE_DEC}) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("o_orderkey").alias("p_orderkey"),
+            F.coalesce(F.col("o_totalprice"), F.lit(0.0)).alias("totalprice_filled"),
+        )
+    )
+
+
+JOIN_LEFT_SQL = """
+SELECT c_custkey, c_name,
+       o_orderkey AS p_orderkey,
+       COALESCE(o_totalprice, 0.0) AS totalprice_filled
+FROM customer
+LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+  ON c_custkey = o_custkey
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having at least one urgent order (left semi — dedup-free
+    existence check; no row multiplication, so cheaper than inner+distinct)."""
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no urgent order (left anti ≡ NOT EXISTS)."""
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+RANGE_BAND = 5.0
+
+
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: purchase events matched to error events whose value
+    lies in ``[purchase.value - 5, purchase.value]``.
+
+    Naively this is a nested-loop cross product (O(n·m) at 100 TB —
+    unusable). Rewritten as the standard **bucketed range join**: bucket
+    both sides by ``floor(value / band)``; a match's buckets can differ by
+    at most 1, so explode the left side to buckets {b, b+1} and equi-join
+    on the bucket, then apply the residual band predicate. Cost becomes an
+    equi shuffle join with ~2× left duplication. DuckDB's IEJoin oracle
+    checks the same semantics declaratively.
+    """
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("value").alias("error_value"),
+        F.floor(F.col("value") / RANGE_BAND).alias("bucket"),
+    )
+    p_bucketed = purchases.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.floor(F.col("purchase_value") / RANGE_BAND),
+                F.floor(F.col("purchase_value") / RANGE_BAND) - 1,
+            )
+        ),
+    )
+    return (
+        p_bucketed.join(errors, "bucket")
+        .filter(
+            F.col("error_value").between(
+                F.col("purchase_value") - RANGE_BAND, F.col("purchase_value")
+            )
+        )
+        .select("purchase_id", "error_id", "purchase_value", "error_value")
+    )
+
+
+JOIN_RANGE_SQL = f"""
+SELECT p.event_id AS purchase_id,
+       e.event_id AS error_id,
+       p.value AS purchase_value,
+       e.value AS error_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase' AND value IS NOT NULL) p
+JOIN (SELECT * FROM events WHERE event_type = 'error' AND value IS NOT NULL) e
+  ON e.value BETWEEN p.value - {RANGE_BAND} AND p.value
+"""
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event matched to the latest at-or-earlier purchase
+    by the same user. The right side is pre-deduped to one row per
+    (user, ts) so tie-breaking is engine-independent. DuckDB oracle uses its
+    native ASOF JOIN."""
+    ev = t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    out = asof_join(
+        left=ev.select("event_id", "user_id", "ts"),
+        right=purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_cols=["purchase_id"],
+        prefix="matched_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "matched_purchase_id",
+    )
+
+
+JOIN_ASOF_SQL = """
+SELECT e.event_id, e.user_id,
+       strftime(CAST(e.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       p.purchase_id AS matched_purchase_id
+FROM events e
+ASOF LEFT JOIN (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+           MAX(event_id) AS purchase_id
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, CAST(ts AS TIMESTAMP)
+) p ON e.user_id = p.user_id AND CAST(e.ts AS TIMESTAMP) >= p.ts
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "join_inner": Query(join_inner, JOIN_INNER_SQL, "equi inner join"),
+    "join_broadcast": Query(join_broadcast, JOIN_BROADCAST_SQL, "broadcast dim join"),
+    "join_multiway": Query(join_multiway, JOIN_MULTIWAY_SQL, "TPC-H Q5 shape"),
+    "join_left": Query(join_left, JOIN_LEFT_SQL, "left outer with nulls"),
+    "join_semi": Query(join_semi, JOIN_SEMI_SQL, "left semi / EXISTS"),
+    "join_anti": Query(join_anti, JOIN_ANTI_SQL, "left anti / NOT EXISTS"),
+    "join_range": Query(join_range, JOIN_RANGE_SQL, "bucketed range join"),
+    "join_asof": Query(join_asof, JOIN_ASOF_SQL, "as-of join (union+window)"),
+}

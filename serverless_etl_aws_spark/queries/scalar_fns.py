@@ -1,0 +1,158 @@
+"""Scalar function surface: string / date / math+conditional / JSON / array.
+
+All JVM-side built-ins (`pyspark.sql.functions`) — these stay inside
+whole-stage codegen, never drop to Python. The reference star-imports these
+functions but never uses one (reference:
+src/glue_scripts/bronze_to_silver.py:12); this module exercises the surface
+its users would rely on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import Query
+from ._util import t
+
+
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.col("p_name")).alias("name_upper"),
+        F.substring(F.col("p_type"), 1, 5).alias("type_prefix"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.length(F.trim(F.col("p_name"))).cast("int").alias("name_len"),
+        F.regexp_extract(F.col("p_name"), r"^(\w+)", 1).alias("first_word"),
+    )
+
+
+FN_STRING_SQL = r"""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substring(p_type, 1, 5) AS type_prefix,
+       p_brand || '#' || p_type AS brand_type,
+       CAST(length(trim(p_name)) AS INTEGER) AS name_len,
+       regexp_extract(p_name, '^(\w+)', 1) AS first_word
+FROM part
+"""
+
+
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(
+            F.to_date(F.lit("2002-01-01")), F.col("o_orderdate").cast("date")
+        ).cast("int").alias("days_before_ref"),
+    )
+
+
+FN_DATE_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+            AS INTEGER) AS days_before_ref
+FROM orders
+"""
+
+
+def fn_math_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs + CASE WHEN tiered pricing + coalesce (per-row double math
+    — deterministic IEEE in both engines)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # decimal-exact: round(double) disagrees across engines at half
+        # boundaries (Spark rounds the shortest decimal repr, DuckDB the
+        # binary value) — price*0.9 lands on exact .xx5 often
+        F.round(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * F.lit("0.9").cast("decimal(3,2)"),
+            2,
+        )
+        .cast("double")
+        .alias("discounted_90"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.when(F.col("l_quantity") > 40, F.lit("bulk"))
+        .when(F.col("l_quantity") > 20, F.lit("mid"))
+        .otherwise(F.lit("small"))
+        .alias("qty_tier"),
+        F.coalesce(F.col("l_tax"), F.lit(0.0)).alias("tax_filled"),
+    )
+
+
+FN_MATH_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * CAST(0.9 AS DECIMAL(3,2)), 2) AS DOUBLE) AS discounted_90,
+       ABS(l_discount - 0.05) AS disc_dev,
+       CASE WHEN l_quantity > 40 THEN 'bulk'
+            WHEN l_quantity > 20 THEN 'mid'
+            ELSE 'small' END AS qty_tier,
+       COALESCE(l_tax, 0.0) AS tax_filled
+FROM lineitem
+"""
+
+
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events.props string column."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.get_json_object(F.col("props"), "$.k").cast("int").alias("prop_k"),
+        )
+        .filter(F.col("prop_k") > 50)
+    )
+
+
+FN_JSON_SQL = """
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+"""
+
+
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split → array → explode + array_contains."""
+    part = t(spark, sf_dir, "part")
+    words = part.select(
+        "p_partkey",
+        F.split(F.col("p_type"), " ").alias("type_words"),
+    )
+    return words.select(
+        "p_partkey",
+        F.explode(F.col("type_words")).alias("type_word"),
+        F.array_contains(F.col("type_words"), "STANDARD").alias("is_standard"),
+        F.size(F.col("type_words")).cast("int").alias("n_words"),
+    )
+
+
+FN_ARRAY_SQL = """
+SELECT p_partkey,
+       unnest(string_split(p_type, ' ')) AS type_word,
+       list_contains(string_split(p_type, ' '), 'STANDARD') AS is_standard,
+       CAST(len(string_split(p_type, ' ')) AS INTEGER) AS n_words
+FROM part
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "fn_string": Query(fn_string, FN_STRING_SQL, "string functions"),
+    "fn_date": Query(fn_date, FN_DATE_SQL, "date functions"),
+    "fn_math_cond": Query(fn_math_cond, FN_MATH_SQL, "math + CASE WHEN"),
+    "fn_json": Query(fn_json, FN_JSON_SQL, "JSON extraction"),
+    "fn_array": Query(fn_array, FN_ARRAY_SQL, "split/explode/contains"),
+}

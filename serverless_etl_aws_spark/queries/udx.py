@@ -1,0 +1,113 @@
+"""User-defined function surface: scalar UDF, grouped UDAF, table UDTF.
+
+Scale notes (100 TB): the scalar UDF is an Arrow-batched ``pandas_udf`` —
+row-at-a-time Python UDFs pay per-row serialization (~10-100× slower) and
+are never used in engine hot paths. The grouped UDAF uses ``applyInPandas``
+(one Arrow batch per group — requires groups to fit executor memory, true
+here since groups are per-flag). The UDTF is expressed with ``posexplode``,
+which stays JVM-side entirely; a Python ``@udtf`` would add IPC for no
+semantic gain.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from . import Query
+from ._util import t
+
+
+@pandas_udf(StringType())
+def normalize_text(s: pd.Series) -> pd.Series:
+    """lower + trim + collapse internal whitespace (vectorized)."""
+    return s.str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
+
+
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", normalize_text(F.col("text")).alias("norm_text")
+    )
+
+
+UDF_SCALAR_SQL = r"""
+SELECT doc_id,
+       lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_text
+FROM documents
+"""
+
+
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean price per returnflag via ``applyInPandas``.
+
+    Exact-arithmetic discipline: prices/quantities are 2-decimal doubles, so
+    they are converted to integer cents inside the UDAF (int64 — exact) and
+    the oracle SQL mirrors the same integer math; the only float op is one
+    final division, identical IEEE in both engines.
+    """
+    li = t(spark, sf_dir, "lineitem")
+
+    def weighted(pdf: pd.DataFrame) -> pd.DataFrame:
+        price_c = (pdf["l_extendedprice"] * 100).round().astype("int64")
+        qty_c = (pdf["l_quantity"] * 100).round().astype("int64")
+        num = int((price_c * qty_c).sum())
+        den = int(qty_c.sum())
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "weighted_avg_price": [round(num / den / 100.0, 2)],
+                "total_qty": [round(den / 100.0, 2)],
+            }
+        )
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        weighted,
+        schema="l_returnflag string, weighted_avg_price double, total_qty double",
+    )
+
+
+UDAF_GROUPED_SQL = """
+SELECT l_returnflag,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+             / CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS weighted_avg_price,
+       ROUND(CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS total_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row → many: number every token of selected documents
+    (``posexplode`` — JVM-side table function)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+    ).select(
+        "doc_id", (F.col("pos") + 1).cast("int").alias("token_no"), "token"
+    )
+
+
+UDTF_EXPLODE_SQL = """
+SELECT doc_id,
+       CAST(unnest(range(1, len(string_split(text, ' ')) + 1)) AS INTEGER)
+           AS token_no,
+       unnest(string_split(text, ' ')) AS token
+FROM documents
+WHERE doc_id % 100 = 0
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "udf_scalar": Query(udf_scalar, UDF_SCALAR_SQL, "pandas UDF normalize"),
+    "udaf_grouped": Query(udaf_grouped, UDAF_GROUPED_SQL, "applyInPandas UDAF"),
+    "udtf_explode": Query(udtf_explode, UDTF_EXPLODE_SQL, "posexplode UDTF"),
+}

@@ -1,0 +1,148 @@
+"""Explicit StructType schemas for every engine table.
+
+The reference relies on parquet footer inference everywhere
+(reference: src/glue_scripts/bronze_to_silver.py:45 — schema merged
+implicitly across monthly files). At 100 TB, inference is a correctness and
+performance hazard (a schema-drifted file silently widens columns, and
+inference itself lists footers). The engine therefore declares schemas and
+validates on load; ``mergeSchema`` stays off.
+
+Fixture-table schemas per /root/repo/FIXTURES.md §A; the NYC-taxi source
+schema (reference data plane) per FIXTURES.md §B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+
+def _st(*fields: tuple) -> StructType:
+    return StructType([StructField(n, t, nullable=True) for n, t in fields])
+
+
+REGION = _st(("r_regionkey", IntegerType()), ("r_name", StringType()))
+
+NATION = _st(
+    ("n_nationkey", IntegerType()),
+    ("n_name", StringType()),
+    ("n_regionkey", IntegerType()),
+)
+
+CUSTOMER = _st(
+    ("c_custkey", LongType()),
+    ("c_name", StringType()),
+    ("c_nationkey", IntegerType()),
+    ("c_acctbal", DoubleType()),
+    ("c_mktsegment", StringType()),
+)
+
+SUPPLIER = _st(
+    ("s_suppkey", LongType()),
+    ("s_name", StringType()),
+    ("s_nationkey", IntegerType()),
+    ("s_acctbal", DoubleType()),
+)
+
+PART = _st(
+    ("p_partkey", LongType()),
+    ("p_name", StringType()),
+    ("p_brand", StringType()),
+    ("p_type", StringType()),
+    ("p_size", IntegerType()),
+    ("p_retailprice", DoubleType()),
+)
+
+ORDERS = _st(
+    ("o_orderkey", LongType()),
+    ("o_custkey", LongType()),
+    ("o_orderstatus", StringType()),
+    ("o_totalprice", DoubleType()),
+    ("o_orderdate", TimestampType()),
+    ("o_orderpriority", StringType()),
+)
+
+LINEITEM = _st(
+    ("l_orderkey", LongType()),
+    ("l_partkey", LongType()),
+    ("l_suppkey", LongType()),
+    ("l_linenumber", IntegerType()),
+    ("l_quantity", DoubleType()),
+    ("l_extendedprice", DoubleType()),
+    ("l_discount", DoubleType()),
+    ("l_tax", DoubleType()),
+    ("l_returnflag", StringType()),
+    ("l_linestatus", StringType()),
+    ("l_shipdate", TimestampType()),
+)
+
+EVENTS = _st(
+    ("event_id", LongType()),
+    ("ts", TimestampType()),  # stored ns in parquet; Spark reads µs-truncated
+    ("user_id", LongType()),
+    ("event_type", StringType()),
+    ("value", DoubleType()),  # nullable by construction
+    ("props", StringType()),  # JSON-encoded string
+)
+
+DOCUMENTS = _st(
+    ("doc_id", LongType()),
+    ("text", StringType()),
+    ("lang", StringType()),
+    ("source", StringType()),
+    ("n_chars", LongType()),
+)
+
+EMBEDDINGS = _st(
+    ("vec_id", LongType()),
+    ("embedding", ArrayType(FloatType())),
+    ("label", IntegerType()),
+)
+
+# Reference data-plane schema: NYC Yellow Taxi (public TLC data dictionary;
+# reference: README.md:19, silver partition column payment_type at
+# src/glue_scripts/bronze_to_silver.py:85).
+NYC_TAXI = _st(
+    ("VendorID", IntegerType()),
+    ("tpep_pickup_datetime", TimestampNTZType()),
+    ("tpep_dropoff_datetime", TimestampNTZType()),
+    ("passenger_count", DoubleType()),
+    ("trip_distance", DoubleType()),
+    ("RatecodeID", DoubleType()),
+    ("store_and_fwd_flag", StringType()),
+    ("PULocationID", IntegerType()),
+    ("DOLocationID", IntegerType()),
+    ("payment_type", LongType()),
+    ("fare_amount", DoubleType()),
+    ("extra", DoubleType()),
+    ("mta_tax", DoubleType()),
+    ("tip_amount", DoubleType()),
+    ("tolls_amount", DoubleType()),
+    ("improvement_surcharge", DoubleType()),
+    ("total_amount", DoubleType()),
+    ("congestion_surcharge", DoubleType()),
+    ("airport_fee", DoubleType()),
+)
+
+TABLES: dict[str, StructType] = {
+    "region": REGION,
+    "nation": NATION,
+    "customer": CUSTOMER,
+    "supplier": SUPPLIER,
+    "part": PART,
+    "orders": ORDERS,
+    "lineitem": LINEITEM,
+    "events": EVENTS,
+    "documents": DOCUMENTS,
+    "embeddings": EMBEDDINGS,
+}
