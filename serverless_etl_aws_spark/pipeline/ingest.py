@@ -1,0 +1,143 @@
+"""Incremental exactly-once ingest: bronze files → partitioned silver.
+
+Replaces the reference's discovery/commit loop — paginated S3 listing with
+``ProcessingStatus`` object tags (reference:
+src/lambda_functions/s3_operations.py:13-56) driven by Glue→Lambda RPC
+(src/glue_scripts/bronze_to_silver.py:71-73, :87-89) — with Spark's
+Structured Streaming **file source + checkpoint**:
+
+- ``readStream`` over the bronze directory tracks seen files in the
+  checkpoint's file-source log → each file processed exactly once across
+  runs (the reference's tag-skip semantics, without a tag store).
+- ``Trigger.AvailableNow`` drains everything currently present, then stops
+  → batch-incremental scheduling, like the reference's EventBridge-batched
+  Glue trigger (terraform/main.tf:551-568) but engine-owned.
+- The checkpoint commits only after the sink write succeeds, fixing two
+  reference bugs (SURVEY.md §4 item 4): ``job.commit()`` in ``finally``
+  (bronze_to_silver.py:100-104 — commits even on failure) and the crash
+  window between write (:85) and mark-processed (:87-89) that double-appends
+  on retry.
+
+Scale notes (100 TB): file-source listing is incremental
+(``maxFilesPerTrigger`` bounds batch size); the silver write is
+Hive-partitioned on a bounded-cardinality column (the reference's
+``payment_type`` choice at bronze_to_silver.py:85 — scale-sane, ~6 values)
+and sized with ``maxRecordsPerFile`` toward ~128 MB files.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from .report import RunReport
+
+
+@dataclass
+class IngestResult:
+    files_processed: int
+    rows_ingested: int
+    batches: int
+
+
+class IncrementalIngest:
+    """One bronze→silver ingest pipeline with exactly-once file semantics."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        bronze_dir: str,
+        silver_dir: str,
+        checkpoint_dir: str,
+        schema: StructType,
+        partition_by: str | None = None,
+        transform=None,
+        max_files_per_trigger: int | None = None,
+        max_records_per_file: int = 1_000_000,
+        reporter: RunReport | None = None,
+    ) -> None:
+        self.spark = spark
+        self.bronze_dir = bronze_dir
+        self.silver_dir = silver_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.schema = schema
+        self.partition_by = partition_by
+        self.transform = transform or (lambda df: df)
+        self.max_files_per_trigger = max_files_per_trigger
+        self.max_records_per_file = max_records_per_file
+        self.reporter = reporter or RunReport()
+
+    def run_once(self) -> IngestResult:
+        """Drain all currently-available bronze files exactly once.
+
+        A re-run with the same checkpoint processes only files that arrived
+        since the last run (0 if none) — parity with the reference's
+        tag-skip discovery (s3_operations.py:30-33), minus the tag store.
+        """
+        reader = self.spark.readStream.schema(self.schema)
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        stream = reader.format("parquet").load(self.bronze_dir)
+        stream = self.transform(stream)
+
+        counts = {"files": 0, "rows": 0, "batches": 0}
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            out = batch_df.write.mode("append").option(
+                "maxRecordsPerFile", self.max_records_per_file
+            )
+            if self.partition_by:
+                out = out.partitionBy(self.partition_by)
+            out.parquet(self.silver_dir)
+            counts["rows"] += batch_df.count()
+            counts["batches"] += 1
+
+        before = self._seen_files()
+        query = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination()
+        except Exception:
+            query.stop()
+            self.reporter.notify(
+                "ingest FAILED", f"bronze={self.bronze_dir}"
+            )
+            raise
+        counts["files"] = self._seen_files() - before
+        self.reporter.notify(
+            "ingest ok",
+            f"files={counts['files']} rows={counts['rows']} batches={counts['batches']}",
+        )
+        return IngestResult(counts["files"], counts["rows"], counts["batches"])
+
+    def _seen_files(self) -> int:
+        """Count files recorded in the checkpoint's file-source log (the
+        engine's replacement for tag-based bookkeeping)."""
+        src_dir = os.path.join(self.checkpoint_dir, "sources", "0")
+        if not os.path.isdir(src_dir):
+            return 0
+        import json
+
+        seen = 0
+        for log in os.listdir(src_dir):
+            path = os.path.join(src_dir, log)
+            if not os.path.isfile(path) or log.startswith("."):
+                continue
+            with open(path, errors="ignore") as f:
+                for line in f:
+                    line = line.strip()
+                    if line.startswith("{"):
+                        try:
+                            entry = json.loads(line)
+                        except json.JSONDecodeError:
+                            continue
+                        if "path" in entry:
+                            seen += 1
+        return seen

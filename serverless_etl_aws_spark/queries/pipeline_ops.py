@@ -1,4 +1,138 @@
-"""Placeholder — filled in later this round."""
-from . import Query
+"""Pipeline-semantics contract keys: incremental exactly-once ingest and
+partitioned sink with pruned read-back (SURVEY.md §2B `ingest_incremental`,
+`sink_partitioned`).
+"""
 
-QUERIES: dict[str, Query] = {}
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from .. import schemas
+from ..catalog import load_table
+from ..pipeline.ingest import IncrementalIngest
+from . import Query
+from ._util import dsum, sql_dsum, t
+
+SCRATCH = "/root/repo/.scratch"
+
+
+def _fresh(path: str) -> str:
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+EVENTS_NANOS_SCHEMA = StructType(
+    [
+        StructField("ts", LongType(), True) if f.name == "ts" else f
+        for f in schemas.EVENTS.fields
+    ]
+)
+
+
+def ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7/O8 replacement, demonstrated across two runs: run 1 drains two
+    bronze files; run 2 (same checkpoint) finds nothing new — the
+    reference's tag-skip semantics (s3_operations.py:30-33) from the
+    streaming file-source checkpoint. Returns one row per run.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    base = _fresh(os.path.join(SCRATCH, "ingest_incremental"))
+    bronze = os.path.join(base, "bronze")
+    silver = os.path.join(base, "silver")
+    ckpt = os.path.join(base, "_checkpoint")
+    os.makedirs(bronze)
+
+    # Two deterministic bronze files derived from the events fixture, laid
+    # flat in the landing dir (the reference's bronze layout:
+    # data_downloader.py:31-32 writes flat timestamped parquet files).
+    ev = spark.read.schema(EVENTS_NANOS_SCHEMA).parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    for tag, pred in (("even", 0), ("odd", 1)):
+        tmp = os.path.join(base, f"_tmp_{tag}")
+        ev.filter(F.col("event_id") % 2 == pred).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(
+            p for p in os.listdir(tmp) if p.endswith(".parquet")
+        )
+        shutil.move(
+            os.path.join(tmp, part),
+            os.path.join(bronze, f"events_{tag}.parquet"),
+        )
+        shutil.rmtree(tmp)
+
+    pipe = IncrementalIngest(
+        spark,
+        bronze_dir=bronze,
+        silver_dir=silver,
+        checkpoint_dir=ckpt,
+        schema=EVENTS_NANOS_SCHEMA,
+        partition_by="event_type",
+        transform=lambda df: df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ),
+    )
+    r1 = pipe.run_once()
+    r2 = pipe.run_once()  # nothing new → 0 files, 0 rows
+    silver_rows = spark.read.parquet(silver).count()
+    return spark.createDataFrame(
+        [
+            (1, r1.rows_ingested, silver_rows),
+            (2, r2.rows_ingested, silver_rows),
+        ],
+        schema="run int, rows_ingested long, silver_total long",
+    )
+
+
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13: partitioned append write, then a partition-pruned read-back.
+
+    The write mirrors the reference's silver sink
+    (bronze_to_silver.py:84-85: ``mode("append").partitionBy(...)``) with
+    l_returnflag as the bounded-cardinality partition column. The read-back
+    filters one partition — Catalyst prunes to a single directory (verify:
+    ``.explain`` shows ``PartitionFilters: [isnotnull(l_returnflag),
+    (l_returnflag = R)]``) — and aggregates, which the oracle checks against
+    the original table.
+    """
+    out = _fresh(os.path.join(SCRATCH, "sink_partitioned"))
+    li = t(spark, sf_dir, "lineitem")
+    (
+        li.write.mode("append")
+        .option("maxRecordsPerFile", 1_000_000)
+        .partitionBy("l_returnflag")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("line_count"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+SINK_PARTITIONED_SQL = f"""
+SELECT l_returnflag,
+       COUNT(*) AS line_count,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+WHERE l_returnflag = 'R'
+GROUP BY l_returnflag
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "ingest_incremental": Query(
+        ingest_incremental, None, "exactly-once incremental ingest (rows-only)"
+    ),
+    "sink_partitioned": Query(
+        sink_partitioned, SINK_PARTITIONED_SQL, "partitioned write + pruned read"
+    ),
+}

@@ -1,0 +1,172 @@
+"""Streaming window aggregations, runnable as deterministic single-pass
+(``Trigger.AvailableNow``) jobs with a memory sink.
+
+Design for the oracle contract (SURVEY.md §7 "hard parts"): stream results
+must be batch-equivalent and deterministic. Complete-output windowed
+aggregation over a drained file source produces exactly the batch answer,
+so tumbling/sliding/session keys are SQL-checkable. The late-data key
+pins batch boundaries (two files, ``maxFilesPerTrigger=1``, mtime-ordered)
+so the watermark cut is reproducible — rows-only checked.
+
+Scale notes (100 TB/day streams): state store size is bounded by windows ×
+keys; watermarks bound state retention for append mode; ``session_window``
+state merges per key. Shuffle partitions should match state-store
+parallelism (``spark.sql.shuffle.partitions`` is fixed at first checkpoint
+for a real deployment).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from .. import schemas
+
+EVENTS_NANOS_SCHEMA = StructType(
+    [
+        StructField("ts", LongType(), True) if f.name == "ts" else f
+        for f in schemas.EVENTS.fields
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream of events with the ns→µs conversion applied."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stage_events_dir(
+    spark: SparkSession, sf_dir: str, scratch: str, n_files: int = 1,
+    order_col: str = "event_id",
+) -> str:
+    """Copy the events fixture into a scratch streaming source dir, split
+    into ``n_files`` parquet files with strictly increasing mtimes so the
+    file source's processing order is pinned."""
+    src = os.path.join(scratch, "events_src")
+    if os.path.exists(src):
+        shutil.rmtree(src)
+    os.makedirs(src)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.schema(EVENTS_NANOS_SCHEMA).parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    if n_files == 1:
+        shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                    os.path.join(src, "events_0.parquet"))
+        return src
+    for i in range(n_files):
+        tmp = os.path.join(scratch, f"_evtmp_{i}")
+        ev.filter(F.col(order_col) % n_files == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dest = os.path.join(src, f"events_{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dest)
+        shutil.rmtree(tmp)
+        mtime = time.time() - (n_files - i) * 10
+        os.utime(dest, (mtime, mtime))
+    return src
+
+
+def run_stream_to_memory(
+    agg: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain the stream once (AvailableNow) into a memory sink; return the
+    materialized result."""
+    spark = agg.sparkSession
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
+def tumbling_counts(stream: DataFrame) -> DataFrame:
+    """Per-event-type counts in 1-hour tumbling windows (epoch-aligned,
+    same alignment as ``date_trunc('hour')``)."""
+    return (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "event_count",
+        )
+    )
+
+
+def sliding_counts(stream: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 15 minutes — each event lands in 4."""
+    return (
+        stream.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "event_count",
+        )
+    )
+
+
+def session_counts(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap. Session
+    end = last event + gap (Spark's session_window semantics — the oracle's
+    gaps-and-islands SQL reproduces exactly that)."""
+    return (
+        stream.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "user_id",
+            "event_count",
+        )
+    )
+
+
+def late_data_counts(stream: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling counts in append mode: with a two-batch source
+    (late batch second), rows older than ``max(ts seen) - delay`` are
+    dropped, and only windows fully below the final watermark are emitted."""
+    return (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "event_count",
+        )
+    )
