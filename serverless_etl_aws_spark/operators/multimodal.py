@@ -1,0 +1,85 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design (per the 100 TB training-data brief): image/audio/video payloads are
+``binary`` columns with typed metadata columns beside them; decode /
+feature-extract / resize / frame-sample run as Arrow-batched pandas
+iterators over ``mapInPandas`` so each batch crosses the JVM↔Python
+boundary once. The heavy decode libraries (PIL/ffmpeg/torchcodec) are NOT
+in this container, so the codec step is stubbed deterministically behind
+``decode_payload`` — the Spark-side plumbing (schema, batching, partition
+flow) is real and tested.
+
+Payload format used by the synthetic corpus builder:
+``b"IMG1" + 4-ASCII-digit width + utf-8 payload bytes``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+META_SCHEMA = (
+    "doc_id long, fmt string, width int, height int, n_bytes long"
+)
+
+
+def synthesize_payloads(docs: DataFrame) -> DataFrame:
+    """Build a deterministic binary 'image' column from document text
+    (stand-in for real stored media; schema is what matters)."""
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "concat(encode('IMG1', 'utf-8'), "
+            "encode(lpad(cast(doc_id % 64 + 1 as string), 4, '0'), 'utf-8'), "
+            "encode(text, 'utf-8'))"
+        ).alias("payload"),
+    )
+
+
+def decode_payload(payload: bytes) -> dict:
+    """Parse the fake header. A real build replaces this body with the
+    actual codec (PIL.Image.open etc.); everything around it stays."""
+    magic = payload[:4].decode("ascii", errors="replace")
+    if magic != "IMG1":
+        raise NotImplementedError(
+            f"codec for magic {magic!r} not available in this environment "
+            "(stubbed: only the synthetic IMG1 format decodes here)"
+        )
+    width = int(payload[4:8].decode("ascii"))
+    body = payload[8:]
+    height = -(-len(body) // width)  # ceil-div: rows needed at this width
+    return {
+        "fmt": magic,
+        "width": width,
+        "height": height,
+        "n_bytes": len(payload),
+    }
+
+
+def extract_metadata(with_payloads: DataFrame) -> DataFrame:
+    """Arrow-batched metadata extraction over mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_payload(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "fmt": [m["fmt"] for m in metas],
+                    "width": pd.array(
+                        [m["width"] for m in metas], dtype="int32"
+                    ),
+                    "height": pd.array(
+                        [m["height"] for m in metas], dtype="int32"
+                    ),
+                    "n_bytes": pd.array(
+                        [m["n_bytes"] for m in metas], dtype="int64"
+                    ),
+                }
+            )
+
+    return with_payloads.mapInPandas(run, schema=META_SCHEMA)

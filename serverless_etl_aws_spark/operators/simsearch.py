@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, per the 100 TB design brief:
+- **Brute-force cosine top-k** — the exact baseline. One broadcast of the
+  probe vector, one map-side cosine per row (JVM ``aggregate``/``zip_with``
+  expressions — no Python in the row path), then ``TakeOrderedAndProject``
+  (per-partition top-k, never a global sort).
+- **IVF (inverted-file) top-k** — the scale path: vectors are assigned to
+  coarse centroids once (an O(n·C) map pass, cacheable); a probe scans only
+  the ``nprobe`` nearest clusters, cutting the scan by ~C/nprobe. Centroid
+  "training" here is deterministic (first C vectors) — swap in MLlib KMeans
+  for real recall tuning; the query path is identical.
+
+All double math is sequential left-fold (``aggregate``), matching the
+element order the DuckDB oracle uses, and similarities are rounded before
+ranking with a vec_id tiebreak so top-k boundaries are engine-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Sequential left-fold dot product / norm over array<double> columns —
+# bit-identical to DuckDB's list_sum(list_transform(...)) evaluation order.
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+
+
+def _to_double(col: str) -> F.Column:
+    return F.expr(f"transform({col}, x -> cast(x as double))")
+
+
+def cosine_expr(a: str, b: str) -> F.Column:
+    dot = _dot(a, b)
+    na = F.sqrt(_dot(a, a))
+    nb = F.sqrt(_dot(b, b))
+    return dot / (na * nb)
+
+
+SQL_COSINE = (
+    "list_sum(list_transform(range(1, 65), i -> va[i] * vb[i]))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> va[i] * va[i])))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> vb[i] * vb[i]))))"
+)
+
+
+def brute_force_topk(
+    embeddings: DataFrame, probe_vec_id: int, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k for one probe vector (excluding itself)."""
+    emb = embeddings.select(
+        "vec_id", _to_double("embedding").alias("v")
+    )
+    probe = emb.filter(F.col("vec_id") == probe_vec_id).select(
+        F.col("v").alias("pv")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != probe_vec_id)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(cosine_expr("v", "pv"), 6).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    probe_vec_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-pruned cosine top-k: assign every vector to its max-cosine
+    centroid, search only the probe's ``nprobe`` best clusters."""
+    emb = embeddings.select("vec_id", _to_double("embedding").alias("v"))
+    centroids = (
+        emb.filter(F.col("vec_id") < n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    # Assignment pass: argmax cosine over broadcast centroids.
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cid")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn("ccos", F.round(cosine_expr("v", "cv"), 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    probe_clusters = (
+        assigned.filter(F.col("vec_id") == probe_vec_id)
+        .select(F.col("v").alias("pv"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("ccos", F.round(cosine_expr("pv", "cv"), 6))
+        .orderBy(F.col("ccos").desc(), F.col("cid"))
+        .limit(nprobe)
+        .select("cid")
+    )
+    probe = assigned.filter(F.col("vec_id") == probe_vec_id).select(
+        F.col("v").alias("pv")
+    )
+    return (
+        assigned.join(F.broadcast(probe_clusters), "cid")
+        .filter(F.col("vec_id") != probe_vec_id)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(cosine_expr("v", "pv"), 6).alias("cosine"),
+            "cid",
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )

@@ -1,0 +1,62 @@
+"""Text-analysis building blocks: tokenization, shingles, fingerprints,
+language-ID and quality scoring — all JVM-side column expressions (no
+Python in the row path), designed for the 100 TB training-data pipeline
+use case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tokenization: single-space split (the corpus is single-spaced text).
+# For messier corpora swap in split('\\s+') — keep the oracle SQL in sync.
+def tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def trigrams(toks: Column) -> Column:
+    """Distinct word-trigram shingles, joined by spaces (0-based Spark
+    array indexing inside the lambda)."""
+    return F.array_distinct(
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 3), "
+            "i -> concat_ws(' ', split(text, ' ')[i], "
+            "split(text, ' ')[i+1], split(text, ' ')[i+2]))"
+        )
+    )
+
+
+def fingerprint(col: str = "text") -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lower + trim + collapse whitespace). Same bytes → same hash in any
+    engine, which is what makes this the exact-dedup key at scale."""
+    return F.md5(
+        F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " ")))
+    )
+
+
+SQL_FINGERPRINT = r"md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"
+
+
+# Language-ID: marker-word counting. Deliberately simple and fully
+# SQL-expressible so the oracle can verify it; a production lang-ID would
+# swap in a fastText-style model behind the same column contract.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "que"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+    "zh": ["de", "shi", "le"],
+}
+LANG_ORDER = ["en", "es", "de", "fr", "zh"]  # tie-break priority
+
+
+def lang_score(lang: str, col: str = "text") -> Column:
+    pat = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+    return F.regexp_count(F.lower(F.col(col)), F.lit(pat))
+
+
+def sql_lang_score(lang: str) -> str:
+    pat = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"

@@ -1,4 +1,416 @@
-"""Placeholder — filled in later this round."""
-from . import Query
+"""LLM-data-pipeline contract keys: text analysis, dedup family,
+similarity search, multimodal plumbing (SURVEY.md §2B `llm_*` + the
+training-data extensions from BASELINE.json north_star)."""
 
-QUERIES: dict[str, Query] = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import multimodal
+from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
+from ..operators.simsearch import SQL_COSINE, brute_force_topk, cosine_expr, ivf_topk
+from ..operators.text import (
+    LANG_ORDER,
+    SQL_FINGERPRINT,
+    fingerprint,
+    lang_score,
+    sql_lang_score,
+)
+from . import Query
+from ._util import t
+
+# ---------------------------------------------------------------- text ops
+
+
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per language (count desc, term asc) + per-lang totals."""
+    docs = t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    counts = terms.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("term_count")
+    )
+    totals = terms.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_tokens"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("term_count").desc(), F.col("term")
+    )
+    return (
+        counts.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= 3)
+        .join(totals, "lang")
+        .select("lang", "term", "term_count",
+                F.col("term_rank").cast("int").alias("term_rank"),
+                "lang_tokens")
+    )
+
+
+LLM_TEXT_STATS_SQL = """
+WITH terms AS (
+    SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+), filtered AS (
+    SELECT * FROM terms WHERE term <> ''
+), counts AS (
+    SELECT lang, term, COUNT(*) AS term_count
+    FROM filtered GROUP BY lang, term
+), totals AS (
+    SELECT lang, COUNT(*) AS lang_tokens FROM filtered GROUP BY lang
+)
+SELECT c.lang, c.term, c.term_count,
+       CAST(rn AS INTEGER) AS term_rank, t.lang_tokens
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY term_count DESC, term) AS rn
+    FROM counts
+) c JOIN totals t ON c.lang = t.lang
+WHERE rn <= 3
+"""
+
+
+def llm_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language/quality gate + per-source stats — the canonical corpus
+    pre-filter step."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "de") & F.col("n_chars").between(100, 400)
+    )
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.round(
+            F.sum(F.col("n_chars").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)),
+            2,
+        ).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+LLM_LANG_FILTER_SQL = """
+SELECT lang, source,
+       COUNT(*) AS doc_count,
+       ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*), 2) AS avg_chars,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+WHERE lang IN ('en', 'de') AND n_chars BETWEEN 100 AND 400
+GROUP BY lang, source
+"""
+
+
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID with deterministic argmax tie-breaking
+    (engine-verifiable heuristic; see operators/text.py)."""
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[lang_score(lg).alias(f"s_{lg}") for lg in LANG_ORDER],
+    )
+    guess = None
+    for lg in LANG_ORDER:
+        cond = None
+        for other in LANG_ORDER:
+            if other == lg:
+                continue
+            ge = F.col(f"s_{lg}") >= F.col(f"s_{other}") if LANG_ORDER.index(
+                other
+            ) > LANG_ORDER.index(lg) else F.col(f"s_{lg}") > F.col(f"s_{other}")
+            cond = ge if cond is None else (cond & ge)
+        guess = (
+            F.when(cond, F.lit(lg)) if guess is None else guess.when(cond, F.lit(lg))
+        )
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        *[F.col(f"s_{lg}").cast("bigint").alias(f"s_{lg}") for lg in LANG_ORDER],
+        F.coalesce(guess, F.lit(LANG_ORDER[0])).alias("guessed_lang"),
+    )
+
+
+def _sql_lang_id() -> str:
+    scores = ",\n       ".join(
+        f"CAST({sql_lang_score(lg)} AS BIGINT) AS s_{lg}" for lg in LANG_ORDER
+    )
+    # argmax with the same priority tie-break: earlier langs win ties
+    # against later langs (>=), must strictly beat earlier langs (>).
+    cases = []
+    for lg in LANG_ORDER:
+        conds = []
+        for other in LANG_ORDER:
+            if other == lg:
+                continue
+            op = ">=" if LANG_ORDER.index(other) > LANG_ORDER.index(lg) else ">"
+            conds.append(f"s_{lg} {op} s_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lg}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{LANG_ORDER[0]}' END"
+    return f"""
+WITH scored AS (
+    SELECT doc_id, lang AS labeled_lang,
+       {scores}
+    FROM documents
+)
+SELECT doc_id, labeled_lang, {', '.join('s_' + lg for lg in LANG_ORDER)},
+       {case_sql} AS guessed_lang
+FROM scored
+"""
+
+
+LLM_LANG_ID_SQL = _sql_lang_id()
+
+
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: token count, mean token length, stopword
+    ratio, non-alpha ratio → weighted score (per-row IEEE, identical in
+    both engines)."""
+    docs = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("double")
+    n_chars = F.length("text").cast("double")
+    stop = F.regexp_count(
+        F.lower(F.col("text")), F.lit(r"\b(the|a|and|of|to)\b")
+    ).cast("double")
+    nonalpha = F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z\s]")).cast(
+        "double"
+    )
+    mean_tok_len = (n_chars - (n_tok - 1)) / n_tok
+    stop_ratio = stop / n_tok
+    nonalpha_ratio = nonalpha / n_chars
+    score = (
+        F.least(n_tok / 100.0, F.lit(1.0)) * 0.4
+        + F.least(mean_tok_len / 8.0, F.lit(1.0)) * 0.2
+        + stop_ratio * 0.2
+        + (F.lit(1.0) - nonalpha_ratio) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(nonalpha_ratio, 4).alias("nonalpha_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+LLM_QUALITY_SQL = r"""
+WITH m AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to)\b'))
+                AS DOUBLE) AS stop,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z\s]')) AS DOUBLE)
+               AS nonalpha
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       ROUND((n_chars - (n_tok - 1)) / n_tok, 4) AS mean_token_len,
+       ROUND(stop / n_tok, 4) AS stopword_ratio,
+       ROUND(nonalpha / n_chars, 4) AS nonalpha_ratio,
+       ROUND(least(n_tok / 100.0, 1.0) * 0.4
+             + least(((n_chars - (n_tok - 1)) / n_tok) / 8.0, 1.0) * 0.2
+             + (stop / n_tok) * 0.2
+             + (1.0 - nonalpha / n_chars) * 0.2, 4) AS quality_score
+FROM m
+"""
+
+
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish subword piece count (letter runs, digit
+    runs, punctuation singles — a cheap proxy for tokenizer cost)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(
+            F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+        ).cast("bigint").alias("bpe_ish_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+    )
+
+
+LLM_TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+            AS BIGINT) AS bpe_ish_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_measured
+FROM documents
+"""
+
+
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 fingerprint of normalized text + duplicate-group flag."""
+    docs = t(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", fingerprint().alias("fp"))
+    w = Window.partitionBy("fp")
+    return fp.select(
+        "doc_id", "fp", (F.count(F.lit(1)).over(w) > 1).alias("is_dup")
+    )
+
+
+LLM_FINGERPRINT_SQL = f"""
+SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) > 1 AS is_dup
+FROM (SELECT doc_id, {SQL_FINGERPRINT} AS fp FROM documents)
+"""
+
+# ---------------------------------------------------------------- dedup
+
+
+def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-Jaccard near-dup pairs (threshold 0.8, lang-blocked)."""
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), threshold=0.8, block_col="lang"
+    )
+
+
+LLM_DEDUP_NGRAM_SQL = """
+WITH d AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), g AS (
+    SELECT doc_id, lang,
+           list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          for i in range(1, len(toks) - 1)]) AS grams
+    FROM d WHERE len(toks) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(len(list_intersect(a.grams, b.grams)) * 1.0
+             / (len(a.grams) + len(b.grams)
+                - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+FROM g a JOIN g b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE ROUND(len(list_intersect(a.grams, b.grams)) * 1.0
+            / (len(a.grams) + len(b.grams)
+               - len(list_intersect(a.grams, b.grams))), 4) >= 0.8
+"""
+
+
+def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (MLlib, seeded — rows-only: LSH is
+    approximate by design)."""
+    return minhash_lsh_pairs(t(spark, sf_dir, "documents"), dist_threshold=0.5)
+
+
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash band-blocked near-dup candidates (rows-only: banding is
+    approximate)."""
+    return simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=6)
+
+
+def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the coarse
+    cluster), cosine ≥ 0.4."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("v").alias("vb"),
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cosine", F.round(cosine_expr("va", "vb"), 6))
+        .filter(F.col("cosine") >= 0.4)
+        .select("vec_a", "vec_b", "label", "cosine")
+    )
+
+
+LLM_DEDUP_EMBEDDING_SQL = f"""
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       ROUND({SQL_COSINE.replace('va', 'a.v').replace('vb', 'b.v')}, 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND({SQL_COSINE.replace('va', 'a.v').replace('vb', 'b.v')}, 6) >= 0.4
+"""
+
+# ------------------------------------------------------------ similarity
+
+
+def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id 0."""
+    return brute_force_topk(t(spark, sf_dir, "embeddings"), probe_vec_id=0, k=10)
+
+
+LLM_SIM_SEARCH_SQL = f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings
+), probe AS (
+    SELECT va AS vb FROM e WHERE vec_id = 0
+)
+SELECT e.vec_id, ROUND({SQL_COSINE.replace('va', 'e.va').replace('vb', 'probe.vb')}, 6) AS cosine
+FROM e, probe
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned approximate top-10 (rows-only: cluster pruning is the
+    approximation — recall vs. brute force is measured in tests)."""
+    return ivf_topk(
+        t(spark, sf_dir, "embeddings"), probe_vec_id=0, k=10,
+        n_centroids=16, nprobe=4,
+    )
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary multimodal column + Arrow-batched metadata extraction
+    (operators/multimodal.py). The oracle recomputes the same typed
+    metadata relationally — checking schema, ceil-div geometry, and byte
+    accounting of the binary plumbing."""
+    docs = t(spark, sf_dir, "documents")
+    return multimodal.extract_metadata(multimodal.synthesize_payloads(docs))
+
+
+MM_DECODE_META_SQL = """
+SELECT doc_id,
+       'IMG1' AS fmt,
+       CAST(doc_id % 64 + 1 AS INTEGER) AS width,
+       CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE)
+                 / (doc_id % 64 + 1)) AS INTEGER) AS height,
+       CAST(octet_length(encode(text)) + 8 AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "llm_text_stats": Query(llm_text_stats, LLM_TEXT_STATS_SQL,
+                            "top terms per lang"),
+    "llm_lang_filter": Query(llm_lang_filter, LLM_LANG_FILTER_SQL,
+                             "corpus language/quality gate"),
+    "llm_lang_id": Query(llm_lang_id, LLM_LANG_ID_SQL,
+                         "marker-based language ID"),
+    "llm_quality_score": Query(llm_quality_score, LLM_QUALITY_SQL,
+                               "heuristic quality scoring"),
+    "llm_token_count": Query(llm_token_count, LLM_TOKEN_COUNT_SQL,
+                             "token counting"),
+    "llm_fingerprint": Query(llm_fingerprint, LLM_FINGERPRINT_SQL,
+                             "md5 fingerprint dedup key"),
+    "llm_dedup_ngram": Query(llm_dedup_ngram, LLM_DEDUP_NGRAM_SQL,
+                             "exact trigram-Jaccard pairs"),
+    "llm_dedup_minhash": Query(llm_dedup_minhash, None,
+                               "MinHash-LSH pairs (rows-only)"),
+    "llm_dedup_simhash": Query(llm_dedup_simhash, None,
+                               "SimHash band pairs (rows-only)"),
+    "llm_dedup_embedding": Query(llm_dedup_embedding, LLM_DEDUP_EMBEDDING_SQL,
+                                 "embedding-cosine near-dups"),
+    "llm_sim_search": Query(llm_sim_search, LLM_SIM_SEARCH_SQL,
+                            "brute-force cosine top-k"),
+    "llm_sim_search_ivf": Query(llm_sim_search_ivf, None,
+                                "IVF approximate top-k (rows-only)"),
+    "mm_decode_meta": Query(mm_decode_meta, MM_DECODE_META_SQL,
+                            "multimodal binary metadata extraction"),
+}

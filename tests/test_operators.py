@@ -1,0 +1,129 @@
+"""Property and behavior tests for custom operators (SURVEY.md §5.2 item 4):
+as-of join edge cases (hypothesis), dedup variants, IVF recall, multimodal
+stub."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from serverless_etl_aws_spark.catalog import load_table
+from serverless_etl_aws_spark.operators.asof import asof_join
+from serverless_etl_aws_spark.operators.dedup import ngram_jaccard_pairs
+from serverless_etl_aws_spark.operators.multimodal import decode_payload
+from serverless_etl_aws_spark.operators.simsearch import brute_force_topk, ivf_topk
+
+
+def brute_asof(left_rows, right_rows):
+    """Reference model: latest right (time, id) with time <= left time."""
+    out = {}
+    for key, lt, lid in left_rows:
+        best = None
+        for rkey, rt, rid in right_rows:
+            if rkey == key and rt <= lt:
+                if best is None or (rt, rid) > best:
+                    best = (rt, rid)
+        out[lid] = best[1] if best else None
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(
+        st.tuples(
+            st.integers(0, 2), st.integers(0, 20), st.integers(100, 199)
+        ),
+        min_size=0, max_size=12, unique_by=lambda t: t[2],
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20), st.integers(0, 99)),
+        min_size=0, max_size=12,
+        unique_by=lambda t: (t[0], t[1]),  # dedup (key, time) like prod path
+    ),
+)
+def test_asof_matches_brute_force(spark, left, right):
+    """Covers ties (right at exactly left time → inclusive match), empty
+    sides, keys with no rights, all-late rights."""
+    if not left:
+        return
+    ldf = spark.createDataFrame(left, "k int, t int, lid int")
+    rdf = (
+        spark.createDataFrame(right, "k int, t int, rid int")
+        if right
+        else spark.createDataFrame([], "k int, t int, rid int")
+    )
+    got = {
+        r["lid"]: r["m_rid"]
+        for r in asof_join(
+            ldf, rdf, on="k", left_time="t", right_time="t",
+            right_cols=["rid"], prefix="m_",
+        ).collect()
+    }
+    want = brute_asof(left, right)
+    assert got == want
+
+
+def test_ngram_dedup_finds_exact_duplicate(spark):
+    rows = [
+        (1, "a b c d e f g h i j", "en"),
+        (2, "a b c d e f g h i j", "en"),  # exact dup → jaccard 1.0
+        (3, "q r s t u v w x y z", "en"),
+        (4, "a b c d e f g h i j", "de"),  # same text, other lang block
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_ivf_recall_vs_brute(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = [r["vec_id"] for r in brute_force_topk(emb, 0, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(emb, 0, k=10, nprobe=4).collect()]
+    recall = len(set(brute) & set(approx)) / 10
+    assert recall >= 0.5, f"IVF recall {recall} too low (nprobe=4/16 clusters)"
+
+
+def test_multimodal_stub_rejects_unknown_codec(spark):
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_payload(b"JPEGxxxxdata")
+
+
+def test_multimodal_geometry(spark):
+    meta = decode_payload(b"IMG1" + b"0010" + b"x" * 25)
+    assert meta == {"fmt": "IMG1", "width": 10, "height": 3, "n_bytes": 33}
+
+
+def test_dedup_exact_keeps_earliest(spark, sf_dir):
+    from serverless_etl_aws_spark.queries.relational import dedup_exact
+
+    ev = load_table(spark, sf_dir, "events")
+    out = dedup_exact(spark, sf_dir)
+    keys = ev.select("user_id", "event_type").distinct().count()
+    assert out.count() == keys
+    # each survivor is the minimum (ts, event_id) of its group
+    joined = out.alias("s").join(ev.alias("e"), ["user_id", "event_type"])
+    earlier = joined.filter(
+        F.col("e.event_id") < F.col("s.event_id")
+    ).join(
+        ev.select(
+            "event_id", F.col("ts").alias("e_ts")
+        ).alias("et"),
+        F.col("e.event_id") == F.col("et.event_id"),
+    )
+    survivor_ts = ev.select(
+        F.col("event_id").alias("s_id"), F.col("ts").alias("s_ts")
+    )
+    earlier = earlier.join(
+        survivor_ts, F.col("s.event_id") == F.col("s_id")
+    ).filter(F.col("e_ts") < F.col("s_ts"))
+    assert earlier.count() == 0

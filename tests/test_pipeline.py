@@ -1,0 +1,129 @@
+"""Pipeline-semantics tests (SURVEY.md §5.2 item 2): watermark gate,
+exactly-once ingest, archive, source discovery."""
+
+from __future__ import annotations
+
+import os
+from datetime import date, datetime, timezone
+
+import pytest
+
+from serverless_etl_aws_spark.pipeline.archive import archive_file
+from serverless_etl_aws_spark.pipeline.fetch import (
+    download_to_landing,
+    find_latest_available,
+    months_back,
+)
+from serverless_etl_aws_spark.pipeline.watermark import WatermarkStore
+
+
+class TestWatermark:
+    def test_roundtrip(self, tmp_path):
+        wm = WatermarkStore(str(tmp_path / "wm.json"))
+        assert wm.get_last_processed() is None
+        wm.update_last_processed("2024-03")
+        assert wm.get_last_processed() == "2024-03"
+
+    def test_skip_gate_string_compare(self, tmp_path):
+        """Reference semantics: skip iff last >= ym (fetch_raw_data.py:135)."""
+        wm = WatermarkStore(str(tmp_path / "wm.json"))
+        assert not wm.should_skip("2024-03")  # no state yet
+        wm.update_last_processed("2024-03")
+        assert wm.should_skip("2024-03")
+        assert wm.should_skip("2024-02")
+        assert wm.should_skip("2023-12")
+        assert not wm.should_skip("2024-04")
+
+    def test_format_pinned(self, tmp_path):
+        wm = WatermarkStore(str(tmp_path / "wm.json"))
+        with pytest.raises(ValueError):
+            wm.update_last_processed("2024-3")
+        with pytest.raises(ValueError):
+            wm.should_skip("March-2024")
+
+
+class TestDiscovery:
+    def test_months_back_wraps_year(self):
+        now = datetime(2024, 2, 15, tzinfo=timezone.utc)
+        assert months_back(now, 2) == "2023-12"
+        assert months_back(now, 7) == "2023-07"
+
+    def test_find_latest_first_hit_wins(self):
+        """Reference walks 2..7 months back, first existing file wins
+        (fetch_raw_data.py:35-53)."""
+        now = datetime(2024, 6, 1, tzinfo=timezone.utc)
+        available = {"2024-03", "2024-02"}
+        hit = find_latest_available(
+            lambda url: any(ym in url for ym in available), now=now
+        )
+        assert hit is not None and hit[1] == "2024-03"
+
+    def test_find_latest_none(self):
+        assert find_latest_available(lambda url: False) is None
+
+    def test_download_key_pattern(self, tmp_path):
+        """Bronze key preserves the reference's timestamped lineage name
+        (data_downloader.py:31-32)."""
+        dest = download_to_landing(
+            "http://example/x.parquet",
+            str(tmp_path),
+            "2024-03",
+            fetcher=lambda url: b"PAR1fake",
+            now=datetime(2024, 6, 1, 12, 30, 45, tzinfo=timezone.utc),
+        )
+        assert dest.endswith("nyc_taxi/yellow_taxi_2024-03_20240601_123045.parquet")
+        with open(dest, "rb") as f:
+            assert f.read() == b"PAR1fake"
+
+
+class TestArchive:
+    def test_date_partitioned_move(self, tmp_path):
+        src = tmp_path / "data.parquet"
+        src.write_bytes(b"x")
+        dest = archive_file(
+            str(src), str(tmp_path / "archive"), on=date(2024, 3, 5)
+        )
+        assert dest.endswith("archive/2024/03/05/data.parquet")
+        assert os.path.exists(dest) and not os.path.exists(src)
+
+
+class TestExactlyOnce:
+    def test_second_run_ingests_nothing(self, spark, sf_dir):
+        from serverless_etl_aws_spark.queries.pipeline_ops import (
+            ingest_incremental,
+        )
+
+        rows = {r["run"]: r for r in ingest_incremental(spark, sf_dir).collect()}
+        assert rows[1]["rows_ingested"] > 0
+        assert rows[2]["rows_ingested"] == 0
+        assert rows[1]["silver_total"] == rows[1]["rows_ingested"]
+
+    def test_new_file_after_first_run_is_picked_up(self, spark, sf_dir, tmp_path):
+        """A file landing between runs is processed exactly once (the
+        reference's tag-discovery semantics, s3_operations.py:30-33)."""
+        import shutil
+
+        from serverless_etl_aws_spark.pipeline.ingest import IncrementalIngest
+        from serverless_etl_aws_spark.queries.pipeline_ops import (
+            EVENTS_NANOS_SCHEMA,
+        )
+
+        bronze = tmp_path / "bronze"
+        bronze.mkdir()
+        src = os.path.join(sf_dir, "events.parquet")
+        shutil.copy(src, bronze / "f1.parquet")
+        pipe = IncrementalIngest(
+            spark,
+            bronze_dir=str(bronze),
+            silver_dir=str(tmp_path / "silver"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            schema=EVENTS_NANOS_SCHEMA,
+        )
+        r1 = pipe.run_once()
+        shutil.copy(src, bronze / "f2.parquet")
+        r2 = pipe.run_once()
+        r3 = pipe.run_once()
+        assert r1.rows_ingested == r2.rows_ingested > 0
+        assert r3.rows_ingested == 0
+        total = spark.read.parquet(str(tmp_path / "silver")).count()
+        assert total == r1.rows_ingested + r2.rows_ingested

@@ -1,0 +1,79 @@
+"""Physical-plan assertions — the 100 TB design contract, checked on the
+actual Catalyst output (SURVEY.md §4): pushdown reaches the scan, small
+dims broadcast, top-k never global-sorts, partitioned reads prune."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from serverless_etl_aws_spark.queries.joins import join_broadcast, join_multiway
+from serverless_etl_aws_spark.queries.relational import filter_pred, project_rename
+from serverless_etl_aws_spark.queries.sorts_sets import sort_limit
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = formatted(filter_pred(spark, sf_dir))
+    assert "PushedFilters:" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = formatted(project_rename(spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_extendedprice" in read_schema
+    # untouched wide columns must not be read
+    assert "l_shipdate" not in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_broadcast_join_chosen(spark, sf_dir):
+    plan = plan_of(join_broadcast(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_multiway_dims_broadcast(spark, sf_dir):
+    plan = plan_of(join_multiway(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_sort_limit_is_top_k_not_global_sort(spark, sf_dir):
+    plan = plan_of(sort_limit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partitioned_readback_prunes(spark, sf_dir, tmp_path):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(
+        str(tmp_path / "part_out")
+    )
+    back = spark.read.parquet(str(tmp_path / "part_out")).filter(
+        F.col("l_returnflag") == "R"
+    )
+    plan = formatted(back.select(F.count(F.lit(1))))
+    assert "PartitionFilters:" in plan
+    pf = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "l_returnflag" in pf
+
+
+def test_agg_has_partial_aggregation(spark, sf_dir):
+    """Map-side combine: two HashAggregate nodes around the exchange."""
+    from serverless_etl_aws_spark.queries.aggregates import agg_group
+
+    plan = plan_of(agg_group(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_covers_scan_filter(spark, sf_dir):
+    plan = plan_of(filter_pred(spark, sf_dir))
+    # "*(n)" prefixes mark operators fused into a WholeStageCodegen stage
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
