@@ -29,6 +29,7 @@ def build_registry() -> dict[str, Query]:
     registry: dict[str, Query] = {}
     from . import (
         aggregates,
+        extras,
         joins,
         llm,
         pipeline_ops,
@@ -51,6 +52,7 @@ def build_registry() -> dict[str, Query]:
         pipeline_ops,
         streaming_ops,
         llm,
+        extras,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

@@ -1,0 +1,209 @@
+"""Extended operator surface beyond SURVEY.md §2B's minimum: non-parquet
+sources (CSV/JSON), exact percentiles, pivot, additional window functions,
+and subquery forms (scalar-correlated and IN — Catalyst decorrelates both
+into joins; `.explain` shows no per-row subquery execution).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import Query
+from ._util import t
+
+SCRATCH = "/root/repo/.scratch"
+
+
+def _fresh(path: str) -> str:
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source support: deterministic write of a lineitem projection to
+    CSV, schema-declared read back (header, explicit types — never
+    inferSchema at scale: it reads the data twice)."""
+    out = _fresh(os.path.join(SCRATCH, "scan_csv"))
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    li.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.schema(
+            "l_orderkey long, l_linenumber int, l_returnflag string, l_quantity double"
+        )
+        .option("header", True)
+        .csv(out)
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("line_count"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"), 2
+        ).alias("sum_qty"),
+    )
+
+
+SCAN_CSV_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS line_count,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source support (schema-declared read; null fields are
+    omitted on write and restored as NULL on read)."""
+    out = _fresh(os.path.join(SCRATCH, "scan_json"))
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double"
+    ).json(out)
+    return back.select("event_id", "user_id", "event_type", "value")
+
+
+SCAN_JSON_SQL = """
+SELECT event_id, user_id, event_type, value FROM events
+"""
+
+
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``: both use the (n-1)·p linear-interpolation
+    definition). The 100 TB path is ``approx_percentile`` (KLL/GK sketch,
+    one pass, bounded memory); the exact form requires a per-group sort."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+        F.round(F.expr("percentile(l_discount, 0.25)"), 4).alias("p25_disc"),
+    )
+
+
+AGG_PERCENTILE_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+       ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+       ROUND(quantile_cont(l_discount, 0.25), 4) AS p25_disc
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns. Pivot values are declared explicitly —
+    leaving them implicit costs an extra distinct-scan job and makes the
+    output schema data-dependent (both wrong at scale)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("F"), F.lit(0)).alias("cnt_f"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("cnt_o"),
+        )
+    )
+
+
+AGG_PIVOT_SQL = """
+SELECT l_returnflag,
+       COUNT(*) FILTER (WHERE l_linestatus = 'F') AS cnt_f,
+       COUNT(*) FILTER (WHERE l_linestatus = 'O') AS cnt_o
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def win_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + first_value/last_value with an explicit full frame
+    (last_value over the default frame is a famous wrong-answer trap —
+    the frame ends at CURRENT ROW; both engines agree once it's explicit)."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.first_value(F.col("o_totalprice")).over(w_full).alias("max_price"),
+        F.last_value(F.col("o_totalprice")).over(w_full).alias("min_price"),
+    )
+
+
+WIN_NTILE_SQL = """
+SELECT o_custkey, o_orderkey,
+       ntile(4) OVER w AS price_quartile,
+       first_value(o_totalprice) OVER w_full AS max_price,
+       last_value(o_totalprice) OVER w_full AS min_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+       w_full AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+SUBQ_SCALAR_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(18,4))
+      * (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      > (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,4)))
+         FROM orders i WHERE i.o_custkey = o.o_custkey)
+"""
+
+
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries: orders above their customer's average
+    (stated sum/count-style so the comparison is decimal-exact). Catalyst
+    decorrelates both subqueries into aggregate+join — no per-row
+    re-execution (the thing that makes correlated subqueries viable at
+    100 TB)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(SUBQ_SCALAR_SQL)
+
+
+SUBQ_IN_SQL = """
+SELECT o_orderkey, o_custkey, o_orderpriority
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery via the SQL entry point (planned as a left-semi join,
+    same physical shape as the DataFrame ``join_semi`` key)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(SUBQ_IN_SQL)
+
+
+QUERIES: dict[str, Query] = {
+    "scan_csv": Query(scan_csv, SCAN_CSV_SQL, "CSV source roundtrip"),
+    "scan_json": Query(scan_json, SCAN_JSON_SQL, "JSON-lines source roundtrip"),
+    "agg_percentile": Query(agg_percentile, AGG_PERCENTILE_SQL,
+                            "exact interpolated percentiles"),
+    "agg_pivot": Query(agg_pivot, AGG_PIVOT_SQL, "pivot to columns"),
+    "win_ntile_first_last": Query(win_ntile_first_last, WIN_NTILE_SQL,
+                                  "ntile + explicit-frame first/last"),
+    "subquery_scalar": Query(subquery_scalar, SUBQ_SCALAR_SQL,
+                             "correlated scalar subquery (decorrelated)"),
+    "subquery_in": Query(subquery_in, SUBQ_IN_SQL, "IN-subquery → semi join"),
+}

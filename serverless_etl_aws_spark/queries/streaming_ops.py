@@ -116,6 +116,22 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    profile across two pinned micro-batches. Deterministic rows (batch
+    split by event_id parity, mtime-ordered) — rows-only check since
+    cross-batch state is not SQL-expressible."""
+    from ..streaming.stateful import running_user_profile
+
+    out = run_stream_to_memory(
+        running_user_profile(
+            _stream(spark, sf_dir, "stream_stateful", n_files=2)
+        ),
+        output_mode="append",
+    )
+    return out.orderBy("user_id", "total_events")
+
+
 QUERIES: dict[str, Query] = {
     "stream_tumbling": Query(stream_tumbling, STREAM_TUMBLING_SQL,
                              "1h tumbling counts (streaming)"),
@@ -125,4 +141,6 @@ QUERIES: dict[str, Query] = {
                             "30min-gap session windows (streaming)"),
     "stream_late_data": Query(stream_late_data, None,
                               "watermark late-data drop (rows-only)"),
+    "stream_stateful": Query(stream_stateful, None,
+                             "applyInPandasWithState profile (rows-only)"),
 }

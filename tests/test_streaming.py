@@ -41,3 +41,24 @@ def test_late_data_drops_and_is_deterministic(spark, sf_dir):
     assert 0 < emitted1 < total
     out2 = stream_late_data(spark, sf_dir).collect()
     assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+
+def test_stateful_accumulates_across_batches(spark, sf_dir):
+    from serverless_etl_aws_spark.queries.streaming_ops import stream_stateful
+
+    rows = stream_stateful(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    total = sum(r["batch_events"] for r in rows)
+    from serverless_etl_aws_spark.catalog import load_table
+
+    assert total == load_table(spark, sf_dir, "events").count()
+    # each user appears once per batch containing their events; running
+    # total in the last emission equals the sum of batch counts
+    for user, emissions in by_user.items():
+        emissions.sort(key=lambda r: r["total_events"])
+        assert emissions[-1]["total_events"] == sum(
+            r["batch_events"] for r in emissions
+        )
+        assert emissions[-1]["types_seen"] >= 1
