@@ -195,6 +195,96 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SUBQ_IN_SQL)
 
 
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling (~10%): keep rows whose md5 of
+    the natural key starts below 0x1a (26/256 of hex space). Unlike
+    ``df.sample``, this is reproducible across engines, runs, retries, and
+    repartitions — the property a training-data pipeline needs for stable
+    held-out splits at 100 TB."""
+    li = t(spark, sf_dir, "lineitem")
+    fp = F.md5(
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    )
+    return (
+        li.withColumn("__fp", fp)
+        .filter(F.substring("__fp", 1, 2) < "1a")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+
+
+SAMPLE_HASH_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem
+WHERE substring(md5(l_orderkey || '-' || l_linenumber), 1, 2) < '1a'
+"""
+
+
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-spread shuffle join (operators/skew.py): semantically identical
+    to the plain join the oracle runs — salting only changes the physical
+    key distribution."""
+    from ..operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(
+        li, orders, key="l_orderkey", salt_from="l_linenumber", num_salts=8
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("line_count"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double"),
+            2,
+        ).alias("sum_price"),
+    )
+
+
+JOIN_SALTED_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS line_count,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+           AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides pre-bucketed on the key, the
+    join plan has no Exchange (asserted in tests/test_plans.py) — the
+    recurring-join scale play."""
+    from ..operators.skew import bucketed_join, write_bucketed
+
+    base = _fresh(os.path.join(SCRATCH, "bucketed"))
+    write_bucketed(
+        t(spark, sf_dir, "orders"), "orders_b", "o_custkey", 8,
+        os.path.join(base, "orders_b"),
+    )
+    write_bucketed(
+        t(spark, sf_dir, "customer"), "customer_b", "c_custkey", 8,
+        os.path.join(base, "customer_b"),
+    )
+    joined = bucketed_join(spark, "orders_b", "customer_b", "o_custkey", "c_custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2
+        ).alias("sum_price"),
+    )
+
+
+JOIN_BUCKETED_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS order_count,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+           AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, Query] = {
     "scan_csv": Query(scan_csv, SCAN_CSV_SQL, "CSV source roundtrip"),
     "scan_json": Query(scan_json, SCAN_JSON_SQL, "JSON-lines source roundtrip"),
@@ -206,4 +296,10 @@ QUERIES: dict[str, Query] = {
     "subquery_scalar": Query(subquery_scalar, SUBQ_SCALAR_SQL,
                              "correlated scalar subquery (decorrelated)"),
     "subquery_in": Query(subquery_in, SUBQ_IN_SQL, "IN-subquery → semi join"),
+    "sample_hash": Query(sample_hash, SAMPLE_HASH_SQL,
+                         "deterministic content-hash sampling"),
+    "join_salted": Query(join_salted, JOIN_SALTED_SQL,
+                         "salt-spread skew join"),
+    "join_bucketed": Query(join_bucketed, JOIN_BUCKETED_SQL,
+                           "bucketed shuffle-free join"),
 }

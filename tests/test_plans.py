@@ -77,3 +77,25 @@ def test_whole_stage_codegen_covers_scan_filter(spark, sf_dir):
     plan = plan_of(filter_pred(spark, sf_dir))
     # "*(n)" prefixes mark operators fused into a WholeStageCodegen stage
     assert "*(1)" in plan or "WholeStageCodegen" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """With broadcast off (the 100 TB fact⋈fact regime), same-bucketed
+    tables sort-merge-join with zero Exchange on either side."""
+    from serverless_etl_aws_spark.operators.skew import bucketed_join
+    from serverless_etl_aws_spark.queries.extras import join_bucketed
+
+    join_bucketed(spark, sf_dir)  # writes + registers the bucketed tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(
+            bucketed_join(
+                spark, "orders_b", "customer_b", "o_custkey", "c_custkey"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Bucketed: true" in plan, plan
