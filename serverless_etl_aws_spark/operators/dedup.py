@@ -153,24 +153,36 @@ def minhash_lsh_pairs(
 @pandas_udf(LongType())
 def simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens; token hash = first 8 bytes of
-    md5 (engine-independent, deterministic). Arrow-batched — one pass."""
-    out = []
-    for text in texts:
-        votes = [0] * 64
-        for tok in (text or "").split(" "):
-            if not tok:
-                continue
-            h = int.from_bytes(
-                hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
-            )
-            for bit in range(64):
-                votes[bit] += 1 if (h >> bit) & 1 else -1
-        sig = 0
-        for bit in range(64):
-            if votes[bit] > 0:
-                sig |= 1 << bit
-        # wrap to signed int64 for Spark LongType
-        out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+    md5 (engine-independent, deterministic). Arrow-batched, numpy bit
+    voting with a per-batch token→bits cache — the cache turns the cost
+    from O(tokens) hash calls into O(vocab) per batch, which matters when
+    the corpus vocabulary is much smaller than the corpus."""
+    import numpy as np
+
+    bit_cache: dict[str, "np.ndarray"] = {}
+
+    def bits_of(tok: str) -> "np.ndarray":
+        b = bit_cache.get(tok)
+        if b is None:
+            h = hashlib.md5(tok.encode("utf-8")).digest()[:8]
+            # little-endian unpack: bits[i] == (int(h) >> i) & 1
+            b = np.unpackbits(
+                np.frombuffer(h[::-1], dtype=np.uint8), bitorder="little"
+            ).astype(np.int32)
+            bit_cache[tok] = b
+        return b
+
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    out = np.zeros(len(texts), dtype=np.int64)
+    for idx, text in enumerate(texts):
+        toks = [tk for tk in (text or "").split(" ") if tk]
+        if not toks:
+            continue
+        ones = np.zeros(64, dtype=np.int32)
+        for tok in toks:
+            ones += bits_of(tok)
+        sig_bits = (ones * 2 > len(toks)).astype(np.uint64)
+        out[idx] = (sig_bits * weights).sum().astype(np.uint64).view(np.int64)
     return pd.Series(out, dtype="int64")
 
 

@@ -83,3 +83,70 @@ def extract_metadata(with_payloads: DataFrame) -> DataFrame:
             )
 
     return with_payloads.mapInPandas(run, schema=META_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, width int, height int, n_bytes long"
+
+
+def resize_payloads(
+    with_payloads: DataFrame, target_width: int
+) -> DataFrame:
+    """'Resize' pass: re-wrap each payload at a new width (geometry-only —
+    a real build swaps the body for PIL resize; batch flow identical)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = decode_payload(payload)
+                body_len = meta["n_bytes"] - 8
+                rows.append(
+                    (
+                        doc_id,
+                        target_width,
+                        -(-body_len // target_width),
+                        body_len + 8,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "n_bytes"]
+            )
+
+    return with_payloads.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_no int, frame_bytes long, frame_head string"
+
+
+def frame_sample(
+    with_payloads: DataFrame, frame_size: int = 64, every: int = 4
+) -> DataFrame:
+    """'Video' frame sampling: treat the payload body as fixed-size frames,
+    emit every k-th frame's offsets (one row per sampled frame). The stub
+    emits frame geometry + a head preview instead of decoded pixels; the
+    fan-out shape (1 payload → n frame rows) is the real thing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                body = payload[8:]
+                n_frames = -(-len(body) // frame_size)
+                for frame_no in range(0, n_frames, every):
+                    chunk = body[
+                        frame_no * frame_size: (frame_no + 1) * frame_size
+                    ]
+                    rows.append(
+                        (
+                            doc_id,
+                            frame_no,
+                            len(chunk),
+                            chunk[:8].decode("utf-8", errors="replace"),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_no", "frame_bytes", "frame_head"],
+            )
+
+    return with_payloads.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -386,6 +386,30 @@ FROM documents
 """
 
 
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out over binary payloads (every 4th 64-byte
+    frame) — one payload → many frame rows through mapInPandas; the oracle
+    recomputes frame geometry relationally."""
+    docs = t(spark, sf_dir, "documents")
+    return multimodal.frame_sample(
+        multimodal.synthesize_payloads(docs), frame_size=64, every=4
+    )
+
+
+MM_FRAME_SAMPLE_SQL = """
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_no,
+       CAST(least(64, octet_length(encode(text)) - f * 64) AS BIGINT)
+           AS frame_bytes,
+       substring(text, f * 64 + 1, 8) AS frame_head
+FROM documents,
+     LATERAL unnest(generate_series(
+         0,
+         CAST(ceil(octet_length(encode(text)) / 64.0) AS INTEGER) - 1,
+         4)) AS t(f)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "llm_text_stats": Query(llm_text_stats, LLM_TEXT_STATS_SQL,
                             "top terms per lang"),
@@ -413,4 +437,6 @@ QUERIES: dict[str, Query] = {
                                 "IVF approximate top-k (rows-only)"),
     "mm_decode_meta": Query(mm_decode_meta, MM_DECODE_META_SQL,
                             "multimodal binary metadata extraction"),
+    "mm_frame_sample": Query(mm_frame_sample, MM_FRAME_SAMPLE_SQL,
+                             "payload frame-sampling fan-out"),
 }

@@ -1,0 +1,62 @@
+"""Facade tests: the API surface a reference user switches to."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from serverless_etl_aws_spark.engine import Engine
+from serverless_etl_aws_spark.operators import multimodal
+
+
+def test_table_and_sql_converge(spark, sf_dir):
+    eng = Engine(spark, zone_root=sf_dir)
+    df_api = (
+        eng.table("orders").groupBy("o_orderstatus").count().orderBy("o_orderstatus")
+    )
+    df_sql = eng.sql(
+        "SELECT o_orderstatus, COUNT(*) AS count FROM orders "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+    assert [tuple(r) for r in df_api.collect()] == [
+        tuple(r) for r in df_sql.collect()
+    ]
+
+
+def test_write_partitioned_prunes(spark, sf_dir, tmp_path):
+    eng = Engine(spark, zone_root=sf_dir)
+    eng.write_partitioned(
+        eng.table("lineitem"), str(tmp_path / "out"), "l_returnflag"
+    )
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == eng.table("lineitem").count()
+    one = back.filter(F.col("l_returnflag") == "N")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "l_returnflag" in plan
+
+
+def test_engine_taxi_job_wiring(spark, tmp_path):
+    eng = Engine(spark, zone_root=str(tmp_path))
+    job = eng.taxi_job(
+        bronze_dir=str(tmp_path / "bronze"),
+        silver_dir=str(tmp_path / "silver"),
+    )
+    (tmp_path / "bronze").mkdir()
+    result = job.run_month("2024-01")  # empty bronze → 0 files, no crash
+    assert result is not None and result.rows_ingested == 0
+    assert job.run_month("2024-01") is None  # gate engages
+
+
+def test_multimodal_resize_and_frames(spark, sf_dir):
+    docs = spark.createDataFrame(
+        [(7, "x" * 200)], "doc_id long, text string"
+    )
+    payloads = multimodal.synthesize_payloads(docs)
+    resized = multimodal.resize_payloads(payloads, target_width=50).collect()
+    assert resized == [(7, 50, 4, 208)] or [tuple(r) for r in resized] == [
+        (7, 50, 4, 208)
+    ]
+    frames = multimodal.frame_sample(payloads, frame_size=64, every=2).collect()
+    # 200 bytes → 4 frames (64,64,64,8); sampled 0 and 2
+    assert [(r["frame_no"], r["frame_bytes"]) for r in frames] == [
+        (0, 64), (2, 64),
+    ]
