@@ -183,13 +183,21 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + stop_ratio * 0.2
         + (F.lit(1.0) - nonalpha_ratio) * 0.2
     )
+    # floor-quantize instead of round: the unquantized doubles are
+    # bit-identical across engines (same IEEE expression), and floor of
+    # identical doubles is identical — ROUND(double) is not (Spark rounds
+    # the shortest decimal repr, DuckDB the binary value; diverges at
+    # half boundaries, observed at sf0.1).
+    def q4(col):
+        return F.floor(col * 10000.0) / 10000.0
+
     return docs.select(
         "doc_id",
         n_tok.cast("bigint").alias("n_tokens"),
-        F.round(mean_tok_len, 4).alias("mean_token_len"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(nonalpha_ratio, 4).alias("nonalpha_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        q4(mean_tok_len).alias("mean_token_len"),
+        q4(stop_ratio).alias("stopword_ratio"),
+        q4(nonalpha_ratio).alias("nonalpha_ratio"),
+        q4(score).alias("quality_score"),
     )
 
 
@@ -206,13 +214,15 @@ WITH m AS (
 )
 SELECT doc_id,
        CAST(n_tok AS BIGINT) AS n_tokens,
-       ROUND((n_chars - (n_tok - 1)) / n_tok, 4) AS mean_token_len,
-       ROUND(stop / n_tok, 4) AS stopword_ratio,
-       ROUND(nonalpha / n_chars, 4) AS nonalpha_ratio,
-       ROUND(least(n_tok / 100.0, 1.0) * 0.4
-             + least(((n_chars - (n_tok - 1)) / n_tok) / 8.0, 1.0) * 0.2
-             + (stop / n_tok) * 0.2
-             + (1.0 - nonalpha / n_chars) * 0.2, 4) AS quality_score
+       floor((n_chars - (n_tok - 1)) / n_tok * 10000.0) / 10000.0
+           AS mean_token_len,
+       floor(stop / n_tok * 10000.0) / 10000.0 AS stopword_ratio,
+       floor(nonalpha / n_chars * 10000.0) / 10000.0 AS nonalpha_ratio,
+       floor((least(n_tok / 100.0, 1.0) * 0.4
+              + least(((n_chars - (n_tok - 1)) / n_tok) / 8.0, 1.0) * 0.2
+              + (stop / n_tok) * 0.2
+              + (1.0 - nonalpha / n_chars) * 0.2) * 10000.0) / 10000.0
+           AS quality_score
 FROM m
 """
 
