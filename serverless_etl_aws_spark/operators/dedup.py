@@ -97,9 +97,13 @@ def ngram_jaccard_pairs(
         .join(sb, "doc_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
-            ),
+            # floor-quantize: no half-boundary divergence across engines
+            F.floor(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+                * 10000.0
+            )
+            / 10000.0,
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

@@ -41,6 +41,13 @@ def cosine_expr(a: str, b: str) -> F.Column:
     return dot / (na * nb)
 
 
+def quant6(col: F.Column) -> F.Column:
+    """Floor-quantize a similarity to 1e-6 — deterministic across engines
+    on bit-identical doubles (round() is not, at half boundaries); floor
+    toward -inf is also sign-safe for negative cosines."""
+    return F.floor(col * 1000000.0) / 1000000.0
+
+
 SQL_COSINE = (
     "list_sum(list_transform(range(1, 65), i -> va[i] * vb[i]))"
     " / (sqrt(list_sum(list_transform(range(1, 65), i -> va[i] * va[i])))"
@@ -63,7 +70,7 @@ def brute_force_topk(
         .crossJoin(F.broadcast(probe))
         .select(
             "vec_id",
-            F.round(cosine_expr("v", "pv"), 6).alias("cosine"),
+            quant6(cosine_expr("v", "pv")).alias("cosine"),
         )
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
@@ -89,7 +96,7 @@ def ivf_topk(
     )
     assigned = (
         emb.crossJoin(F.broadcast(centroids))
-        .withColumn("ccos", F.round(cosine_expr("v", "cv"), 6))
+        .withColumn("ccos", quant6(cosine_expr("v", "cv")))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", "cid")
@@ -98,7 +105,7 @@ def ivf_topk(
         assigned.filter(F.col("vec_id") == probe_vec_id)
         .select(F.col("v").alias("pv"))
         .crossJoin(F.broadcast(centroids))
-        .withColumn("ccos", F.round(cosine_expr("pv", "cv"), 6))
+        .withColumn("ccos", quant6(cosine_expr("pv", "cv")))
         .orderBy(F.col("ccos").desc(), F.col("cid"))
         .limit(nprobe)
         .select("cid")
@@ -112,7 +119,7 @@ def ivf_topk(
         .crossJoin(F.broadcast(probe))
         .select(
             "vec_id",
-            F.round(cosine_expr("v", "pv"), 6).alias("cosine"),
+            quant6(cosine_expr("v", "pv")).alias("cosine"),
             "cid",
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))

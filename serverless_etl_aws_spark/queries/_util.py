@@ -29,17 +29,33 @@ def dec(col: str | Column) -> Column:
 
 
 def dsum(col: str | Column, scale: int = 2) -> Column:
-    """Exact decimal sum → double, rounded. Mirror in DuckDB with
-    ``ROUND(CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE), scale)``."""
-    return F.round(F.sum(dec(col)).cast("double"), scale)
+    """Exact decimal sum, rounded IN DECIMAL, then cast to double.
+
+    Rounding must happen in decimal: both engines round decimals
+    half-away-from-zero (verified), whereas ``ROUND(double)`` diverges at
+    half boundaries (Spark rounds the shortest decimal repr, DuckDB the
+    binary value) — and an exact sum ending in .xx50 IS a half boundary.
+    Mirror: ``CAST(ROUND(SUM(CAST(x AS DECIMAL(18,4))), scale) AS DOUBLE)``.
+    """
+    return F.round(F.sum(dec(col)), scale).cast("double")
+
+
+def fquant(col: Column, scale: int = 2) -> Column:
+    """Floor-quantize a double: deterministic across engines because the
+    input doubles are bit-identical (same IEEE expression) and floor has no
+    half-boundary behavior. Mirror: ``floor(x * 10^scale) / 10^scale``."""
+    factor = float(10 ** scale)
+    return F.floor(col * factor) / factor
 
 
 def davg(col: str | Column, scale: int = 2) -> Column:
-    """Exact decimal sum / count → double, rounded. Mirror in DuckDB with
-    ``ROUND(CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), scale)``.
-    (Dividing the exact sum as a double by an integer count is a single
-    deterministic IEEE op in both engines.)"""
-    return F.round(F.sum(dec(col)).cast("double") / F.count(F.lit(1)), scale)
+    """Exact decimal sum cast to double, divided by count, floor-quantized.
+    Mirror in DuckDB:
+    ``floor(CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+      * 10^scale) / 10^scale``."""
+    return fquant(
+        F.sum(dec(col)).cast("double") / F.count(F.lit(1)), scale
+    )
 
 
 def revenue_dec() -> Column:
@@ -56,11 +72,12 @@ SQL_REVENUE_DEC = (
 
 
 def sql_dsum(expr: str, scale: int = 2) -> str:
-    return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE), {scale})"
+    return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(18,4))), {scale}) AS DOUBLE)"
 
 
 def sql_davg(expr: str, scale: int = 2) -> str:
+    factor = 10 ** scale
     return (
-        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
-        f" / COUNT(*), {scale})"
+        f"floor(CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+        f" / COUNT(*) * {factor}.0) / {factor}.0"
     )

@@ -37,8 +37,8 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
             davg("l_discount", 4).alias("avg_disc"),
@@ -51,12 +51,12 @@ AGG_GROUP_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        {sql_dsum('l_quantity')} AS sum_qty,
        {sql_dsum('l_extendedprice')} AS sum_base_price,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                      * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2)
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
            AS sum_disc_price,
-       ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
-                           * CAST(1 - l_discount AS DECIMAL(18,4)) AS DECIMAL(18,4))
-                      * CAST(1 + l_tax AS DECIMAL(18,4))) AS DOUBLE), 2)
+       CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l_discount AS DECIMAL(18,4)) AS DECIMAL(18,4))
+                     * CAST(1 + l_tax AS DECIMAL(18,4))), 2) AS DOUBLE)
            AS sum_charge,
        {sql_davg('l_quantity')} AS avg_qty,
        {sql_davg('l_extendedprice')} AS avg_price,

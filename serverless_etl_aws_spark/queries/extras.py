@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import Query
-from ._util import t
+from ._util import fquant, t
 
 SCRATCH = "/root/repo/.scratch"
 
@@ -45,15 +45,15 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("line_count"),
         F.round(
-            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"), 2
-        ).alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2
+        ).cast("double").alias("sum_qty"),
     )
 
 
 SCAN_CSV_SQL = """
 SELECT l_returnflag,
        COUNT(*) AS line_count,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -85,17 +85,17 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pass, bounded memory); the exact form requires a per-group sort."""
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
-        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
-        F.round(F.expr("percentile(l_discount, 0.25)"), 4).alias("p25_disc"),
+        fquant(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        fquant(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+        fquant(F.expr("percentile(l_discount, 0.25)"), 4).alias("p25_disc"),
     )
 
 
 AGG_PERCENTILE_SQL = """
 SELECT l_returnflag,
-       ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
-       ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
-       ROUND(quantile_cont(l_discount, 0.25), 4) AS p25_disc
+       floor(quantile_cont(l_quantity, 0.5) * 10000.0) / 10000.0 AS median_qty,
+       floor(quantile_cont(l_quantity, 0.9) * 10000.0) / 10000.0 AS p90_qty,
+       floor(quantile_cont(l_discount, 0.25) * 10000.0) / 10000.0 AS p25_disc
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -235,16 +235,15 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("line_count"),
         F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double"),
-            2,
-        ).alias("sum_price"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2
+        ).cast("double").alias("sum_price"),
     )
 
 
 JOIN_SALTED_SQL = """
 SELECT o_orderpriority,
        COUNT(*) AS line_count,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
            AS sum_price
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
@@ -270,15 +269,15 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("order_count"),
         F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2
-        ).alias("sum_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
+        ).cast("double").alias("sum_price"),
     )
 
 
 JOIN_BUCKETED_SQL = """
 SELECT c_mktsegment,
        COUNT(*) AS order_count,
-       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
            AS sum_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment

@@ -51,7 +51,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("line_count"),
-            F.round(F.sum(revenue_dec()).cast("double"), 2).alias("revenue"),
+            F.round(F.sum(revenue_dec()), 2).cast("double").alias("revenue"),
         )
     )
 
@@ -59,7 +59,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 JOIN_BROADCAST_SQL = f"""
 SELECT p_brand,
        COUNT(*) AS line_count,
-       ROUND(CAST(SUM({SQL_REVENUE_DEC}) AS DOUBLE), 2) AS revenue
+       CAST(ROUND(SUM({SQL_REVENUE_DEC}), 2) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 """
@@ -84,13 +84,13 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(revenue_dec()).cast("double"), 2).alias("revenue"))
+        .agg(F.round(F.sum(revenue_dec()), 2).cast("double").alias("revenue"))
     )
 
 
 JOIN_MULTIWAY_SQL = f"""
 SELECT n_name,
-       ROUND(CAST(SUM({SQL_REVENUE_DEC}) AS DOUBLE), 2) AS revenue
+       CAST(ROUND(SUM({SQL_REVENUE_DEC}), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

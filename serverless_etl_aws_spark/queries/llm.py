@@ -19,7 +19,7 @@ from ..operators.text import (
     sql_lang_score,
 )
 from . import Query
-from ._util import t
+from ._util import fquant, t
 
 # ---------------------------------------------------------------- text ops
 
@@ -77,7 +77,7 @@ def llm_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("doc_count"),
-        F.round(
+        fquant(
             F.sum(F.col("n_chars").cast("decimal(18,4)")).cast("double")
             / F.count(F.lit(1)),
             2,
@@ -90,8 +90,8 @@ def llm_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 LLM_LANG_FILTER_SQL = """
 SELECT lang, source,
        COUNT(*) AS doc_count,
-       ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE)
-             / COUNT(*), 2) AS avg_chars,
+       floor(CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*) * 100.0) / 100.0 AS avg_chars,
        MIN(n_chars) AS min_chars,
        MAX(n_chars) AS max_chars
 FROM documents
@@ -286,14 +286,16 @@ WITH d AS (
     FROM d WHERE len(toks) >= 3
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       ROUND(len(list_intersect(a.grams, b.grams)) * 1.0
+       floor(len(list_intersect(a.grams, b.grams)) * 1.0
              / (len(a.grams) + len(b.grams)
-                - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+                - len(list_intersect(a.grams, b.grams))) * 10000.0) / 10000.0
+           AS jaccard
 FROM g a JOIN g b
   ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE ROUND(len(list_intersect(a.grams, b.grams)) * 1.0
+WHERE floor(len(list_intersect(a.grams, b.grams)) * 1.0
             / (len(a.grams) + len(b.grams)
-               - len(list_intersect(a.grams, b.grams))), 4) >= 0.8
+               - len(list_intersect(a.grams, b.grams))) * 10000.0) / 10000.0
+          >= 0.8
 """
 
 
@@ -326,7 +328,10 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .withColumn("cosine", F.round(cosine_expr("va", "vb"), 6))
+        .withColumn(
+            "cosine",
+            F.floor(cosine_expr("va", "vb") * 1000000.0) / 1000000.0,
+        )
         .filter(F.col("cosine") >= 0.4)
         .select("vec_a", "vec_b", "label", "cosine")
     )
@@ -337,9 +342,11 @@ WITH e AS (
     SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-       ROUND({SQL_COSINE.replace('va', 'a.v').replace('vb', 'b.v')}, 6) AS cosine
+       floor(({SQL_COSINE.replace('va', 'a.v').replace('vb', 'b.v')})
+             * 1000000.0) / 1000000.0 AS cosine
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE ROUND({SQL_COSINE.replace('va', 'a.v').replace('vb', 'b.v')}, 6) >= 0.4
+WHERE floor(({SQL_COSINE.replace('va', 'a.v').replace('vb', 'b.v')})
+            * 1000000.0) / 1000000.0 >= 0.4
 """
 
 # ------------------------------------------------------------ similarity
@@ -356,7 +363,9 @@ WITH e AS (
 ), probe AS (
     SELECT va AS vb FROM e WHERE vec_id = 0
 )
-SELECT e.vec_id, ROUND({SQL_COSINE.replace('va', 'e.va').replace('vb', 'probe.vb')}, 6) AS cosine
+SELECT e.vec_id,
+       floor(({SQL_COSINE.replace('va', 'e.va').replace('vb', 'probe.vb')})
+             * 1000000.0) / 1000000.0 AS cosine
 FROM e, probe
 WHERE e.vec_id <> 0
 ORDER BY cosine DESC, e.vec_id

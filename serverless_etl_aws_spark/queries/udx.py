@@ -55,13 +55,19 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     def weighted(pdf: pd.DataFrame) -> pd.DataFrame:
         price_c = (pdf["l_extendedprice"] * 100).round().astype("int64")
         qty_c = (pdf["l_quantity"] * 100).round().astype("int64")
+        import math
+
         num = int((price_c * qty_c).sum())
         den = int(qty_c.sum())
+        # floor-quantize (not round): bit-identical doubles in both
+        # engines, and floor has no half-boundary divergence
+        wavg = math.floor(num / den / 100.0 * 100.0) / 100.0
+        tqty = math.floor(den / 100.0 * 100.0) / 100.0
         return pd.DataFrame(
             {
                 "l_returnflag": [pdf["l_returnflag"].iloc[0]],
-                "weighted_avg_price": [round(num / den / 100.0, 2)],
-                "total_qty": [round(den / 100.0, 2)],
+                "weighted_avg_price": [wavg],
+                "total_qty": [tqty],
             }
         )
 
@@ -73,12 +79,12 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 UDAF_GROUPED_SQL = """
 SELECT l_returnflag,
-       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+       floor(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
                       * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
              / CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
-             / 100.0, 2) AS weighted_avg_price,
-       ROUND(CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
-             / 100.0, 2) AS total_qty
+             / 100.0 * 100.0) / 100.0 AS weighted_avg_price,
+       floor(CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 * 100.0) / 100.0 AS total_qty
 FROM lineitem
 GROUP BY l_returnflag
 """

@@ -83,7 +83,7 @@ def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum(dec("o_totalprice")).over(w).cast("double"), 2).alias(
+        F.round(F.sum(dec("o_totalprice")).over(w), 2).cast("double").alias(
             "moving_sum_3"
         ),
     )
@@ -91,9 +91,9 @@ def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WIN_FRAME_SQL = """
 SELECT o_custkey, o_orderkey,
-       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
            AS moving_sum_3
 FROM orders
 """
@@ -110,7 +110,7 @@ def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum(dec("o_totalprice")).over(w).cast("double"), 2).alias(
+        F.round(F.sum(dec("o_totalprice")).over(w), 2).cast("double").alias(
             "running_spend"
         ),
     )
@@ -118,9 +118,9 @@ def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WIN_RUNNING_SQL = """
 SELECT o_custkey, o_orderkey,
-       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
            AS running_spend
 FROM orders
 """
@@ -146,7 +146,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_brand",
             "p_partkey",
-            F.round(F.col("rev_dec").cast("double"), 2).alias("part_revenue"),
+            F.round(F.col("rev_dec"), 2).cast("double").alias("part_revenue"),
             F.col("rn").alias("brand_rank"),
         )
     )
@@ -154,7 +154,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOPK_SQL = """
 SELECT p_brand, p_partkey,
-       ROUND(CAST(rev_dec AS DOUBLE), 2) AS part_revenue,
+       CAST(ROUND(rev_dec, 2) AS DOUBLE) AS part_revenue,
        rn AS brand_rank
 FROM (
     SELECT p_brand, p_partkey, rev_dec,
