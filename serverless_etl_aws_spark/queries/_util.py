@@ -2,10 +2,19 @@
 
 Float discipline (SURVEY.md §2B notes): the driver hash-compares values, so
 any aggregate over doubles must be bit-identical between Spark and DuckDB.
-Summation order differs between engines, so sums/averages of doubles are
-computed over exact decimals (cast inputs to DECIMAL, aggregate exactly,
-cast the final result to double, round). Per-row double arithmetic is
-deterministic IEEE and needs no special handling.
+Two rules:
+
+1. Sums/averages of doubles are computed over exact decimals (summation
+   order differs between engines; decimal aggregation is exact).
+2. Quantization of a final value NEVER uses ``ROUND(double)`` — Spark
+   rounds the shortest decimal repr, DuckDB the binary value, and they
+   diverge at half boundaries. Either round IN DECIMAL (both engines round
+   decimals half-away-from-zero identically) or floor-quantize the double
+   (floor has no half-boundary behavior and the input doubles are
+   bit-identical when both engines evaluate the same IEEE expression).
+
+Per-row double arithmetic itself is deterministic IEEE and needs no
+special handling.
 """
 
 from __future__ import annotations

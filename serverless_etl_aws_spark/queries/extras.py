@@ -159,6 +159,48 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
 """
 
 
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-to-list aggregation, made deterministic by sorting the
+    collected set (bare collect_list order is partition-dependent — never
+    hash-check it unsorted)."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderstatus")), ","
+        ).alias("statuses"),
+        F.count(F.lit(1)).alias("order_count"),
+    )
+
+
+AGG_COLLECT_SQL = """
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+           AS statuses,
+       COUNT(*) AS order_count
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+WIN_FRAME_RANGE_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice
+           RANGE BETWEEN 50000.0 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+           AS near_spend
+FROM orders
+"""
+
+
+def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): sum of each customer's
+    orders within 50k below the current price. Set-valued per peer group,
+    so it is deterministic under ties — unlike a ROWS frame ordered on a
+    non-unique key."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(WIN_FRAME_RANGE_SQL)
+
+
 SUBQ_SCALAR_SQL = """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders o
@@ -295,6 +337,10 @@ QUERIES: dict[str, Query] = {
     "subquery_scalar": Query(subquery_scalar, SUBQ_SCALAR_SQL,
                              "correlated scalar subquery (decorrelated)"),
     "subquery_in": Query(subquery_in, SUBQ_IN_SQL, "IN-subquery → semi join"),
+    "agg_collect": Query(agg_collect, AGG_COLLECT_SQL,
+                         "sorted collect_set aggregation"),
+    "win_frame_range": Query(win_frame_range, WIN_FRAME_RANGE_SQL,
+                             "value-based RANGE frame"),
     "sample_hash": Query(sample_hash, SAMPLE_HASH_SQL,
                          "deterministic content-hash sampling"),
     "join_salted": Query(join_salted, JOIN_SALTED_SQL,
