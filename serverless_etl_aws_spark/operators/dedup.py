@@ -77,7 +77,6 @@ def ngram_jaccard_pairs(
         F.col("gram"),
         *( [F.col(block_col).alias("__blk_b")] if block_col else [] ),
     )
-    join_cond = ["gram"] if not block_col else None
     if block_col:
         pairs = a.join(
             b,

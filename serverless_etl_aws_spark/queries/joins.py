@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
 from . import Query
-from ._util import SQL_REVENUE_DEC, dsum, revenue_dec, sql_dsum, t
+from ._util import SQL_REVENUE_DEC, revenue_dec, t
 
 
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:

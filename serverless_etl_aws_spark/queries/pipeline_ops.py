@@ -13,7 +13,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 from .. import schemas
-from ..catalog import load_table
 from ..pipeline.ingest import IncrementalIngest
 from . import Query
 from ._util import dsum, sql_dsum, t
