@@ -382,6 +382,88 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (per-vector absmax scale, floor
+    quantizer) with reconstruction-error accounting — the 4× storage
+    reduction op for embedding columns at 100 TB. Scalar outputs only
+    (arrays don't hash-compare stably); q_l1 checks the integer codes,
+    max_err the dequantization quality."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    absmax = F.expr("aggregate(v, 0D, (acc, x) -> greatest(acc, abs(x)))")
+    scale = absmax / 127.0
+    q_l1 = F.expr(
+        "aggregate(transform(v, x -> abs(floor(x / __scale))), 0L,"
+        " (acc, x) -> acc + cast(x as bigint))"
+    )
+    max_err = F.expr(
+        "aggregate(transform(v, x -> abs(x - floor(x / __scale) * __scale)),"
+        " 0D, (acc, x) -> greatest(acc, x))"
+    )
+    return (
+        emb.withColumn("__scale", scale)
+        .filter(F.col("__scale") > 0)
+        .select(
+            "vec_id",
+            (F.floor(F.col("__scale") * 1e9) / 1e9).alias("scale_q"),
+            q_l1.alias("q_l1"),
+            (F.floor(max_err * 1e9) / 1e9).alias("max_err_q"),
+        )
+    )
+
+
+LLM_EMBED_QUANTIZE_SQL = """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                   x -> abs(x))) / 127.0 AS s
+    FROM embeddings
+)
+SELECT vec_id,
+       floor(s * 1e9) / 1e9 AS scale_q,
+       CAST(list_sum(list_transform(v, x -> abs(floor(x / s)))) AS BIGINT)
+           AS q_l1,
+       floor(list_max(list_transform(v, x -> abs(x - floor(x / s) * s)))
+             * 1e9) / 1e9 AS max_err_q
+FROM e
+WHERE s > 0
+"""
+
+
+def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus summary: volume, language spread, exact-dup rate —
+    the first dashboard of any training-data pipeline."""
+    docs = t(spark, sf_dir, "documents")
+    fp = docs.select(fingerprint().alias("fp"))
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias(
+            "total_ws_tokens"
+        ),
+    )
+    dups = fp.agg(
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("exact_dup_docs")
+    )
+    return base.crossJoin(dups)
+
+
+LLM_CORPUS_STATS_SQL = f"""
+SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       (SELECT COUNT(DISTINCT lang) FROM documents) AS n_langs,
+       (SELECT COUNT(DISTINCT source) FROM documents) AS n_sources,
+       (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents) AS total_chars,
+       (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        FROM documents) AS total_ws_tokens,
+       (SELECT CAST(COUNT(*) - COUNT(DISTINCT {SQL_FINGERPRINT}) AS BIGINT)
+        FROM documents) AS exact_dup_docs
+"""
+
+
 # ------------------------------------------------------------ multimodal
 
 
@@ -454,6 +536,10 @@ QUERIES: dict[str, Query] = {
                             "brute-force cosine top-k"),
     "llm_sim_search_ivf": Query(llm_sim_search_ivf, None,
                                 "IVF approximate top-k (rows-only)"),
+    "llm_embed_quantize": Query(llm_embed_quantize, LLM_EMBED_QUANTIZE_SQL,
+                                "int8 embedding quantization"),
+    "llm_corpus_stats": Query(llm_corpus_stats, LLM_CORPUS_STATS_SQL,
+                              "one-row corpus summary"),
     "mm_decode_meta": Query(mm_decode_meta, MM_DECODE_META_SQL,
                             "multimodal binary metadata extraction"),
     "mm_frame_sample": Query(mm_frame_sample, MM_FRAME_SAMPLE_SQL,
