@@ -12,11 +12,12 @@ Structured Streaming **file source + checkpoint**:
 - ``Trigger.AvailableNow`` drains everything currently present, then stops
   → batch-incremental scheduling, like the reference's EventBridge-batched
   Glue trigger (terraform/main.tf:551-568) but engine-owned.
-- The checkpoint commits only after the sink write succeeds, fixing two
-  reference bugs (SURVEY.md §4 item 4): ``job.commit()`` in ``finally``
-  (bronze_to_silver.py:100-104 — commits even on failure) and the crash
-  window between write (:85) and mark-processed (:87-89) that double-appends
-  on retry.
+- The checkpoint commits only after the sink write succeeds, and the sink
+  write itself is idempotent per batch (batch-id-keyed dynamic partition
+  overwrite) — fixing two reference bugs (SURVEY.md §4 item 4):
+  ``job.commit()`` in ``finally`` (bronze_to_silver.py:100-104 — commits
+  even on failure) and the crash window between write (:85) and
+  mark-processed (:87-89) that double-appends on retry.
 
 Scale notes (100 TB): file-source listing is incremental
 (``maxFilesPerTrigger`` bounds batch size); the silver write is
@@ -86,12 +87,26 @@ class IncrementalIngest:
         counts = {"files": 0, "rows": 0, "batches": 0}
 
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-            out = batch_df.write.mode("append").option(
-                "maxRecordsPerFile", self.max_records_per_file
+            # foreachBatch is at-least-once: a crash after the write but
+            # before the checkpoint commit replays this batch_id. Keying
+            # the write on an ``ingest_batch`` partition with DYNAMIC
+            # overwrite makes the replay idempotent — the retried batch
+            # overwrites exactly its own partition and nothing else. This
+            # closes the reference's double-append window between the
+            # silver write (bronze_to_silver.py:85) and mark-processed
+            # (:87-89) end-to-end, not just across runs.
+            from pyspark.sql import functions as F
+
+            out = (
+                batch_df.withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .option("maxRecordsPerFile", self.max_records_per_file)
             )
-            if self.partition_by:
-                out = out.partitionBy(self.partition_by)
-            out.parquet(self.silver_dir)
+            cols = ["ingest_batch"] + (
+                [self.partition_by] if self.partition_by else []
+            )
+            out.partitionBy(*cols).parquet(self.silver_dir)
             counts["rows"] += batch_df.count()
             counts["batches"] += 1
 

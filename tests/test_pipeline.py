@@ -127,3 +127,42 @@ class TestExactlyOnce:
         assert r3.rows_ingested == 0
         total = spark.read.parquet(str(tmp_path / "silver")).count()
         assert total == r1.rows_ingested + r2.rows_ingested
+
+
+class TestIdempotentReplay:
+    def test_batch_replay_does_not_double_append(self, spark, sf_dir, tmp_path):
+        """Simulate the crash-after-write-before-commit window: run the
+        ingest once, then delete the checkpoint's commit log (so the file
+        source replays from scratch) and run again into the SAME silver
+        dir. The batch-id-keyed dynamic overwrite makes the replay
+        idempotent — row count must not change."""
+        import os
+        import shutil
+
+        from serverless_etl_aws_spark.pipeline.ingest import IncrementalIngest
+        from serverless_etl_aws_spark.queries.pipeline_ops import (
+            EVENTS_NANOS_SCHEMA,
+        )
+
+        bronze = tmp_path / "bronze"
+        bronze.mkdir()
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"), bronze / "f1.parquet"
+        )
+
+        def pipe(ckpt):
+            return IncrementalIngest(
+                spark,
+                bronze_dir=str(bronze),
+                silver_dir=str(tmp_path / "silver"),
+                checkpoint_dir=str(ckpt),
+                schema=EVENTS_NANOS_SCHEMA,
+            )
+
+        r1 = pipe(tmp_path / "ckpt").run_once()
+        n1 = spark.read.parquet(str(tmp_path / "silver")).count()
+        # lost checkpoint → full replay of batch 0 into the same sink
+        pipe(tmp_path / "ckpt2").run_once()
+        n2 = spark.read.parquet(str(tmp_path / "silver")).count()
+        assert n1 == r1.rows_ingested
+        assert n2 == n1, "replayed batch must overwrite, not append"

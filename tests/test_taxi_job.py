@@ -84,12 +84,13 @@ def test_bronze_to_silver_end_to_end(spark, bronze):
     assert silver.count() == 200
     assert "trip_minutes" in silver.columns and "pickup_date" in silver.columns
     # Hive partitioning by payment_type on disk (reference layout,
-    # bronze_to_silver.py:85)
-    import os
+    # bronze_to_silver.py:85), nested under the idempotency batch key
+    import glob
 
-    parts = [
-        d for d in os.listdir(bronze / "silver") if d.startswith("payment_type=")
-    ]
+    parts = {
+        p.rsplit("/", 1)[-1]
+        for p in glob.glob(str(bronze / "silver" / "*" / "payment_type=*"))
+    }
     assert len(parts) == 6
     assert (silver.filter(F.col("trip_distance") < 0).count()) == 0
 
