@@ -1,0 +1,61 @@
+"""CLI entry point — the engine's replacement for the reference's job
+parameter binding (reference: src/glue_scripts/bronze_to_silver.py:62,
+``getResolvedOptions(JOB_NAME, source_bucket, target_bucket, ...)``).
+
+Usage:
+    python -m serverless_etl_aws_spark taxi --bronze DIR --silver DIR \
+        [--month YYYY-MM]
+    python -m serverless_etl_aws_spark sql --zone DIR "SELECT ..."
+    python -m serverless_etl_aws_spark tables --zone DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="serverless_etl_aws_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    taxi = sub.add_parser("taxi", help="run the bronze→silver taxi job")
+    taxi.add_argument("--bronze", required=True)
+    taxi.add_argument("--silver", required=True)
+    taxi.add_argument("--month", help="YYYY-MM watermark gate; omit to drain")
+
+    sql = sub.add_parser("sql", help="run SQL over a zone's fixture tables")
+    sql.add_argument("--zone", required=True)
+    sql.add_argument("query")
+    sql.add_argument("--limit", type=int, default=20)
+
+    tables = sub.add_parser("tables", help="list known tables")
+    tables.add_argument("--zone", required=True)
+
+    args = parser.parse_args(argv)
+
+    from .engine import Engine
+
+    eng = Engine(zone_root=getattr(args, "zone", "."))
+    if args.cmd == "taxi":
+        job = eng.taxi_job(bronze_dir=args.bronze, silver_dir=args.silver)
+        result = job.run_month(args.month) if args.month else job.run_available()
+        if result is None:
+            print(f"skip: {args.month} already processed (watermark gate)")
+        else:
+            print(
+                f"ingested files={result.files_processed} "
+                f"rows={result.rows_ingested} batches={result.batches}"
+            )
+        return 0
+    if args.cmd == "sql":
+        eng.sql(args.query).show(args.limit, truncate=False)
+        return 0
+    if args.cmd == "tables":
+        print("\n".join(eng.tables))
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

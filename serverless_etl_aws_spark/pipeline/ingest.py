@@ -59,6 +59,7 @@ class IncrementalIngest:
         max_files_per_trigger: int | None = None,
         max_records_per_file: int = 1_000_000,
         reporter: RunReport | None = None,
+        post_batch=None,
     ) -> None:
         self.spark = spark
         self.bronze_dir = bronze_dir
@@ -70,6 +71,11 @@ class IncrementalIngest:
         self.max_files_per_trigger = max_files_per_trigger
         self.max_records_per_file = max_records_per_file
         self.reporter = reporter or RunReport()
+        # called after each batch's silver write with the transformed batch
+        # DataFrame — downstream maintenance hook (e.g. gold rollup refresh,
+        # pipeline/rollup.py). Runs before the checkpoint commit, so a crash
+        # mid-hook replays the batch and the hook idempotently again.
+        self.post_batch = post_batch
 
     def run_once(self) -> IngestResult:
         """Drain all currently-available bronze files exactly once.
@@ -107,6 +113,8 @@ class IncrementalIngest:
                 [self.partition_by] if self.partition_by else []
             )
             out.partitionBy(*cols).parquet(self.silver_dir)
+            if self.post_batch is not None:
+                self.post_batch(batch_df)
             counts["rows"] += batch_df.count()
             counts["batches"] += 1
 

@@ -1,0 +1,77 @@
+"""Incremental silver→gold rollup — the reference's declared-but-unbuilt
+milestone (reference: README.md:108-111 "Aggregate taxi data … Build Silver
+to Gold ETL"; the gold bucket exists with no writer, terraform/main.tf:362-365).
+
+Maintenance strategy: **partition-scoped recompute**. Each ingest batch
+knows which gold partitions (e.g. event days) it touched; those partitions
+are recomputed from silver and dynamic-overwritten in gold. Properties:
+
+- Correct under replay (recompute is idempotent — same input, same output).
+- Incremental: work is O(touched partitions), not O(gold).
+- No state beyond the lake itself (no OLAP-cube deltas to reconcile).
+
+At 100 TB this is the standard pattern for late-arriving data too: a late
+row lands in silver, its day partition is recomputed, gold converges.
+Alternatives (delta-merge aggregation, streaming update-mode sinks) trade
+this simplicity for lower recompute cost — worth it only when a single
+partition's recompute exceeds the batch SLA.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class PartitionedRollup:
+    """Keep a gold aggregate table in sync with silver, one partition at
+    a time.
+
+    ``aggregate`` maps a silver DataFrame to the gold shape; it must
+    include ``partition_col`` in its output (the gold partition key).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        silver_dir: str,
+        gold_dir: str,
+        partition_col: str,
+        aggregate: Callable[[DataFrame], DataFrame],
+    ) -> None:
+        self.spark = spark
+        self.silver_dir = silver_dir
+        self.gold_dir = gold_dir
+        self.partition_col = partition_col
+        self.aggregate = aggregate
+
+    def refresh_partitions(self, values: list) -> int:
+        """Recompute the given gold partitions from silver and overwrite
+        exactly those (dynamic partition overwrite)."""
+        if not values:
+            return 0
+        silver = self.spark.read.parquet(self.silver_dir)
+        gold = self.aggregate(
+            silver.filter(F.col(self.partition_col).isin(values))
+        )
+        (
+            gold.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(self.partition_col)
+            .parquet(self.gold_dir)
+        )
+        return len(values)
+
+    def refresh_for_batch(self, batch_df: DataFrame) -> int:
+        """Refresh the partitions a just-ingested batch touches (call from
+        the ingest's foreachBatch, after the silver write)."""
+        touched = [
+            r[0]
+            for r in batch_df.select(self.partition_col).distinct().collect()
+        ]
+        return self.refresh_partitions(touched)
+
+    def read_gold(self) -> DataFrame:
+        return self.spark.read.parquet(self.gold_dir)

@@ -127,7 +127,87 @@ GROUP BY l_returnflag
 """
 
 
+def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver→gold incremental rollup (the reference's unbuilt milestone,
+    README.md:108-111): two-batch ingest of events maintains a gold daily
+    per-event-type aggregate via partition-scoped recompute
+    (pipeline/rollup.py). The oracle recomputes gold directly from the
+    events table — the maintained table must equal the from-scratch
+    aggregate."""
+    from ..pipeline.rollup import PartitionedRollup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    base = _fresh(os.path.join(SCRATCH, "rollup_incremental"))
+    bronze = os.path.join(base, "bronze")
+    silver = os.path.join(base, "silver")
+    gold = os.path.join(base, "gold")
+    os.makedirs(bronze)
+
+    ev = spark.read.schema(EVENTS_NANOS_SCHEMA).parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    for tag, pred in (("even", 0), ("odd", 1)):
+        tmp = os.path.join(base, f"_tmp_{tag}")
+        ev.filter(F.col("event_id") % 2 == pred).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        shutil.move(
+            os.path.join(tmp, part), os.path.join(bronze, f"events_{tag}.parquet")
+        )
+        shutil.rmtree(tmp)
+
+    def to_silver(df):
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ).withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+
+    def to_gold(silver_df):
+        return silver_df.groupBy("event_date", "event_type").agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(
+                F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,4)")),
+                2,
+            ).cast("double").alias("sum_value"),
+        )
+
+    rollup = PartitionedRollup(
+        spark, silver_dir=silver, gold_dir=gold,
+        partition_col="event_date", aggregate=to_gold,
+    )
+    pipe = IncrementalIngest(
+        spark,
+        bronze_dir=bronze,
+        silver_dir=silver,
+        checkpoint_dir=os.path.join(base, "_checkpoint"),
+        schema=EVENTS_NANOS_SCHEMA,
+        partition_by="event_date",
+        transform=to_silver,
+        max_files_per_trigger=1,  # two batches → two incremental refreshes
+        post_batch=rollup.refresh_for_batch,
+    )
+    pipe.run_once()
+    return rollup.read_gold().select(
+        "event_date", "event_type", "event_count", "sum_value"
+    )
+
+
+ROLLUP_SQL = """
+SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date,
+       event_type,
+       COUNT(*) AS event_count,
+       CAST(ROUND(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,4))), 2)
+            AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "rollup_incremental": Query(
+        rollup_incremental, ROLLUP_SQL,
+        "incrementally-maintained silver→gold rollup",
+    ),
     "ingest_incremental": Query(
         ingest_incremental, None, "exactly-once incremental ingest (rows-only)"
     ),
