@@ -382,6 +382,101 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any 8-gram
+    with a held-out eval set (here: doc_id < 10 stands in for the
+    benchmark). The canonical n-gram-overlap decontamination step of LLM
+    training pipelines (8 is the usual window), as a shingle equi-join:
+    explode eval 8-grams (tiny side, broadcast) ⇒ semi-join the corpus —
+    scales as one map-side join pass over the corpus at 100 TB."""
+    docs = t(spark, sf_dir, "documents")
+
+    def eightgrams(df: DataFrame) -> DataFrame:
+        toks = F.split(F.col("text"), " ")
+        grams = F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(split(text, ' ')) - 8), i -> "
+                "concat_ws(' ', slice(split(text, ' '), i + 1, 8)))"
+            )
+        )
+        return df.select("doc_id", grams.alias("grams")).filter(
+            F.size("grams") > 0
+        )
+
+    eval_grams = (
+        eightgrams(docs.filter(F.col("doc_id") < 10))
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    corpus = eightgrams(docs.filter(F.col("doc_id") >= 10)).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    contaminated = (
+        corpus.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_8grams"))
+    )
+    return contaminated
+
+
+LLM_DECONTAMINATE_SQL = """
+WITH g AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+7], ' ')
+                          for i in range(1, len(toks) - 6)]) AS grams
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    WHERE len(toks) >= 8
+), eval_grams AS (
+    SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 10
+), corpus AS (
+    SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 10
+)
+SELECT c.doc_id, COUNT(*) AS shared_8grams
+FROM corpus c JOIN eval_grams e ON c.gram = e.gram
+GROUP BY c.doc_id
+"""
+
+
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: redact email/phone/SSN-shaped spans and count
+    redactions (JVM regexp_replace — one codegen'd map pass, no Python).
+    The fixture corpus is synthetic and clean, so counts are 0 — the
+    contract checks the transform is applied identically, not that PII
+    exists."""
+    docs = t(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, "<EMAIL>"),
+        phone,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_fp"),
+        (
+            F.regexp_count(F.col("text"), F.lit(email))
+            + F.regexp_count(F.col("text"), F.lit(phone))
+        ).cast("bigint").alias("redactions"),
+    )
+
+
+LLM_PII_SCRUB_SQL = r"""
+SELECT doc_id,
+       md5(regexp_replace(
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+               '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g'))
+           AS scrubbed_fp,
+       CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            + len(regexp_extract_all(text,
+                  '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')) AS BIGINT) AS redactions
+FROM documents
+"""
+
+
 def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 embedding quantization (per-vector absmax scale, floor
     quantizer) with reconstruction-error accounting — the 4× storage
@@ -536,6 +631,10 @@ QUERIES: dict[str, Query] = {
                             "brute-force cosine top-k"),
     "llm_sim_search_ivf": Query(llm_sim_search_ivf, None,
                                 "IVF approximate top-k (rows-only)"),
+    "llm_decontaminate": Query(llm_decontaminate, LLM_DECONTAMINATE_SQL,
+                               "8-gram eval-set decontamination"),
+    "llm_pii_scrub": Query(llm_pii_scrub, LLM_PII_SCRUB_SQL,
+                           "regex PII redaction pass"),
     "llm_embed_quantize": Query(llm_embed_quantize, LLM_EMBED_QUANTIZE_SQL,
                                 "int8 embedding quantization"),
     "llm_corpus_stats": Query(llm_corpus_stats, LLM_CORPUS_STATS_SQL,
