@@ -60,3 +60,16 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
     assert [(r["frame_no"], r["frame_bytes"]) for r in frames] == [
         (0, 64), (2, 64),
     ]
+
+
+def test_cli_tables_and_sql(capsys, sf_dir):
+    from serverless_etl_aws_spark.__main__ import main
+
+    assert main(["tables", "--zone", sf_dir]) == 0
+    out = capsys.readouterr().out
+    assert "lineitem" in out and "embeddings" in out
+    assert main(
+        ["sql", "--zone", sf_dir,
+         "SELECT COUNT(*) AS n FROM region", "--limit", "5"]
+    ) == 0
+    assert "5" in capsys.readouterr().out

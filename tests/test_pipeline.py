@@ -166,3 +166,36 @@ class TestIdempotentReplay:
         n2 = spark.read.parquet(str(tmp_path / "silver")).count()
         assert n1 == r1.rows_ingested
         assert n2 == n1, "replayed batch must overwrite, not append"
+
+
+class TestRollup:
+    def test_partition_scoped_refresh(self, spark, tmp_path):
+        """Only requested partitions are recomputed; others stay stale —
+        the contract that makes refresh cost O(touched partitions)."""
+        from pyspark.sql import functions as F
+
+        from serverless_etl_aws_spark.pipeline.rollup import PartitionedRollup
+
+        silver = tmp_path / "silver"
+        spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 10)], "k string, v int"
+        ).write.partitionBy("k").parquet(str(silver))
+
+        rollup = PartitionedRollup(
+            spark, str(silver), str(tmp_path / "gold"), "k",
+            lambda df: df.groupBy("k").agg(F.sum("v").alias("total")),
+        )
+        assert rollup.refresh_partitions(["a", "b"]) == 2
+        got = {r["k"]: r["total"] for r in rollup.read_gold().collect()}
+        assert got == {"a": 3, "b": 10}
+
+        # append to both partitions, refresh only 'a' → 'b' stays stale
+        spark.createDataFrame(
+            [("a", 5), ("b", 100)], "k string, v int"
+        ).write.mode("append").partitionBy("k").parquet(str(silver))
+        rollup.refresh_partitions(["a"])
+        got = {r["k"]: r["total"] for r in rollup.read_gold().collect()}
+        assert got == {"a": 8, "b": 10}
+        rollup.refresh_partitions(["b"])
+        got = {r["k"]: r["total"] for r in rollup.read_gold().collect()}
+        assert got == {"a": 8, "b": 110}
