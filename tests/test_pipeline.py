@@ -199,3 +199,51 @@ class TestRollup:
         rollup.refresh_partitions(["b"])
         got = {r["k"]: r["total"] for r in rollup.read_gold().collect()}
         assert got == {"a": 8, "b": 110}
+
+
+class TestActionDispatcher:
+    def test_protocol_roundtrip(self, spark, sf_dir, tmp_path):
+        """The reference's {action: ...} → {statusCode, body} protocol
+        (s3_operations.py:75-118), backed by checkpoint state."""
+        import json
+        import shutil
+
+        from serverless_etl_aws_spark.pipeline.actions import ActionDispatcher
+        from serverless_etl_aws_spark.pipeline.ingest import IncrementalIngest
+        from serverless_etl_aws_spark.queries.pipeline_ops import (
+            EVENTS_NANOS_SCHEMA,
+        )
+
+        bronze = tmp_path / "bronze"
+        bronze.mkdir()
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"), bronze / "f1.parquet"
+        )
+        d = ActionDispatcher(
+            str(bronze), str(tmp_path / "ckpt"), str(tmp_path / "archive")
+        )
+
+        resp = d.handle({"action": "get_unprocessed"})
+        assert resp["statusCode"] == 200
+        files = json.loads(resp["body"])["files"]
+        assert len(files) == 1 and files[0].endswith("f1.parquet")
+
+        IncrementalIngest(
+            spark,
+            bronze_dir=str(bronze),
+            silver_dir=str(tmp_path / "silver"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            schema=EVENTS_NANOS_SCHEMA,
+        ).run_once()
+        resp = d.handle({"action": "get_unprocessed"})
+        assert json.loads(resp["body"])["files"] == []  # checkpoint knows
+
+        resp = d.handle({"action": "mark_processed", "key": "x"})
+        assert json.loads(resp["body"])["noop"] is True
+
+        resp = d.handle({"action": "archive", "key": str(bronze / "f1.parquet")})
+        assert resp["statusCode"] == 200
+        assert "archive" in json.loads(resp["body"])["archived_to"]
+
+        resp = d.handle({"action": "bogus"})
+        assert resp["statusCode"] == 400
