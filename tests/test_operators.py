@@ -127,3 +127,57 @@ def test_dedup_exact_keeps_earliest(spark, sf_dir):
         survivor_ts, F.col("s.event_id") == F.col("s_id")
     ).filter(F.col("e_ts") < F.col("s_ts"))
     assert earlier.count() == 0
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    purchases=st.lists(
+        st.tuples(st.integers(0, 60), st.floats(0, 30, allow_nan=False)),
+        min_size=0, max_size=15,
+    ),
+    errors=st.lists(
+        st.tuples(st.integers(100, 160), st.floats(0, 30, allow_nan=False)),
+        min_size=0, max_size=15,
+    ),
+)
+def test_bucketed_range_join_equals_naive_theta(spark, purchases, errors):
+    """The bucketed rewrite in join_range must produce exactly the naive
+    theta-join pair set for any value distribution (incl. boundary values
+    landing exactly on bucket edges)."""
+    from serverless_etl_aws_spark.queries.joins import RANGE_BAND
+
+    want = {
+        (pid, eid)
+        for pid, pv in purchases
+        for eid, ev in errors
+        if pv - RANGE_BAND <= ev <= pv
+    }
+    rows = [(pid, "purchase", pv) for pid, pv in purchases] + [
+        (eid, "error", ev) for eid, ev in errors
+    ]
+    if not rows:
+        return
+    ev_df = spark.createDataFrame(
+        [(i, r[0], r[1], r[2]) for i, r in enumerate(rows)],
+        "row_id long, event_id long, event_type string, value double",
+    ).select("event_id", "event_type", "value")
+
+    import serverless_etl_aws_spark.queries.joins as J
+    from serverless_etl_aws_spark.queries import _util
+
+    orig = _util.t
+    try:
+        _util.t = lambda s, d, n: ev_df  # route the fixture loader to our data
+        J.t = _util.t
+        got = {
+            (r["purchase_id"], r["error_id"])
+            for r in J.join_range(spark, "ignored").collect()
+        }
+    finally:
+        _util.t = orig
+        J.t = orig
+    assert got == want
