@@ -1,0 +1,85 @@
+"""Connected components over a pair list — dedup *clustering*.
+
+Near-dup detection (MinHash / n-gram Jaccard / SimHash — operators/dedup.py)
+emits PAIRS; a real dedup pipeline must then pick one canonical document per
+transitively-connected GROUP. That closure step is this operator: iterative
+min-label propagation expressed as DataFrame joins (the standard large-graph
+formulation — Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14 — restricted to the simple hash-to-min variant, which converges in
+O(diameter) rounds; near-dup clusters have tiny diameters in practice).
+
+Scale notes (100 TB): each round is one shuffle join edges⋈labels on node id
+plus a groupBy-min — both AQE-coalesced; state between rounds is a (node,
+label) table, O(V). ``localCheckpoint`` truncates the lineage each round so
+the plan doesn't grow with iteration count. The loop's only driver-side
+action is the convergence count — a scalar per round, not data. The
+reference has no graph surface at all (its dedup is month-granularity
+watermarking, fetch_raw_data.py:134-138); this generalizes it to row-level
+transitive identity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node with the smallest node id reachable from it.
+
+    ``nodes``: one column ``node_col`` (distinct ids, including isolated
+    nodes — they come out as singleton components). ``edges``: undirected
+    pairs; direction and duplicates are normalized here.
+
+    Returns ``(node_col, component)`` where ``component`` is the minimum
+    id in the node's connected component.
+    """
+    sym = (
+        edges.select(
+            F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+        )
+        .union(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .distinct()
+        # materialize once: the edge list is re-joined every round, and its
+        # upstream plan (e.g. an n-gram similarity join) must not re-execute
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("component")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # min over each node's neighbourhood labels (its own + neighbours')
+        neighbour_min = (
+            sym.join(labels, sym["b"] == labels["node"], "inner")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbour_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.col("nbr_component")
+                ).alias("component"),
+                (
+                    F.col("nbr_component").isNotNull()
+                    & (F.col("nbr_component") < F.col("component"))
+                ).alias("changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.filter("changed").count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+
+    return labels.select(F.col("node").alias(node_col), "component")

@@ -30,6 +30,7 @@ def build_registry() -> dict[str, Query]:
     from . import (
         aggregates,
         extras,
+        extras2,
         joins,
         llm,
         pipeline_ops,
@@ -53,6 +54,7 @@ def build_registry() -> dict[str, Query]:
         streaming_ops,
         llm,
         extras,
+        extras2,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

@@ -606,6 +606,129 @@ FROM documents,
 """
 
 
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TF-IDF term per document.
+
+    IDF is the *rational* form ``tf * N / df`` (not ``log``): a single
+    integer multiply + one double division is bit-identical across engines,
+    whereas ``ln`` is libm-dependent. Ranking uses the floor-quantized score
+    with a lexicographic tie-break so the winner is engine-independent.
+
+    Scale notes: tf is a map-side-combinable groupBy; df is a groupBy over
+    (term, doc) pairs; N is a one-row broadcast. No driver-side collection.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    ndocs = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "term",
+            fquant(
+                (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), "tfidf")
+    )
+
+
+LLM_TFIDF_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), f AS (
+    SELECT doc_id, term FROM toks WHERE term <> ''
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM f GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM f GROUP BY term
+), n AS (
+    SELECT COUNT(DISTINCT doc_id) AS n_docs FROM f
+), scored AS (
+    SELECT doc_id, term,
+           floor(CAST(tf * n_docs AS DOUBLE) / df * 10000.0) / 10000.0
+               AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term AS top_term, tfidf
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
+def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: trigram-Jaccard near-dup PAIRS (threshold 0.8,
+    lang-blocked — same edge set as ``llm_dedup_ngram``) closed into
+    transitively-connected components; every document gets a canonical
+    ``cluster_id`` (min doc_id in its component) + the component size.
+    Singletons cluster to themselves. This is the "pick one copy per dup
+    group" step a training-data pipeline runs after pair detection."""
+    from ..operators.graph import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, block_col="lang").select(
+        "doc_a", "doc_b"
+    )
+    comp = connected_components(
+        docs.select("doc_id"), pairs,
+        node_col="doc_id", src_col="doc_a", dst_col="doc_b",
+    )
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        "doc_id", F.col("component").alias("cluster_id")
+    ).withColumn("cluster_size", F.count(F.lit(1)).over(w))
+
+
+# Transitive closure via recursive CTE (UNION = distinct termination),
+# then min-reachable-id per node — semantically identical to the engine's
+# iterative min-label propagation (operators/graph.py).
+LLM_DEDUP_CLUSTER_SQL = """
+WITH RECURSIVE d AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), g AS (
+    SELECT doc_id, lang,
+           list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          for i in range(1, len(toks) - 1)]) AS grams
+    FROM d WHERE len(toks) >= 3
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE floor(len(list_intersect(a.grams, b.grams)) * 1.0
+                / (len(a.grams) + len(b.grams)
+                   - len(list_intersect(a.grams, b.grams))) * 10000.0)
+              / 10000.0 >= 0.8
+), edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+    SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+"""
+
+
 QUERIES: dict[str, Query] = {
     "llm_text_stats": Query(llm_text_stats, LLM_TEXT_STATS_SQL,
                             "top terms per lang"),
@@ -621,6 +744,10 @@ QUERIES: dict[str, Query] = {
                              "md5 fingerprint dedup key"),
     "llm_dedup_ngram": Query(llm_dedup_ngram, LLM_DEDUP_NGRAM_SQL,
                              "exact trigram-Jaccard pairs"),
+    "llm_dedup_cluster": Query(llm_dedup_cluster, LLM_DEDUP_CLUSTER_SQL,
+                               "near-dup connected components"),
+    "llm_tfidf": Query(llm_tfidf, LLM_TFIDF_SQL,
+                       "top TF-IDF term per document"),
     "llm_dedup_minhash": Query(llm_dedup_minhash, None,
                                "MinHash-LSH pairs (rows-only)"),
     "llm_dedup_simhash": Query(llm_dedup_simhash, None,

@@ -132,6 +132,29 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "total_events")
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: ``dropDuplicates`` over the stream,
+    emitting each (user_id, event_type) pair exactly once (append mode).
+    Only the dedup keys are projected — which *row* of a dup group survives
+    is batch-order-dependent, but the key set is deterministic, so the
+    result is batch-equivalent to ``SELECT DISTINCT``.
+
+    Scale notes: state is O(distinct keys) in the state store, partitioned
+    by key hash; in production pair it with ``withWatermark`` +
+    ``dropDuplicatesWithinWatermark`` to bound state for unbounded key
+    domains."""
+    stream = _stream(spark, sf_dir, "stream_dedup")
+    deduped = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return run_stream_to_memory(deduped, output_mode="append")
+
+
+STREAM_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stream_tumbling": Query(stream_tumbling, STREAM_TUMBLING_SQL,
                              "1h tumbling counts (streaming)"),
@@ -143,4 +166,6 @@ QUERIES: dict[str, Query] = {
                               "watermark late-data drop (rows-only)"),
     "stream_stateful": Query(stream_stateful, None,
                              "applyInPandasWithState profile (rows-only)"),
+    "stream_dedup": Query(stream_dedup, STREAM_DEDUP_SQL,
+                          "streaming exact dedup (append mode)"),
 }

@@ -16,6 +16,8 @@ Replaces the reference's Glue session bootstrap
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -52,7 +54,40 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable inside Spark's Python workers.
+
+    Several operators (``applyInPandasWithState``, ``mapInPandas``) reference
+    module-level functions, which cloudpickle serializes *by reference* — the
+    worker process must be able to ``import serverless_etl_aws_spark``. The
+    grading driver imports ``__spark_entry__`` via ``sys.path`` manipulation
+    from an arbitrary cwd, and the driver-side ``sys.path`` is NOT inherited
+    by worker processes. Shipping a zip via ``addPyFile`` fixes this by
+    construction (workers prepend the Spark files dir to ``sys.path``); on a
+    real cluster this is also exactly how the package would reach executors.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_seaws_package_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    staging = tempfile.mkdtemp(prefix="seaws_pyfiles_")
+    zip_path = os.path.join(staging, "serverless_etl_aws_spark.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, dirs, files in os.walk(pkg_dir):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for fname in files:
+                if not fname.endswith(".py"):
+                    continue
+                full = os.path.join(root, fname)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._seaws_package_shipped = True
 
 
 def tune_for_session(spark: SparkSession) -> SparkSession:
@@ -60,6 +95,10 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
     session (the driver hands us its own SparkSession — static confs like
     driver memory can't change, but SQL confs can)."""
     runtime = {
+        # streaming stateful ops pin their shuffle-partition count at
+        # checkpoint creation and AQE does not coalesce them — 200 tiny
+        # state tasks on a laptop-scale run is pure overhead
+        "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -72,4 +111,5 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on this build — keep going
+    ship_package(spark)
     return spark
