@@ -36,16 +36,20 @@ def ngram_jaccard_pairs(
     block_col: str | None = "lang",
     max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Exact trigram-Jaccard near-dup pairs (doc_a < doc_b, jac ≥ threshold)."""
+    """Exact trigram-Jaccard near-dup pairs (doc_a < doc_b, jac ≥ threshold).
+
+    ``max_shingle_df`` is the stop-shingle cap: shingles whose document
+    frequency exceeds it are removed from the shingle UNIVERSE (both the
+    intersection counts and the per-doc set sizes), so Jaccard is computed
+    over non-boilerplate shingles only. Without the cap one hot shingle
+    (a shared header) makes the self-join output quadratic in its document
+    frequency — the cap bounds the join fan-out per shingle at
+    ``max_shingle_df²`` while exact duplicates still score 1.0."""
     base = docs.select(
         "doc_id",
         *( [F.col(block_col)] if block_col else [] ),
         trigrams(F.col("text")).alias("grams"),
     ).filter(F.size("grams") > 0)
-    sizes = base.select(
-        "doc_id", F.size("grams").alias("n_grams"),
-        *( [F.col(block_col)] if block_col else [] ),
-    )
     # Shuffle/join on a 64-bit hash of the shingle, not the string — ~3×
     # smaller exchange and cheaper equality at any scale (collision odds
     # ~1e-9 per corpus; an intersection miscount needs a within-pair
@@ -60,13 +64,20 @@ def ngram_jaccard_pairs(
         F.xxhash64("gram_str").alias("gram"),
     )
     if max_shingle_df is not None:
+        # grams are distinct per doc, so count(*) per gram == document
+        # frequency; the semi-join keeps only sub-cap shingles.
         df_counts = exploded.groupBy("gram").agg(
-            F.countDistinct("doc_id").alias("gram_df")
+            F.count(F.lit(1)).alias("gram_df")
         )
         exploded = exploded.join(
             df_counts.filter(F.col("gram_df") <= max_shingle_df).select("gram"),
             "gram",
         )
+    # Per-doc set size over the (possibly capped) shingle universe —
+    # grams are distinct per doc so count == set size.
+    sizes = exploded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
     a = exploded.select(
         F.col("doc_id").alias("doc_a"),
         F.col("gram"),
@@ -134,7 +145,17 @@ def minhash_lsh_pairs(
         inputCol="toks", outputCol="features", numFeatures=num_features,
         binary=True,
     )
-    feats = tf.transform(toks)
+    # localCheckpoint is load-bearing, not an optimization: inside
+    # approxSimilarityJoin, Catalyst pushes the posexplode's derived
+    # predicates (which embed the LSH hash UDF) below the size(toks)>0
+    # filter, and codegen's common-subexpression elimination evaluates
+    # that UDF eagerly on PRE-filter rows — an empty-shingle doc then
+    # reaches MinHashLSHModel.hashFunction, which throws "Must have at
+    # least 1 non zero entry". The checkpoint is a lineage barrier: the
+    # self-join starts from materialized, already-filtered signatures.
+    # At scale it also computes the shingle+HashingTF pass once instead
+    # of once per side of the self-join.
+    feats = tf.transform(toks).localCheckpoint()
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes",
         numHashTables=num_hash_tables, seed=seed,

@@ -15,16 +15,24 @@ def tokens(col: str = "text") -> Column:
     return F.split(F.col(col), " ")
 
 
-def trigrams(toks: Column) -> Column:
-    """Distinct word-trigram shingles, joined by spaces (0-based Spark
-    array indexing inside the lambda)."""
-    return F.array_distinct(
-        F.expr(
-            "transform(sequence(0, size(split(text, ' ')) - 3), "
-            "i -> concat_ws(' ', split(text, ' ')[i], "
-            "split(text, ' ')[i+1], split(text, ' ')[i+2]))"
-        )
+def word_ngrams(k: int, col: str = "text") -> Column:
+    """Distinct k-word shingles joined by spaces. Docs with fewer than k
+    tokens yield an EMPTY array: an unguarded ``sequence(0, size - k)``
+    goes negative on short docs and Spark's sequence then counts *down*,
+    producing negative indices → INVALID_ARRAY_INDEX at runtime. The guard
+    also matches the DuckDB oracles' ``len(toks) >= k`` predicate."""
+    toks = f"split({col}, ' ')"
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {k} THEN "
+        f"array_distinct(transform(sequence(0, size({toks}) - {k}), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {k})))) "
+        f"ELSE cast(array() AS array<string>) END"
     )
+
+
+def trigrams(toks: Column) -> Column:
+    """Distinct word-trigram shingles (short docs → empty array)."""
+    return word_ngrams(3)
 
 
 def fingerprint(col: str = "text") -> Column:

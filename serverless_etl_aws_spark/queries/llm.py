@@ -269,33 +269,60 @@ FROM (SELECT doc_id, {SQL_FINGERPRINT} AS fp FROM documents)
 # ---------------------------------------------------------------- dedup
 
 
-def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact trigram-Jaccard near-dup pairs (threshold 0.8, lang-blocked)."""
-    return ngram_jaccard_pairs(
-        t(spark, sf_dir, "documents"), threshold=0.8, block_col="lang"
-    )
+# Stop-shingle cap: shingles appearing in more documents than this are
+# boilerplate and are removed from the shingle universe (intersections AND
+# set sizes) before the pair join — one hot shingle otherwise makes the
+# self-join quadratic in its document frequency. 50 is ~10% of the sf0.01
+# corpus; at production scale set it to a small fraction of corpus size.
+NGRAM_MAX_SHINGLE_DF = 50
 
-
-LLM_DEDUP_NGRAM_SQL = """
-WITH d AS (
+# Shared oracle CTE chain for the capped trigram-Jaccard pair join —
+# mirrors operators/dedup.py:ngram_jaccard_pairs exactly: global shingle
+# document frequency, cap filter, equi-join intersection counts, set
+# sizes over the capped universe.
+_NGRAM_PAIRS_CTES = f"""d AS (
     SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
 ), g AS (
     SELECT doc_id, lang,
            list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                           for i in range(1, len(toks) - 1)]) AS grams
     FROM d WHERE len(toks) >= 3
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       floor(len(list_intersect(a.grams, b.grams)) * 1.0
-             / (len(a.grams) + len(b.grams)
-                - len(list_intersect(a.grams, b.grams))) * 10000.0) / 10000.0
-           AS jaccard
-FROM g a JOIN g b
-  ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE floor(len(list_intersect(a.grams, b.grams)) * 1.0
-            / (len(a.grams) + len(b.grams)
-               - len(list_intersect(a.grams, b.grams))) * 10000.0) / 10000.0
-          >= 0.8
+), ex AS (
+    SELECT doc_id, lang, unnest(grams) AS gram FROM g
+), kept AS (
+    SELECT ex.doc_id, ex.lang, ex.gram
+    FROM ex JOIN (SELECT gram FROM ex GROUP BY gram
+                  HAVING COUNT(*) <= {NGRAM_MAX_SHINGLE_DF}) cold
+      USING (gram)
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM kept a JOIN kept b
+      ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), scored_pairs AS (
+    SELECT i.doc_a, i.doc_b,
+           floor(i.inter * 1.0 / (sa.n + sb.n - i.inter) * 10000.0)
+               / 10000.0 AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+)"""
+
+
+def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-Jaccard near-dup pairs (threshold 0.8, lang-blocked,
+    stop-shingle cap active — see NGRAM_MAX_SHINGLE_DF)."""
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), threshold=0.8, block_col="lang",
+        max_shingle_df=NGRAM_MAX_SHINGLE_DF,
+    )
+
+
+LLM_DEDUP_NGRAM_SQL = f"""
+WITH {_NGRAM_PAIRS_CTES}
+SELECT doc_a, doc_b, jaccard FROM scored_pairs WHERE jaccard >= 0.8
 """
 
 
@@ -389,17 +416,15 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     training pipelines (8 is the usual window), as a shingle equi-join:
     explode eval 8-grams (tiny side, broadcast) ⇒ semi-join the corpus —
     scales as one map-side join pass over the corpus at 100 TB."""
+    from ..operators.text import word_ngrams
+
     docs = t(spark, sf_dir, "documents")
 
     def eightgrams(df: DataFrame) -> DataFrame:
-        toks = F.split(F.col("text"), " ")
-        grams = F.array_distinct(
-            F.expr(
-                "transform(sequence(0, size(split(text, ' ')) - 8), i -> "
-                "concat_ws(' ', slice(split(text, ' '), i + 1, 8)))"
-            )
-        )
-        return df.select("doc_id", grams.alias("grams")).filter(
+        # word_ngrams guards the sequence bound: docs with <8 tokens yield
+        # an empty array instead of INVALID_ARRAY_INDEX (matches the
+        # oracle's len(toks) >= 8 predicate).
+        return df.select("doc_id", word_ngrams(8).alias("grams")).filter(
             F.size("grams") > 0
         )
 
@@ -681,9 +706,10 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     docs = t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.8, block_col="lang").select(
-        "doc_a", "doc_b"
-    )
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.8, block_col="lang",
+        max_shingle_df=NGRAM_MAX_SHINGLE_DF,
+    ).select("doc_a", "doc_b")
     comp = connected_components(
         docs.select("doc_id"), pairs,
         node_col="doc_id", src_col="doc_a", dst_col="doc_b",
@@ -697,21 +723,9 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Transitive closure via recursive CTE (UNION = distinct termination),
 # then min-reachable-id per node — semantically identical to the engine's
 # iterative min-label propagation (operators/graph.py).
-LLM_DEDUP_CLUSTER_SQL = """
-WITH RECURSIVE d AS (
-    SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
-), g AS (
-    SELECT doc_id, lang,
-           list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                          for i in range(1, len(toks) - 1)]) AS grams
-    FROM d WHERE len(toks) >= 3
-), pairs AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE floor(len(list_intersect(a.grams, b.grams)) * 1.0
-                / (len(a.grams) + len(b.grams)
-                   - len(list_intersect(a.grams, b.grams))) * 10000.0)
-              / 10000.0 >= 0.8
+LLM_DEDUP_CLUSTER_SQL = f"""
+WITH RECURSIVE {_NGRAM_PAIRS_CTES}, pairs AS (
+    SELECT doc_a, doc_b FROM scored_pairs WHERE jaccard >= 0.8
 ), edges AS (
     SELECT doc_a AS src, doc_b AS dst FROM pairs
     UNION ALL

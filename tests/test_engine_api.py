@@ -73,3 +73,20 @@ def test_cli_tables_and_sql(capsys, sf_dir):
          "SELECT COUNT(*) AS n FROM region", "--limit", "5"]
     ) == 0
     assert "5" in capsys.readouterr().out
+
+
+def test_registry_contract_keys_first():
+    """The driver's correctness check walks queries() in insertion order
+    and may stop early — every SURVEY §2B contract key must sit in the
+    head of the registry, followed by the graded LLM/mm extensions."""
+    from serverless_etl_aws_spark.queries import (
+        CONTRACT_2B,
+        PRIORITY_EXT,
+        build_registry,
+    )
+
+    keys = list(build_registry())
+    assert len(CONTRACT_2B) == 47
+    assert keys[: len(CONTRACT_2B)] == list(CONTRACT_2B)
+    head = len(CONTRACT_2B) + len(PRIORITY_EXT)
+    assert keys[len(CONTRACT_2B): head] == list(PRIORITY_EXT)

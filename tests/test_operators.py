@@ -181,3 +181,95 @@ def test_bucketed_range_join_equals_naive_theta(spark, purchases, errors):
         _util.t = orig
         J.t = orig
     assert got == want
+
+
+def test_shingles_short_docs_no_crash(spark):
+    """Docs with fewer tokens than the shingle width must yield an empty
+    gram array, not INVALID_ARRAY_INDEX (sequence(0, size-k) goes negative
+    and counts down on short docs). Mirrors the oracle's len(toks) >= k."""
+    from serverless_etl_aws_spark.operators.text import word_ngrams
+
+    rows = [
+        (1, ""),  # 1 empty token after split
+        (2, "one"),
+        (3, "one two"),
+        (4, "one two three"),
+        (5, "a b c d e f g h"),  # exactly 8 tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tri = {
+        r["doc_id"]: r["g"]
+        for r in docs.select("doc_id", word_ngrams(3).alias("g")).collect()
+    }
+    assert tri[1] == [] and tri[2] == [] and tri[3] == []
+    assert tri[4] == ["one two three"]
+    assert len(tri[5]) == 6
+    eight = {
+        r["doc_id"]: r["g"]
+        for r in docs.select("doc_id", word_ngrams(8).alias("g")).collect()
+    }
+    assert eight[4] == [] and eight[5] == ["a b c d e f g h"]
+
+
+def test_dedup_family_tolerates_short_docs(spark):
+    """ngram/minhash dedup over a corpus containing sub-shingle-width docs
+    runs clean and still finds the real duplicate pair."""
+    from serverless_etl_aws_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    rows = [
+        (1, "a b c d e f g h i j", "en"),
+        (2, "a b c d e f g h i j", "en"),
+        (3, "x", "en"),
+        (4, "", "en"),
+        (5, "y z", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    exact = {(r["doc_a"], r["doc_b"]) for r in
+             ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    assert exact == {(1, 2)}
+    mh = {(r["doc_a"], r["doc_b"]) for r in
+          minhash_lsh_pairs(docs, dist_threshold=0.5).collect()}
+    assert (1, 2) in mh
+    sh = {(r["doc_a"], r["doc_b"]) for r in
+          simhash_pairs(docs, max_hamming=0).collect()}
+    assert (1, 2) in sh
+
+
+def test_ngram_stop_shingle_cap(spark):
+    """Stop-shingle semantics: (a) a boilerplate header shared by 120 docs
+    is dropped from the shingle universe, so a true duplicate pair that
+    ALSO carries the boilerplate still scores jaccard 1.0; (b) the cap is
+    really active — 60 identical docs whose every shingle exceeds the cap
+    produce no pairs (their whole shingle set is stop-listed), where the
+    uncapped join would report all 1770."""
+    from serverless_etl_aws_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "terms of service apply to all"
+    rows = [
+        (i, f"{boiler} unique{i}a unique{i}b unique{i}c unique{i}d", "en")
+        for i in range(120)
+    ]
+    rows += [
+        (200, "the quick brown fox jumps over the lazy dog today", "en"),
+        (201, "the quick brown fox jumps over the lazy dog today", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = ngram_jaccard_pairs(
+        docs, threshold=0.8, block_col="lang", max_shingle_df=50
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in got} == {(200, 201)}
+    assert got[0]["jaccard"] == 1.0
+
+    clones = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta", "en") for i in range(60)],
+        "doc_id long, text string, lang string",
+    )
+    capped = ngram_jaccard_pairs(
+        clones, threshold=0.8, block_col="lang", max_shingle_df=50
+    ).count()
+    uncapped = ngram_jaccard_pairs(clones, threshold=0.8, block_col="lang").count()
+    assert capped == 0 and uncapped == 60 * 59 // 2
