@@ -19,6 +19,7 @@ Scale posture per variant:
 from __future__ import annotations
 
 import hashlib
+import math
 
 import pandas as pd
 
@@ -171,6 +172,86 @@ def minhash_lsh_pairs(
             F.col("datasetB.doc_id").alias("doc_b"),
             F.round("jaccard_dist", 4).alias("jaccard_dist"),
         )
+    )
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    block_col: str = "label",
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+    max_block: int = 256,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs with BOUNDED blocks (SemDeDup-style).
+
+    Pairs are generated all-pairs *within a block*, but no block is allowed
+    to grow unboundedly: any ``block_col`` group larger than ``max_block``
+    is split by ONE global MLlib KMeans fit over the oversized groups'
+    vectors (k sized so expected sub-blocks are ~``max_block // 2``), and
+    the pair join runs on the composite ``(block, sub_cluster)`` key. With
+    a fixed cap, per-block pair counts are bounded-quadratic, so total
+    work is LINEAR in corpus size — the published SemDeDup recipe for
+    embedding dedup at web scale. The tradeoff is recall on pairs that
+    straddle sub-clusters; near-duplicates (the target) almost always
+    co-cluster, and the exact-cosine verify keeps precision at 1.0.
+
+    Blocks at or under the cap take the exact path untouched, so on
+    corpora where no block exceeds ``max_block`` the result is exactly
+    the all-pairs-within-block answer (what the DuckDB oracle computes).
+    The two ``count()`` driver actions are scalar sizing decisions only.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from .simsearch import cosine_expr, quant6
+
+    counts = emb.groupBy(block_col).agg(F.count(F.lit(1)).alias("__bn"))
+    oversized = counts.filter(F.col("__bn") > max_block).select(block_col)
+    if oversized.limit(1).count() == 0:
+        blocked = emb.withColumn("__sub", F.lit(0))
+    else:
+        tagged = emb.join(
+            F.broadcast(oversized.withColumn("__over", F.lit(True))),
+            block_col,
+            "left",
+        )
+        big = tagged.filter(F.col("__over").isNotNull()).drop("__over")
+        small = (
+            tagged.filter(F.col("__over").isNull())
+            .drop("__over")
+            .withColumn("__sub", F.lit(-1))
+        )
+        n_big = big.count()
+        k = max(2, math.ceil(n_big / max(1, max_block // 2)))
+        feats = big.withColumn("__fv", array_to_vector(F.col(vec_col)))
+        model = KMeans(
+            k=k, seed=seed, featuresCol="__fv", predictionCol="__sub"
+        ).fit(feats)
+        blocked = model.transform(feats).drop("__fv").unionByName(small)
+    a = blocked.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(block_col),
+        F.col("__sub"),
+        F.col(vec_col).alias("va"),
+    )
+    b = blocked.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(block_col).alias("__blk_b"),
+        F.col("__sub").alias("__sub_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col(block_col) == F.col("__blk_b"))
+            & (F.col("__sub") == F.col("__sub_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .withColumn("cosine", quant6(cosine_expr("va", "vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", block_col, "cosine")
     )
 
 

@@ -7,9 +7,10 @@ Two paths, per the 100 TB design brief:
   (per-partition top-k, never a global sort).
 - **IVF (inverted-file) top-k** — the scale path: vectors are assigned to
   coarse centroids once (an O(n·C) map pass, cacheable); a probe scans only
-  the ``nprobe`` nearest clusters, cutting the scan by ~C/nprobe. Centroid
-  "training" here is deterministic (first C vectors) — swap in MLlib KMeans
-  for real recall tuning; the query path is identical.
+  the ``nprobe`` nearest clusters, cutting the scan by ~C/nprobe. Centroids
+  come from an MLlib KMeans fit over L2-normalized vectors (spherical
+  approximation: Euclidean KMeans on unit vectors optimizes the same
+  objective as max-cosine assignment), seeded for determinism.
 
 All double math is sequential left-fold (``aggregate``), matching the
 element order the DuckDB oracle uses, and similarities are rounded before
@@ -76,20 +77,46 @@ def brute_force_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
 
+def train_ivf_centroids(
+    emb: DataFrame, n_centroids: int = 16, seed: int = 42
+) -> DataFrame:
+    """Fit IVF coarse centroids with MLlib KMeans over L2-normalized
+    vectors (unit vectors make Euclidean KMeans equivalent to spherical /
+    max-cosine clustering). Returns a tiny (cid, cv) DataFrame meant to be
+    broadcast; the fit is one pass over the corpus and at production scale
+    would be run once and persisted, not per query."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    normed = emb.select(
+        F.expr(
+            "transform(v, x -> x / sqrt(aggregate(zip_with(v, v, "
+            "(a, b) -> a * b), 0D, (acc, x) -> acc + x)))"
+        ).alias("nv")
+    ).withColumn("__fv", array_to_vector("nv"))
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="__fv", predictionCol="__cid"
+    ).fit(normed)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return emb.sparkSession.createDataFrame(
+        centers, "cid int, cv array<double>"
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     probe_vec_id: int,
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
     """IVF-pruned cosine top-k: assign every vector to its max-cosine
     centroid, search only the probe's ``nprobe`` best clusters."""
     emb = embeddings.select("vec_id", _to_double("embedding").alias("v"))
-    centroids = (
-        emb.filter(F.col("vec_id") < n_centroids)
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-    )
+    centroids = train_ivf_centroids(emb, n_centroids=n_centroids, seed=seed)
     # Assignment pass: argmax cosine over broadcast centroids.
     w = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("cid")

@@ -339,28 +339,19 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by label (the coarse
-    cluster), cosine ≥ 0.4."""
+    """Embedding-cosine near-dup pairs, cosine ≥ 0.4, blocked by label
+    with a bounded block cap (SemDeDup-style: oversized label blocks are
+    KMeans-sub-clustered so within-block all-pairs stays linear overall).
+    Fixture blocks are all under the cap, so the result equals the exact
+    all-pairs-within-label set the oracle computes."""
+    from ..operators.dedup import embedding_cosine_pairs
+
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("label_b"),
-        F.col("v").alias("vb"),
-    )
-    return (
-        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .withColumn(
-            "cosine",
-            F.floor(cosine_expr("va", "vb") * 1000000.0) / 1000000.0,
-        )
-        .filter(F.col("cosine") >= 0.4)
-        .select("vec_a", "vec_b", "label", "cosine")
+    return embedding_cosine_pairs(
+        emb, threshold=0.4, block_col="label", max_block=256
     )
 
 
@@ -402,10 +393,16 @@ LIMIT 10
 
 def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned approximate top-10 (rows-only: cluster pruning is the
-    approximation — recall vs. brute force is measured in tests)."""
+    approximation — recall vs. brute force is measured in tests).
+    nprobe=10 of 16 KMeans centroids: the fixture embeddings are near-
+    uniform on the sphere, so neighbor lists scatter across clusters and
+    recall@10 >= 0.9 needs most clusters scanned (measured: nprobe 4/8/10
+    -> 0.4/0.8/0.9 at sf0.001). On clustered real-world embeddings a small
+    nprobe recovers — see the synthetic clustered recall test in
+    tests/test_operators.py."""
     return ivf_topk(
         t(spark, sf_dir, "embeddings"), probe_vec_id=0, k=10,
-        n_centroids=16, nprobe=4,
+        n_centroids=16, nprobe=10,
     )
 
 

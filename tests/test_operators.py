@@ -273,3 +273,102 @@ def test_ngram_stop_shingle_cap(spark):
     ).count()
     uncapped = ngram_jaccard_pairs(clones, threshold=0.8, block_col="lang").count()
     assert capped == 0 and uncapped == 60 * 59 // 2
+
+
+def test_embedding_bounded_block_pairs(spark):
+    """One 400-vector label block over a max_block=64 cap forces the
+    KMeans sub-clustering path. Planted near-dup pairs (cosine >= 0.95)
+    must survive sub-clustering (recall), and the exact-cosine verify
+    keeps precision at 1.0 (output is a subset of the true pair set).
+    A second run with the cap above the block size must return exactly
+    the all-pairs answer."""
+    import numpy as np
+
+    from serverless_etl_aws_spark.operators.dedup import embedding_cosine_pairs
+
+    rng = np.random.default_rng(7)
+    n_base, dim = 390, 16
+    vecs = rng.normal(size=(n_base, dim))
+    rows = [(i, 0, [float(x) for x in vecs[i]]) for i in range(n_base)]
+    # 10 planted near-dups: copy of an existing vector + tiny noise
+    for j in range(10):
+        twin = vecs[j] + rng.normal(scale=0.01, size=dim)
+        rows.append((1000 + j, 0, [float(x) for x in twin]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, v array<double>"
+    )
+
+    def true_pairs(threshold):
+        allv = {r[0]: np.array(r[2]) for r in rows}
+        ids = sorted(allv)
+        out = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                va, vb = allv[a], allv[b]
+                c = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+                if np.floor(c * 1e6) / 1e6 >= threshold:
+                    out.add((a, b))
+        return out
+
+    exact = true_pairs(0.9)
+    assert len(exact) == 10  # the planted twins, nothing else
+
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_cosine_pairs(
+            df, threshold=0.9, max_block=64
+        ).collect()
+    }
+    assert got <= exact  # exact verify => precision 1.0
+    assert len(got) / len(exact) >= 0.9  # near-dups co-cluster
+
+    uncapped = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_cosine_pairs(
+            df, threshold=0.9, max_block=1000
+        ).collect()
+    }
+    assert uncapped == exact
+
+
+def test_ivf_recall_fixture(spark, sf_dir):
+    """Registry settings (16 KMeans centroids, nprobe=10) must hold
+    recall@10 >= 0.9 vs brute force on the fixture embeddings."""
+    from serverless_etl_aws_spark.catalog import load_table
+    from serverless_etl_aws_spark.operators.simsearch import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bf = {r["vec_id"] for r in brute_force_topk(emb, 0, 10).collect()}
+    iv = {r["vec_id"] for r in ivf_topk(emb, 0, 10, 16, 10).collect()}
+    assert len(bf & iv) / len(bf) >= 0.9
+
+
+def test_ivf_recall_clustered(spark):
+    """In IVF's intended regime — clustered embeddings — a small nprobe
+    already recovers the neighbor list: 8 well-separated Gaussian bundles,
+    probe in bundle 0, nprobe=2 of 8 centroids, recall@10 >= 0.9."""
+    import numpy as np
+
+    from serverless_etl_aws_spark.operators.simsearch import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, per = 16, 60
+    rows = []
+    for c in range(8):
+        center = rng.normal(size=dim) * 10.0
+        pts = center + rng.normal(scale=0.5, size=(per, dim))
+        rows += [
+            (c * per + i, [float(x) for x in pts[i]], c) for i in range(per)
+        ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    bf = {r["vec_id"] for r in brute_force_topk(emb, 0, 10).collect()}
+    iv = {r["vec_id"] for r in ivf_topk(emb, 0, 10, 8, 2).collect()}
+    assert len(bf & iv) / len(bf) >= 0.9
