@@ -61,10 +61,24 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = unioned
+    # Pack ALL right columns into one struct and take last() of that ONCE:
+    # per-column last(ignorenulls) would backfill a NULL field of the
+    # latest right row from an OLDER right row — and could stitch together
+    # fields of different right rows. The struct is non-null per right row
+    # (left rows contribute NULL structs), so last(struct) returns the
+    # whole latest right row with its NULL fields intact — true as-of
+    # semantics, matching DuckDB's ASOF JOIN.
+    packed = unioned.withColumn(
+        "__r_struct",
+        F.when(
+            F.col("__tag") == 0,
+            F.struct(*[F.col(f"__r_{c}").alias(c) for c in right_cols]),
+        ),
+    )
+    out = packed.withColumn(
+        "__r_last", F.last("__r_struct", ignorenulls=True).over(w)
+    )
     for c in right_cols:
-        out = out.withColumn(
-            f"{prefix}{c}", F.last(f"__r_{c}", ignorenulls=True).over(w)
-        )
+        out = out.withColumn(f"{prefix}{c}", F.col(f"__r_last.{c}"))
     keep = [c for c in left.columns] + [f"{prefix}{c}" for c in right_cols]
     return out.filter(F.col("__tag") == 1).select(*keep)

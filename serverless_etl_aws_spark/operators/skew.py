@@ -35,7 +35,18 @@ def salted_join(
     ``salt_from`` is a column on the big side whose hash spreads rows of
     the same key across salts (e.g. the line number within an order).
     Semantically identical to the plain join — verified by the oracle.
+
+    Only big-side-preserving join types are allowed: under 'right' or
+    'full', unmatched SMALL-side rows would surface once per salt replica
+    (num_salts copies), which is not the plain join's result.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not semantics-preserving under "
+            f"small-side replication; use one of {sorted(allowed)}"
+        )
     salted_big = big.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(num_salts))
     )

@@ -141,14 +141,21 @@ class IncrementalIngest:
         return IngestResult(counts["files"], counts["rows"], counts["batches"])
 
     def _seen_files(self) -> int:
-        """Count files recorded in the checkpoint's file-source log (the
-        engine's replacement for tag-based bookkeeping)."""
+        """Count DISTINCT files recorded in the checkpoint's file-source
+        log (the engine's replacement for tag-based bookkeeping).
+
+        Paths are deduped into a set because Spark compacts the log every
+        10 batches into ``.compact`` files that REPEAT all prior entries —
+        naive line counting over-counts after compaction. Local-filesystem
+        checkpoints only (``os.listdir``); for object-store checkpoints
+        this reporting hook would need the Hadoop FS API — ingest
+        correctness itself never depends on this count."""
         src_dir = os.path.join(self.checkpoint_dir, "sources", "0")
         if not os.path.isdir(src_dir):
             return 0
         import json
 
-        seen = 0
+        seen: set[str] = set()
         for log in os.listdir(src_dir):
             path = os.path.join(src_dir, log)
             if not os.path.isfile(path) or log.startswith("."):
@@ -162,5 +169,5 @@ class IncrementalIngest:
                         except json.JSONDecodeError:
                             continue
                         if "path" in entry:
-                            seen += 1
-        return seen
+                            seen.add(entry["path"])
+        return len(seen)

@@ -40,12 +40,14 @@ class PartitionedRollup:
         gold_dir: str,
         partition_col: str,
         aggregate: Callable[[DataFrame], DataFrame],
+        max_touched_partitions: int = 10_000,
     ) -> None:
         self.spark = spark
         self.silver_dir = silver_dir
         self.gold_dir = gold_dir
         self.partition_col = partition_col
         self.aggregate = aggregate
+        self.max_touched_partitions = max_touched_partitions
 
     def refresh_partitions(self, values: list) -> int:
         """Recompute the given gold partitions from silver and overwrite
@@ -66,11 +68,27 @@ class PartitionedRollup:
 
     def refresh_for_batch(self, batch_df: DataFrame) -> int:
         """Refresh the partitions a just-ingested batch touches (call from
-        the ingest's foreachBatch, after the silver write)."""
-        touched = [
-            r[0]
-            for r in batch_df.select(self.partition_col).distinct().collect()
-        ]
+        the ingest's foreachBatch, after the silver write).
+
+        The distinct-collect is bounded by ``max_touched_partitions``: a
+        partition column is by contract low-cardinality (days, payment
+        types), and a misconfigured high-cardinality column (an id, a
+        timestamp) must fail loudly HERE rather than OOM the driver —
+        the limit+1 fetch never materializes more than the cap."""
+        touched_df = (
+            batch_df.select(self.partition_col)
+            .distinct()
+            .limit(self.max_touched_partitions + 1)
+        )
+        touched = [r[0] for r in touched_df.collect()]
+        if len(touched) > self.max_touched_partitions:
+            raise ValueError(
+                f"refresh_for_batch: batch touches more than "
+                f"{self.max_touched_partitions} distinct "
+                f"{self.partition_col!r} values — {self.partition_col!r} "
+                f"does not look like a partition column; pick a "
+                f"low-cardinality column or raise max_touched_partitions"
+            )
         return self.refresh_partitions(touched)
 
     def read_gold(self) -> DataFrame:

@@ -19,6 +19,8 @@ special handling.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -90,3 +92,18 @@ def sql_davg(expr: str, scale: int = 2) -> str:
         f"floor(CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
         f" / COUNT(*) * {factor}.0) / {factor}.0"
     )
+
+
+def scratch_root() -> str:
+    """Per-process scratch directory for query functions that materialize
+    side files (staged streaming sources, csv/json/orc exports, bucketed
+    tables). Override the base with $SPARK_GRAFT_SCRATCH; the default is
+    <repo>/.scratch. The pid suffix keeps concurrent runs (bench vs
+    pytest) from clobbering each other's staging dirs."""
+    base = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if base is None:
+        repo = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        base = os.path.join(repo, ".scratch")
+    return os.path.join(base, f"pid{os.getpid()}")

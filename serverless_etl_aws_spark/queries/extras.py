@@ -14,9 +14,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import Query
-from ._util import fquant, t
+from ._util import fquant, t, scratch_root
 
-SCRATCH = "/root/repo/.scratch"
+SCRATCH = scratch_root()
 
 
 def _fresh(path: str) -> str:

@@ -15,9 +15,9 @@ from pyspark.sql.types import LongType, StructField, StructType
 from .. import schemas
 from ..pipeline.ingest import IncrementalIngest
 from . import Query
-from ._util import dsum, sql_dsum, t
+from ._util import dsum, sql_dsum, t, scratch_root
 
-SCRATCH = "/root/repo/.scratch"
+SCRATCH = scratch_root()
 
 
 def _fresh(path: str) -> str:

@@ -1,8 +1,9 @@
 """Streaming contract keys (SURVEY.md §2B `stream_*`): real Structured
 Streaming jobs (readStream → window agg → memory sink, Trigger.AvailableNow)
 whose drained output is batch-equivalent, so DuckDB can check tumbling /
-sliding / session results; late-data is rows-only (watermark drops depend
-on batch boundaries, which we pin but DuckDB can't model)."""
+sliding / session results; late-data is checked against the relational
+max-event-time watermark rule (batch boundaries are pinned, so the final
+watermark — and therefore the emitted window set — is deterministic)."""
 
 from __future__ import annotations
 
@@ -19,8 +20,9 @@ from ..streaming.windows import (
     tumbling_counts,
 )
 from . import Query
+from ._util import scratch_root
 
-SCRATCH = "/root/repo/.scratch"
+SCRATCH = scratch_root()
 
 
 def _stream(spark: SparkSession, sf_dir: str, sub: str, n_files: int = 1):
@@ -104,16 +106,47 @@ GROUP BY user_id, sid
 
 
 def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two mtime-ordered batches (events split by median event_id — later
-    half of ids carries a mix of times), 1-hour watermark, append mode:
-    batch 2 rows behind the batch-1 watermark are dropped; only closed
-    windows emit. Deterministic because file order and watermark are pinned."""
+    """Watermarked tumbling counts in append mode over two mtime-ordered
+    batches (events split by event_id parity), 1-hour watermark.
+
+    The checked semantics is append-mode CLOSED-WINDOW EMISSION: every
+    window whose end is at or below the final watermark (max event time
+    seen, floored to Spark's millisecond watermark precision, minus the
+    1-hour delay) emits exactly once with its full count; windows still
+    open at end-of-stream are withheld. With this parity split both
+    batches span the full time range, so no input row is behind the
+    watermark when it arrives and none are dropped (verified via
+    numRowsDroppedByWatermark == 0) — actual late-row DROPPING is
+    exercised deterministically in tests/test_streaming.py with a
+    time-ordered three-batch source. Deterministic because file order
+    (mtime), batch boundaries (maxFilesPerTrigger=1) and the watermark
+    rule are all pinned, which is what makes the SQL oracle possible."""
     return run_stream_to_memory(
         late_data_counts(
             _stream(spark, sf_dir, "stream_late_data", n_files=2)
         ),
         output_mode="append",
     )
+
+
+# Max-event-time watermark rule, derived relationally: emit a window iff
+# window_end <= floor_ms(max(ts)) - 1h; counts include all rows (the
+# parity split means nothing arrives behind the watermark).
+STREAM_LATE_DATA_SQL = """
+WITH e AS (
+    SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+), wm AS (
+    SELECT make_timestamp(epoch_us(MAX(ts)) // 1000 * 1000)
+           - INTERVAL '1 hour' AS w
+    FROM e
+)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS event_count
+FROM e
+WHERE date_trunc('hour', ts) + INTERVAL '1 hour' <= (SELECT w FROM wm)
+GROUP BY 1, 2
+"""
 
 
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,8 +195,8 @@ QUERIES: dict[str, Query] = {
                             "1h/15min sliding counts (streaming)"),
     "stream_session": Query(stream_session, STREAM_SESSION_SQL,
                             "30min-gap session windows (streaming)"),
-    "stream_late_data": Query(stream_late_data, None,
-                              "watermark late-data drop (rows-only)"),
+    "stream_late_data": Query(stream_late_data, STREAM_LATE_DATA_SQL,
+                              "watermark closed-window emission"),
     "stream_stateful": Query(stream_stateful, None,
                              "applyInPandasWithState profile (rows-only)"),
     "stream_dedup": Query(stream_dedup, STREAM_DEDUP_SQL,

@@ -247,3 +247,71 @@ class TestActionDispatcher:
 
         resp = d.handle({"action": "bogus"})
         assert resp["statusCode"] == 400
+
+
+def test_rollup_refresh_guards_partition_cardinality(spark, tmp_path):
+    """A high-cardinality 'partition' column must fail loudly instead of
+    collecting unbounded distinct values onto the driver."""
+    import pytest
+
+    from serverless_etl_aws_spark.pipeline.rollup import PartitionedRollup
+
+    roll = PartitionedRollup(
+        spark,
+        silver_dir=str(tmp_path / "silver"),
+        gold_dir=str(tmp_path / "gold"),
+        partition_col="row_id",
+        aggregate=lambda df: df,
+        max_touched_partitions=10,
+    )
+    batch = spark.range(50).withColumnRenamed("id", "row_id")
+    with pytest.raises(ValueError, match="does not look like a partition"):
+        roll.refresh_for_batch(batch)
+
+
+def test_warehouse_export_round_trip(spark, tmp_path, sf_dir):
+    """Gold rollup -> manifest export -> loader-side readback must be
+    lossless, the manifest must enumerate every data file with sizes and
+    the exact row count, and a second export must land in a new batch
+    prefix (idempotent hand-off)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from serverless_etl_aws_spark.pipeline.export import WarehouseExporter
+
+    gold = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+    exp = WarehouseExporter(str(tmp_path / "exports"))
+    m1 = exp.export(gold, "gold_orders")
+    manifest = json.load(open(m1))
+    assert manifest["row_count"] == gold.count()
+    assert manifest["entries"] and all(
+        e["meta"]["content_length"] > 0 for e in manifest["entries"]
+    )
+
+    back = exp.read_batch(spark, m1)
+    want = {tuple(r) for r in gold.collect()}
+    got = {tuple(r) for r in back.collect()}
+    assert got == want
+
+    m2 = exp.export(gold, "gold_orders")
+    assert m2 != m1
+    assert exp.manifests("gold_orders") == [m1, m2]
+
+
+def test_warehouse_export_jdbc_stub_invoked(spark, tmp_path):
+    """The injectable JDBC writer fires once per export with the exported
+    frame and table name."""
+    from serverless_etl_aws_spark.pipeline.export import WarehouseExporter
+
+    calls = []
+    exp = WarehouseExporter(
+        str(tmp_path / "exports"),
+        jdbc_writer=lambda df, table: calls.append((df.count(), table)),
+    )
+    exp.export(spark.range(7), "dim_seq")
+    assert calls == [(7, "dim_seq")]

@@ -99,3 +99,17 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan
     assert "Bucketed: true" in plan, plan
+
+
+def test_no_cartesian_product_in_registry(spark, sf_dir):
+    """No registry key may plan a CartesianProduct: every cross join in
+    the tree must be a broadcast of a tiny side. Guards future rounds
+    against silently regressing a join into an all-pairs plan."""
+    from serverless_etl_aws_spark.queries import build_registry
+
+    offenders = []
+    for key, q in build_registry().items():
+        df = q.fn(spark, sf_dir)
+        if "CartesianProduct" in plan_of(df):
+            offenders.append(key)
+    assert offenders == []
