@@ -55,6 +55,12 @@ def ngram_jaccard_pairs(
     # smaller exchange and cheaper equality at any scale (collision odds
     # ~1e-9 per corpus; an intersection miscount needs a within-pair
     # collision, which is negligible).
+    # The shingle relation is reused 3-4x below (DF stats, both sides of
+    # the pair self-join, set sizes); localCheckpoint materializes the
+    # tokenize+shingle+hash pass ONCE instead of recomputing it per use
+    # (measured 2x end-to-end at sf0.1). At production scale this is the
+    # standard shingle-table materialization — ~corpus-sized, on executor
+    # local storage, amortized over every downstream pass.
     exploded = base.select(
         "doc_id",
         *( [F.col(block_col)] if block_col else [] ),
@@ -63,17 +69,24 @@ def ngram_jaccard_pairs(
         "doc_id",
         *( [F.col(block_col)] if block_col else [] ),
         F.xxhash64("gram_str").alias("gram"),
-    )
+    ).localCheckpoint()
     if max_shingle_df is not None:
         # grams are distinct per doc, so count(*) per gram == document
-        # frequency; the semi-join keeps only sub-cap shingles.
-        df_counts = exploded.groupBy("gram").agg(
-            F.count(F.lit(1)).alias("gram_df")
+        # frequency. The DF stats use groupBy (map-side partial agg — a
+        # window over gram would put a hot shingle's rows on one task,
+        # the exact skew the cap defends against), and the filter is a
+        # LEFT ANTI against the broadcast HOT list: stop-shingles are few
+        # by construction (at most total_grams / cap), so the cap costs
+        # one broadcast map-side pass, not a second full shuffle.
+        hot = (
+            exploded.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("gram_df"))
+            .filter(F.col("gram_df") > max_shingle_df)
+            .select("gram")
         )
         exploded = exploded.join(
-            df_counts.filter(F.col("gram_df") <= max_shingle_df).select("gram"),
-            "gram",
-        )
+            F.broadcast(hot), "gram", "left_anti"
+        ).localCheckpoint()
     # Per-doc set size over the (possibly capped) shingle universe —
     # grams are distinct per doc so count == set size.
     sizes = exploded.groupBy("doc_id").agg(

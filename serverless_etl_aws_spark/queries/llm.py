@@ -394,15 +394,15 @@ LIMIT 10
 def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned approximate top-10 (rows-only: cluster pruning is the
     approximation — recall vs. brute force is measured in tests).
-    nprobe=10 of 16 KMeans centroids: the fixture embeddings are near-
-    uniform on the sphere, so neighbor lists scatter across clusters and
-    recall@10 >= 0.9 needs most clusters scanned (measured: nprobe 4/8/10
-    -> 0.4/0.8/0.9 at sf0.001). On clustered real-world embeddings a small
-    nprobe recovers — see the synthetic clustered recall test in
-    tests/test_operators.py."""
+    nprobe=12 of 16 spherical-KMeans centroids: the fixture embeddings
+    are near-uniform on the sphere, so neighbor lists scatter across
+    clusters and recall@10 >= 0.9 needs most clusters scanned (measured
+    0.9-1.0 at nprobe=12 across sf0.001/0.01/0.1). On clustered
+    real-world embeddings a small nprobe recovers — see the synthetic
+    clustered recall test in tests/test_operators.py."""
     return ivf_topk(
         t(spark, sf_dir, "embeddings"), probe_vec_id=0, k=10,
-        n_centroids=16, nprobe=10,
+        n_centroids=16, nprobe=12,
     )
 
 

@@ -324,7 +324,7 @@ def test_embedding_bounded_block_pairs(spark):
 
 
 def test_ivf_recall_fixture(spark, sf_dir):
-    """Registry settings (16 KMeans centroids, nprobe=10) must hold
+    """Registry settings (16 spherical centroids, nprobe=12) must hold
     recall@10 >= 0.9 vs brute force on the fixture embeddings."""
     from serverless_etl_aws_spark.catalog import load_table
     from serverless_etl_aws_spark.operators.simsearch import (
@@ -334,7 +334,7 @@ def test_ivf_recall_fixture(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     bf = {r["vec_id"] for r in brute_force_topk(emb, 0, 10).collect()}
-    iv = {r["vec_id"] for r in ivf_topk(emb, 0, 10, 16, 10).collect()}
+    iv = {r["vec_id"] for r in ivf_topk(emb, 0, 10, 16, 12).collect()}
     assert len(bf & iv) / len(bf) >= 0.9
 
 
