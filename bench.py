@@ -44,6 +44,8 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    import gc
+
     for key in sorted(registry):
         q = registry[key]
         t0 = time.perf_counter()
@@ -54,6 +56,17 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover — keep the line parseable
             timings[key] = -1.0
             print(f"# {key} FAILED: {exc}", file=sys.stderr)
+        # Release the key's lineage before timing the next one: dedup
+        # operators pin localCheckpoint blocks until the Python refs die
+        # and the ContextCleaner runs; without this, later keys are timed
+        # under the earlier keys' heap pressure (measured +12s on
+        # stream_stateful when it runs after the dedup family). The JVM
+        # GC nudge only fires after expensive keys — a full System.gc()
+        # between every key costs more than it reclaims.
+        del df
+        gc.collect()
+        if timings.get(key, 0) > 3.0:
+            spark._jvm.System.gc()
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
