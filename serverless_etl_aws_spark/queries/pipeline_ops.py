@@ -203,6 +203,37 @@ GROUP BY 1, 2
 """
 
 
+def export_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold→warehouse hand-off (the reference's declared Redshift
+    milestone, reference README.md:4 + 117-118): aggregate orders to a
+    gold shape, export it through the COPY-manifest layer
+    (pipeline/export.py), then read back EXACTLY the files the manifest
+    names — what the warehouse loader would ingest. The oracle recomputes
+    the gold aggregate directly, so a lossy or duplicated export (missed
+    part file, double batch) hash-mismatches."""
+    from ..pipeline.export import WarehouseExporter
+
+    base = _fresh(os.path.join(SCRATCH, "export_warehouse"))
+    gold = t(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        dsum("o_totalprice").alias("sum_totalprice"),
+    )
+    exporter = WarehouseExporter(base)
+    manifest = exporter.export(gold, "gold_orders")
+    return exporter.read_batch(spark, manifest).select(
+        "o_orderpriority", "order_count", "sum_totalprice"
+    )
+
+
+EXPORT_WAREHOUSE_SQL = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS order_count,
+       {sql_dsum('o_totalprice')} AS sum_totalprice
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, Query] = {
     "rollup_incremental": Query(
         rollup_incremental, ROLLUP_SQL,
@@ -213,5 +244,9 @@ QUERIES: dict[str, Query] = {
     ),
     "sink_partitioned": Query(
         sink_partitioned, SINK_PARTITIONED_SQL, "partitioned write + pruned read"
+    ),
+    "export_warehouse": Query(
+        export_warehouse, EXPORT_WAREHOUSE_SQL,
+        "gold→warehouse manifest export + loader readback",
     ),
 }
