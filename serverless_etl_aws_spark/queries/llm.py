@@ -740,6 +740,95 @@ FROM comp
 """
 
 
+# ------------------------------------------------- chunking / packing
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive windows
+PACK_BUDGET = 256
+
+
+def llm_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking — split every document into
+    ``CHUNK_TOKENS``-token windows advancing by ``CHUNK_STRIDE`` (i.e.
+    16-token overlap), the preprocessing step that turns documents into
+    training sequences. One narrow shuffle-free pass: starts are computed
+    per row with ``sequence``/``filter`` and fanned out with a lateral
+    explode, so the op scales as a map over the corpus. ``chunk_id`` is
+    derived from the start offset (start / stride), not array position,
+    so engine enumeration order cannot matter."""
+    docs = t(spark, sf_dir, "documents")
+    toks = "split(text, ' ')"
+    starts = F.expr(
+        f"filter(sequence(0, greatest(0, size({toks}) - 1), {CHUNK_STRIDE}),"
+        f" s -> s < size({toks}))"
+    )
+    exploded = docs.select(
+        "doc_id", F.explode(starts).alias("start")
+    )
+    chunk = F.expr(f"slice(split(text, ' '), start + 1, {CHUNK_TOKENS})")
+    return (
+        exploded.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+            F.size(chunk).cast("bigint").alias("chunk_tokens"),
+        )
+    )
+
+
+LLM_DOC_CHUNK_SQL = f"""
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), starts AS (
+    SELECT doc_id, toks, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS s
+    FROM d
+)
+SELECT doc_id,
+       CAST(s / {CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+       array_to_string(list_slice(toks, s + 1, s + {CHUNK_TOKENS}), ' ')
+           AS chunk_text,
+       CAST(len(list_slice(toks, s + 1, s + {CHUNK_TOKENS})) AS BIGINT)
+           AS chunk_tokens
+FROM starts
+"""
+
+
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing (next-fit): stream documents in
+    doc_id order within each lang and assign each to bin
+    ``floor(tokens_before / PACK_BUDGET)`` — the deterministic packing a
+    training pipeline uses to fill fixed-length contexts. One window pass
+    (running sum) per lang partition; no driver-side loop, so packing
+    scales with the shuffle, not the corpus."""
+    docs = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(n_tok).over(w), F.lit(0))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        F.floor(cum_before / PACK_BUDGET).cast("bigint").alias("seq_bin"),
+    )
+
+
+LLM_PACK_SEQUENCES_SQL = f"""
+SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(floor(COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                               OVER (PARTITION BY lang ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0)
+                  / {PACK_BUDGET}) AS BIGINT) AS seq_bin
+FROM documents
+"""
+
+
 QUERIES: dict[str, Query] = {
     "llm_text_stats": Query(llm_text_stats, LLM_TEXT_STATS_SQL,
                             "top terms per lang"),
@@ -781,4 +870,8 @@ QUERIES: dict[str, Query] = {
                             "multimodal binary metadata extraction"),
     "mm_frame_sample": Query(mm_frame_sample, MM_FRAME_SAMPLE_SQL,
                              "payload frame-sampling fan-out"),
+    "llm_doc_chunk": Query(llm_doc_chunk, LLM_DOC_CHUNK_SQL,
+                           "context-window chunking with overlap"),
+    "llm_pack_sequences": Query(llm_pack_sequences, LLM_PACK_SEQUENCES_SQL,
+                                "greedy sequence packing into token bins"),
 }
