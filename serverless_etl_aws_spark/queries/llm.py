@@ -762,18 +762,15 @@ def llm_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"filter(sequence(0, greatest(0, size({toks}) - 1), {CHUNK_STRIDE}),"
         f" s -> s < size({toks}))"
     )
-    exploded = docs.select(
-        "doc_id", F.explode(starts).alias("start")
-    )
+    # explode carries text alongside — a Generate (lateral view), NOT a
+    # join back to the corpus; the whole op is one shuffle-free map.
+    exploded = docs.select("doc_id", "text", F.explode(starts).alias("start"))
     chunk = F.expr(f"slice(split(text, ' '), start + 1, {CHUNK_TOKENS})")
-    return (
-        exploded.join(docs.select("doc_id", "text"), "doc_id")
-        .select(
-            "doc_id",
-            (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
-            F.concat_ws(" ", chunk).alias("chunk_text"),
-            F.size(chunk).cast("bigint").alias("chunk_tokens"),
-        )
+    return exploded.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).cast("bigint").alias("chunk_tokens"),
     )
 
 
