@@ -180,6 +180,42 @@ GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
 """
 
 
+def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches, Spark 3.5+) — THE
+    100 TB pattern for distinct counts: build one sketch per nation over
+    customer keys, then MERGE the pre-aggregated sketches up to regions
+    with ``hll_union_agg`` instead of re-scanning the fact data. Sketches
+    are tiny fixed-size binaries, so the second aggregation moves KB, not
+    rows; the same layout serves daily→monthly→all-time rollups without
+    ever touching raw keys again. rows-only: sketch estimates are
+    engine-specific (DuckDB's approx_count_distinct uses a different HLL
+    implementation), but the output is deterministic for a given input."""
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    per_nation = cust.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("customer_rows"),
+    )
+    with_region = per_nation.join(
+        F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+        per_nation.c_nationkey == F.col("n_nationkey"),
+    )
+    return (
+        with_region.groupBy("n_regionkey")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_customers"
+            ),
+            F.sum("customer_rows").alias("customer_rows"),
+        )
+        .select(
+            F.col("n_regionkey").alias("region_key"),
+            "approx_customers",
+            "customer_rows",
+        )
+    )
+
+
 QUERIES: dict[str, Query] = {
     "agg_group": Query(agg_group, AGG_GROUP_SQL, "TPC-H Q1 pricing summary"),
     "agg_distinct": Query(agg_distinct, AGG_DISTINCT_SQL, "count distinct"),
@@ -190,5 +226,8 @@ QUERIES: dict[str, Query] = {
     "agg_cube": Query(agg_cube, AGG_CUBE_SQL, "cube"),
     "agg_grouping_sets": Query(
         agg_grouping_sets, AGG_GROUPING_SETS_SQL, "explicit grouping sets"
+    ),
+    "agg_sketch_merge": Query(
+        agg_sketch_merge, None, "mergeable HLL sketch rollup (rows-only)"
     ),
 }

@@ -149,6 +149,54 @@ GROUP BY 1, 2
 """
 
 
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the canonical streaming topology:
+    the events stream broadcast-joins a small static dimension
+    (event_type → funnel stage) BEFORE aggregation, so enrichment is a
+    map-side operation on every micro-batch (no stream-side shuffle
+    added; at 100 TB/day the dimension broadcast is refreshed per batch
+    by Spark automatically). Complete-mode counts by stage are
+    batch-equivalent, hence SQL-checkable."""
+    from pyspark.sql import functions as F
+
+    stream = _stream(spark, sf_dir, "stream_join")
+    dim = spark.createDataFrame(
+        [
+            ("click", "engage"),
+            ("view", "engage"),
+            ("signup", "convert"),
+            ("purchase", "convert"),
+            ("error", "ops"),
+        ],
+        "event_type string, stage string",
+    )
+    enriched = stream.join(F.broadcast(dim), "event_type")
+    # no countDistinct here: Spark disallows distinct aggregates on
+    # streams (state would be unbounded per group without a sketch)
+    agg = enriched.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.round(
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,4)")),
+            2,
+        ).cast("double").alias("sum_value"),
+    )
+    return run_stream_to_memory(agg)
+
+
+STREAM_JOIN_SQL = """
+SELECT v.stage,
+       COUNT(*) AS event_count,
+       CAST(ROUND(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,4))), 2)
+            AS DOUBLE) AS sum_value
+FROM events e
+JOIN (VALUES ('click', 'engage'), ('view', 'engage'),
+             ('signup', 'convert'), ('purchase', 'convert'),
+             ('error', 'ops')) AS v(event_type, stage)
+  ON e.event_type = v.event_type
+GROUP BY v.stage
+"""
+
+
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user running
     profile across two pinned micro-batches. Deterministic rows (batch
@@ -201,4 +249,6 @@ QUERIES: dict[str, Query] = {
                              "applyInPandasWithState profile (rows-only)"),
     "stream_dedup": Query(stream_dedup, STREAM_DEDUP_SQL,
                           "streaming exact dedup (append mode)"),
+    "stream_join": Query(stream_join, STREAM_JOIN_SQL,
+                         "stream-static broadcast enrichment join"),
 }

@@ -400,3 +400,34 @@ def test_salted_join_rejects_small_side_replicating_how(spark):
         with pytest.raises(ValueError, match="not semantics-preserving"):
             salted_join(big, small, key="k", salt_from="seq", how=how)
     assert salted_join(big, small, key="k", salt_from="seq").count() == 1
+
+
+def test_sketch_merge_estimates_match_exact(spark, sf_dir):
+    """The merged-HLL region estimates must be within 5% of the exact
+    distinct counts, and the row totals must be exact — verifying the
+    sketch path semantically even though the key is rows-only."""
+    from serverless_etl_aws_spark.queries.aggregates import agg_sketch_merge
+
+    got = {
+        r["region_key"]: (r["approx_customers"], r["customer_rows"])
+        for r in agg_sketch_merge(spark, sf_dir).collect()
+    }
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    exact = {
+        r["n_regionkey"]: (r["d"], r["n"])
+        for r in cust.join(
+            nation, cust.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_regionkey")
+        .agg(
+            F.countDistinct("c_custkey").alias("d"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, (approx, rows) in got.items():
+        d, n = exact[k]
+        assert rows == n
+        assert abs(approx - d) / d <= 0.05
