@@ -101,10 +101,16 @@ class IncrementalIngest:
             # closes the reference's double-append window between the
             # silver write (bronze_to_silver.py:85) and mark-processed
             # (:87-89) end-to-end, not just across runs.
+            from pyspark.sql import Observation
             from pyspark.sql import functions as F
 
+            # Row count rides along with the write via the Observation API
+            # — a separate ``batch_df.count()`` would re-read the whole
+            # batch from bronze a second time.
+            obs = Observation()
             out = (
                 batch_df.withColumn("ingest_batch", F.lit(batch_id))
+                .observe(obs, F.count(F.lit(1)).alias("rows"))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .option("maxRecordsPerFile", self.max_records_per_file)
@@ -115,7 +121,7 @@ class IncrementalIngest:
             out.partitionBy(*cols).parquet(self.silver_dir)
             if self.post_batch is not None:
                 self.post_batch(batch_df)
-            counts["rows"] += batch_df.count()
+            counts["rows"] += int(obs.get["rows"])
             counts["batches"] += 1
 
         before = self._seen_files()

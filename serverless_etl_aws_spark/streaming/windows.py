@@ -81,25 +81,50 @@ def stage_events_dir(
     return src
 
 
+#: State-store parallelism for locally-drained streams. A streaming query
+#: pins ``spark.sql.shuffle.partitions`` at its first checkpoint and AQE
+#: never coalesces stateful exchanges, so every micro-batch pays one state
+#: store + (for pandas ops) one Python worker round PER partition. At
+#: fixture scale 32 near-empty state partitions are pure overhead (measured
+#: 11.4 s → 4.3 s on stream_stateful by dropping 32 → 8); on a cluster set
+#: SPARK_GRAFT_STREAM_PARTITIONS to ~2× total cores instead.
+STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+)
+
+
 def run_stream_to_memory(
-    agg: DataFrame, output_mode: str = "complete"
+    agg: DataFrame,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain the stream once (AvailableNow) into a memory sink; return the
-    materialized result."""
+    materialized result. Shuffle partitions are temporarily pinned to
+    ``state_partitions`` (default :data:`STREAM_STATE_PARTITIONS`) for the
+    lifetime of the query — the value a streaming query captures at its
+    first batch — then restored for the surrounding batch workload."""
     spark = agg.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(state_partitions or STREAM_STATE_PARTITIONS),
     )
     try:
-        q.awaitTermination()
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            if q.isActive:
+                q.stop()
     finally:
-        if q.isActive:
-            q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
