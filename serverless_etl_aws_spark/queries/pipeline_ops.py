@@ -14,6 +14,7 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from .. import schemas
 from ..pipeline.ingest import IncrementalIngest
+from ..streaming.windows import split_parquet_by_mod
 from . import Query
 from ._util import dsum, sql_dsum, t, scratch_root
 
@@ -51,22 +52,10 @@ def ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two deterministic bronze files derived from the events fixture, laid
     # flat in the landing dir (the reference's bronze layout:
     # data_downloader.py:31-32 writes flat timestamped parquet files).
-    ev = spark.read.schema(EVENTS_NANOS_SCHEMA).parquet(
-        os.path.join(sf_dir, "events.parquet")
+    split_parquet_by_mod(
+        os.path.join(sf_dir, "events.parquet"), bronze, 2,
+        order_col="event_id",
     )
-    for tag, pred in (("even", 0), ("odd", 1)):
-        tmp = os.path.join(base, f"_tmp_{tag}")
-        ev.filter(F.col("event_id") % 2 == pred).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        part = next(
-            p for p in os.listdir(tmp) if p.endswith(".parquet")
-        )
-        shutil.move(
-            os.path.join(tmp, part),
-            os.path.join(bronze, f"events_{tag}.parquet"),
-        )
-        shutil.rmtree(tmp)
 
     pipe = IncrementalIngest(
         spark,
@@ -143,19 +132,10 @@ def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     gold = os.path.join(base, "gold")
     os.makedirs(bronze)
 
-    ev = spark.read.schema(EVENTS_NANOS_SCHEMA).parquet(
-        os.path.join(sf_dir, "events.parquet")
+    split_parquet_by_mod(
+        os.path.join(sf_dir, "events.parquet"), bronze, 2,
+        order_col="event_id",
     )
-    for tag, pred in (("even", 0), ("odd", 1)):
-        tmp = os.path.join(base, f"_tmp_{tag}")
-        ev.filter(F.col("event_id") % 2 == pred).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
-        shutil.move(
-            os.path.join(tmp, part), os.path.join(bronze, f"events_{tag}.parquet")
-        )
-        shutil.rmtree(tmp)
 
     def to_silver(df):
         return df.withColumn(

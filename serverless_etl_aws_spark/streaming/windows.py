@@ -48,6 +48,35 @@ def _events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def split_parquet_by_mod(
+    src_file: str, dest_dir: str, n_files: int,
+    order_col: str = "event_id", prefix: str = "events",
+) -> list[str]:
+    """Split one fixture parquet into ``n_files`` files by ``order_col %
+    n_files``, with strictly increasing mtimes so a file source's
+    processing order is pinned.
+
+    Test/bench scaffolding only — it fabricates a multi-file landing dir
+    from a single-fixture table, a job production never has (files arrive
+    pre-split). Done driver-side with pyarrow in one pass: the previous
+    per-split Spark filter+coalesce(1) jobs cost ~1 s of scheduling each
+    at any scale factor while the split itself is I/O-bound."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(src_file)
+    mod = tbl[order_col].to_numpy(zero_copy_only=False) % n_files
+    out: list[str] = []
+    for i in range(n_files):
+        dest = os.path.join(dest_dir, f"{prefix}_{i}.parquet")
+        pq.write_table(tbl.filter(pa.array(mod == i)), dest)
+        mtime = time.time() - (n_files - i) * 10
+        os.utime(dest, (mtime, mtime))
+        out.append(dest)
+    return out
+
+
 def stage_events_dir(
     spark: SparkSession, sf_dir: str, scratch: str, n_files: int = 1,
     order_col: str = "event_id",
@@ -59,25 +88,14 @@ def stage_events_dir(
     if os.path.exists(src):
         shutil.rmtree(src)
     os.makedirs(src)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.schema(EVENTS_NANOS_SCHEMA).parquet(
-        os.path.join(sf_dir, "events.parquet")
-    )
     if n_files == 1:
         shutil.copy(os.path.join(sf_dir, "events.parquet"),
                     os.path.join(src, "events_0.parquet"))
         return src
-    for i in range(n_files):
-        tmp = os.path.join(scratch, f"_evtmp_{i}")
-        ev.filter(F.col(order_col) % n_files == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
-        dest = os.path.join(src, f"events_{i}.parquet")
-        shutil.move(os.path.join(tmp, part), dest)
-        shutil.rmtree(tmp)
-        mtime = time.time() - (n_files - i) * 10
-        os.utime(dest, (mtime, mtime))
+    split_parquet_by_mod(
+        os.path.join(sf_dir, "events.parquet"), src, n_files,
+        order_col=order_col,
+    )
     return src
 
 
