@@ -30,30 +30,98 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: Read schema for events files whose ``ts`` is stored as TIMESTAMP(NANOS)
+#: or raw epoch-ns INT64: Spark's vectorized reader rejects ns timestamps,
+#: so the column is read as a long (``spark.sql.legacy.parquet.nanosAsLong``)
+#: and floor-divided to a µs TimestampType downstream.
+EVENTS_NS_READ_SCHEMA = StructType(
+    [
+        StructField("ts", LongType(), True) if f.name == "ts" else f
+        for f in schemas.EVENTS.fields
+    ]
+)
+
+
+def events_ts_unit(path: str, column: str = "ts") -> str:
+    """Sniff the physical timestamp unit of ``column`` from the parquet
+    footer (driver-side, one footer read — cheap at any scale).
+
+    The fixture contract has drifted between rounds (FIXTURES.md originally
+    declared ``ts: timestamp[ns]``; the driver now writes ``timestamp[us]``),
+    so the engine trusts the footer, not the doc. Returns the pyarrow unit
+    string (``'ns'``/``'us'``/``'ms'``/``'s'``). A raw INT64 column is
+    treated as epoch nanoseconds — the original contract's encoding, still
+    used by test scaffolding that fabricates ns-long event files.
+
+    ``path`` may be a single parquet file or a directory of them (footer of
+    the first member is authoritative — mixed-unit directories are not a
+    supported layout).
+    """
+    import pyarrow.parquet as pq
+    from pyarrow import types as patypes
+
+    p = path
+    if os.path.isdir(path):
+        members = sorted(
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        if not members:
+            raise FileNotFoundError(f"no parquet files under {path!r}")
+        p = os.path.join(path, members[0])
+    t = pq.read_schema(p).field(column).type
+    if patypes.is_timestamp(t):
+        return t.unit
+    if patypes.is_integer(t):
+        return "ns"
+    raise TypeError(f"{p!r}: column {column!r} is {t}, not a timestamp/int64")
+
+
+def events_reader_setup(spark: SparkSession, path: str):
+    """Resolve how to read an events parquet file/dir at ``path``: returns
+    ``(read_schema, normalize)`` where ``normalize(df)`` yields ``ts`` as a
+    µs TimestampType regardless of the stored unit.
+
+    - ``timestamp[us]`` (current fixtures): plain :data:`schemas.EVENTS`
+      read, normalize is the identity.
+    - ``timestamp[ns]`` / epoch-ns INT64 (legacy contract): long read via
+      :data:`EVENTS_NS_READ_SCHEMA` + integer floor-div to µs — the same
+      truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP, so oracle
+      comparisons agree. (Integer div: float division would lose precision
+      above 2^53 ns.)
+
+    Sets ``spark.sql.legacy.parquet.nanosAsLong`` when the ns path is
+    taken (harmless for µs files — it only affects TIMESTAMP(NANOS)).
+    """
+    unit = events_ts_unit(path)
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            EVENTS_NS_READ_SCHEMA,
+            lambda df: df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            ),
+        )
+    return schemas.EVENTS, (lambda df: df)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table with its declared schema.
 
     The declared schema is applied on read (not inferred), then column order
-    is pinned. ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark's
-    vectorized reader rejects; it is read as raw nanos
-    (``spark.sql.legacy.parquet.nanosAsLong``) and floor-divided to a µs
-    TimestampType — the same truncation DuckDB applies casting
-    TIMESTAMP_NS → TIMESTAMP, so oracle comparisons agree.
+    is pinned. ``events.ts`` goes through :func:`events_reader_setup`, which
+    sniffs the stored timestamp unit from the parquet footer and branches —
+    the fixtures have switched units between rounds, so the footer is the
+    source of truth.
     """
     if name not in schemas.TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(schemas.TABLES)}")
     schema = schemas.TABLES[name]
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        read_schema = StructType(
-            [
-                StructField("ts", LongType(), True) if f.name == "ts" else f
-                for f in schema.fields
-            ]
-        )
-        df = spark.read.schema(read_schema).parquet(table_path(sf_dir, name))
-        # integer div — float division would lose precision above 2^53 ns
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        path = table_path(sf_dir, name)
+        read_schema, normalize = events_reader_setup(spark, path)
+        df = normalize(spark.read.schema(read_schema).parquet(path))
         return df.select(*[f.name for f in schema.fields])
     df = spark.read.schema(schema).parquet(table_path(sf_dir, name))
     return df.select(*[f.name for f in schema.fields])

@@ -10,9 +10,8 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
 
-from .. import schemas
+from ..catalog import events_reader_setup
 from ..pipeline.ingest import IncrementalIngest
 from ..streaming.windows import split_parquet_by_mod
 from . import Query
@@ -28,21 +27,12 @@ def _fresh(path: str) -> str:
     return path
 
 
-EVENTS_NANOS_SCHEMA = StructType(
-    [
-        StructField("ts", LongType(), True) if f.name == "ts" else f
-        for f in schemas.EVENTS.fields
-    ]
-)
-
-
 def ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O7/O8 replacement, demonstrated across two runs: run 1 drains two
     bronze files; run 2 (same checkpoint) finds nothing new — the
     reference's tag-skip semantics (s3_operations.py:30-33) from the
     streaming file-source checkpoint. Returns one row per run.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     base = _fresh(os.path.join(SCRATCH, "ingest_incremental"))
     bronze = os.path.join(base, "bronze")
     silver = os.path.join(base, "silver")
@@ -56,17 +46,16 @@ def ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "events.parquet"), bronze, 2,
         order_col="event_id",
     )
+    read_schema, normalize_ts = events_reader_setup(spark, bronze)
 
     pipe = IncrementalIngest(
         spark,
         bronze_dir=bronze,
         silver_dir=silver,
         checkpoint_dir=ckpt,
-        schema=EVENTS_NANOS_SCHEMA,
+        schema=read_schema,
         partition_by="event_type",
-        transform=lambda df: df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ),
+        transform=normalize_ts,
     )
     r1 = pipe.run_once()
     r2 = pipe.run_once()  # nothing new → 0 files, 0 rows
@@ -125,7 +114,6 @@ def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate."""
     from ..pipeline.rollup import PartitionedRollup
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     base = _fresh(os.path.join(SCRATCH, "rollup_incremental"))
     bronze = os.path.join(base, "bronze")
     silver = os.path.join(base, "silver")
@@ -136,11 +124,12 @@ def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "events.parquet"), bronze, 2,
         order_col="event_id",
     )
+    read_schema, normalize_ts = events_reader_setup(spark, bronze)
 
     def to_silver(df):
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ).withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+        return normalize_ts(df).withColumn(
+            "event_date", F.date_format("ts", "yyyy-MM-dd")
+        )
 
     def to_gold(silver_df):
         return silver_df.groupBy("event_date", "event_type").agg(
@@ -160,7 +149,7 @@ def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         bronze_dir=bronze,
         silver_dir=silver,
         checkpoint_dir=os.path.join(base, "_checkpoint"),
-        schema=EVENTS_NANOS_SCHEMA,
+        schema=read_schema,
         partition_by="event_date",
         transform=to_silver,
         max_files_per_trigger=1,  # two batches → two incremental refreshes

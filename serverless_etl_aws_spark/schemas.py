@@ -88,7 +88,7 @@ LINEITEM = _st(
 
 EVENTS = _st(
     ("event_id", LongType()),
-    ("ts", TimestampType()),  # stored ns in parquet; Spark reads µs-truncated
+    ("ts", TimestampType()),  # stored unit sniffed at read (catalog.events_reader_setup)
     ("user_id", LongType()),
     ("event_type", StringType()),
     ("value", DoubleType()),  # nullable by construction

@@ -24,28 +24,22 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
 
-from .. import schemas
-
-EVENTS_NANOS_SCHEMA = StructType(
-    [
-        StructField("ts", LongType(), True) if f.name == "ts" else f
-        for f in schemas.EVENTS.fields
-    ]
-)
+from ..catalog import events_reader_setup
 
 
 def _events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
-    """File-source stream of events with the ns→µs conversion applied."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream of events, ``ts`` normalized to a µs
+    TimestampType whatever unit the files store (footer-sniffed via
+    :func:`~serverless_etl_aws_spark.catalog.events_reader_setup`)."""
+    read_schema, normalize = events_reader_setup(spark, src_dir)
     raw = (
-        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+        spark.readStream.schema(read_schema)
         .option("maxFilesPerTrigger", 1)
         .format("parquet")
         .load(src_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize(raw)
 
 
 def split_parquet_by_mod(

@@ -1,0 +1,129 @@
+"""Fixture-drift tripwire: assert every testdata table's parquet footer
+matches the engine's declared schema (schemas.py) BEFORE any query runs.
+
+Why this exists: between rounds the driver regenerated the fixtures and
+silently switched ``events.ts`` from ``timestamp[ns]`` (the original
+FIXTURES.md contract) to ``timestamp[us]``. The engine honored the old
+contract — read ns longs, floor-div by 1000 — which compressed every event
+timestamp 1000× and broke six operators at once with no obvious root cause.
+This test turns the next silent regeneration into ONE loud failure naming
+the drifted column ("fixture drift: events.ts is now X") instead of six
+mysterious wrong answers.
+
+Pure pyarrow footer reads — no SparkSession, runs in milliseconds, checks
+every scale factor present under the testdata root.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+from serverless_etl_aws_spark import schemas
+
+TESTDATA_ROOT = os.environ.get("SPARK_GRAFT_TESTDATA_ROOT", "/root/testdata")
+
+#: events.ts is special-cased: the engine's footer-sniffing reader
+#: (catalog.events_reader_setup) accepts any of these encodings, so the
+#: contract is "one of", not a single type.
+EVENTS_TS_ACCEPTED = ("timestamp[us]", "timestamp[ns]", "int64")
+
+
+def _acceptable(spark_type) -> tuple[str, ...]:
+    """Pyarrow type names the given Spark type can be losslessly read from."""
+    if isinstance(spark_type, IntegerType):
+        return ("int32",)
+    if isinstance(spark_type, LongType):
+        return ("int64",)
+    if isinstance(spark_type, DoubleType):
+        return ("double",)
+    if isinstance(spark_type, FloatType):
+        return ("float",)
+    if isinstance(spark_type, StringType):
+        return ("string", "large_string")
+    if isinstance(spark_type, (TimestampType, TimestampNTZType)):
+        # µs is Spark's native precision; ms/s widen losslessly
+        return ("timestamp[us]", "timestamp[ms]", "timestamp[s]")
+    if isinstance(spark_type, ArrayType) and isinstance(
+        spark_type.elementType, FloatType
+    ):
+        return ("list<element: float>", "list<item: float>")
+    raise NotImplementedError(f"no pyarrow mapping for {spark_type}")
+
+
+def _sf_dirs() -> list[str]:
+    if not os.path.isdir(TESTDATA_ROOT):
+        return []
+    return sorted(
+        os.path.join(TESTDATA_ROOT, d)
+        for d in os.listdir(TESTDATA_ROOT)
+        if d.startswith("sf")
+        and os.path.isdir(os.path.join(TESTDATA_ROOT, d))
+    )
+
+
+@pytest.mark.parametrize("sf_dir", _sf_dirs() or [None])
+def test_fixture_footers_match_declared_schemas(sf_dir):
+    if sf_dir is None:
+        pytest.skip(f"no testdata under {TESTDATA_ROOT}")
+    drift: list[str] = []
+    for name, schema in schemas.TABLES.items():
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            drift.append(f"{name}: fixture file missing at {path}")
+            continue
+        footer: pa.Schema = pq.read_schema(path)
+        declared = [f.name for f in schema.fields]
+        if footer.names != declared:
+            drift.append(
+                f"fixture drift: {sf_dir}/{name} columns are {footer.names},"
+                f" engine declares {declared}"
+            )
+            continue
+        for field in schema.fields:
+            actual = str(footer.field(field.name).type)
+            accepted = (
+                EVENTS_TS_ACCEPTED
+                if (name, field.name) == ("events", "ts")
+                else _acceptable(field.dataType)
+            )
+            if actual not in accepted:
+                drift.append(
+                    f"fixture drift: {sf_dir}/{name}.{field.name} is now"
+                    f" {actual}; engine reads it as one of {accepted}."
+                    f" Update schemas.py / catalog.events_reader_setup."
+                )
+    assert not drift, "\n".join(drift)
+
+
+def test_events_ts_unit_sniffer_agrees_with_footer():
+    """events_reader_setup's branch decision must match the stored unit in
+    every present scale factor (guards the sniffer itself, not just docs)."""
+    from serverless_etl_aws_spark.catalog import events_ts_unit
+
+    dirs = _sf_dirs()
+    if not dirs:
+        pytest.skip(f"no testdata under {TESTDATA_ROOT}")
+    for sf_dir in dirs:
+        path = os.path.join(sf_dir, "events.parquet")
+        if not os.path.exists(path):
+            continue
+        unit = events_ts_unit(path)
+        stored = str(pq.read_schema(path).field("ts").type)
+        if stored == "int64":
+            assert unit == "ns", (sf_dir, stored, unit)
+        else:
+            assert stored == f"timestamp[{unit}]", (sf_dir, stored, unit)

@@ -103,21 +103,21 @@ class TestExactlyOnce:
         reference's tag-discovery semantics, s3_operations.py:30-33)."""
         import shutil
 
+        from serverless_etl_aws_spark.catalog import events_reader_setup
         from serverless_etl_aws_spark.pipeline.ingest import IncrementalIngest
-        from serverless_etl_aws_spark.queries.pipeline_ops import (
-            EVENTS_NANOS_SCHEMA,
-        )
 
         bronze = tmp_path / "bronze"
         bronze.mkdir()
         src = os.path.join(sf_dir, "events.parquet")
         shutil.copy(src, bronze / "f1.parquet")
+        read_schema, normalize_ts = events_reader_setup(spark, str(bronze))
         pipe = IncrementalIngest(
             spark,
             bronze_dir=str(bronze),
             silver_dir=str(tmp_path / "silver"),
             checkpoint_dir=str(tmp_path / "ckpt"),
-            schema=EVENTS_NANOS_SCHEMA,
+            schema=read_schema,
+            transform=normalize_ts,
         )
         r1 = pipe.run_once()
         shutil.copy(src, bronze / "f2.parquet")
@@ -139,16 +139,15 @@ class TestIdempotentReplay:
         import os
         import shutil
 
+        from serverless_etl_aws_spark.catalog import events_reader_setup
         from serverless_etl_aws_spark.pipeline.ingest import IncrementalIngest
-        from serverless_etl_aws_spark.queries.pipeline_ops import (
-            EVENTS_NANOS_SCHEMA,
-        )
 
         bronze = tmp_path / "bronze"
         bronze.mkdir()
         shutil.copy(
             os.path.join(sf_dir, "events.parquet"), bronze / "f1.parquet"
         )
+        read_schema, normalize_ts = events_reader_setup(spark, str(bronze))
 
         def pipe(ckpt):
             return IncrementalIngest(
@@ -156,7 +155,8 @@ class TestIdempotentReplay:
                 bronze_dir=str(bronze),
                 silver_dir=str(tmp_path / "silver"),
                 checkpoint_dir=str(ckpt),
-                schema=EVENTS_NANOS_SCHEMA,
+                schema=read_schema,
+                transform=normalize_ts,
             )
 
         r1 = pipe(tmp_path / "ckpt").run_once()
@@ -208,17 +208,16 @@ class TestActionDispatcher:
         import json
         import shutil
 
+        from serverless_etl_aws_spark.catalog import events_reader_setup
         from serverless_etl_aws_spark.pipeline.actions import ActionDispatcher
         from serverless_etl_aws_spark.pipeline.ingest import IncrementalIngest
-        from serverless_etl_aws_spark.queries.pipeline_ops import (
-            EVENTS_NANOS_SCHEMA,
-        )
 
         bronze = tmp_path / "bronze"
         bronze.mkdir()
         shutil.copy(
             os.path.join(sf_dir, "events.parquet"), bronze / "f1.parquet"
         )
+        read_schema, normalize_ts = events_reader_setup(spark, str(bronze))
         d = ActionDispatcher(
             str(bronze), str(tmp_path / "ckpt"), str(tmp_path / "archive")
         )
@@ -233,7 +232,8 @@ class TestActionDispatcher:
             bronze_dir=str(bronze),
             silver_dir=str(tmp_path / "silver"),
             checkpoint_dir=str(tmp_path / "ckpt"),
-            schema=EVENTS_NANOS_SCHEMA,
+            schema=read_schema,
+            transform=normalize_ts,
         ).run_once()
         resp = d.handle({"action": "get_unprocessed"})
         assert json.loads(resp["body"])["files"] == []  # checkpoint knows

@@ -82,7 +82,6 @@ def test_watermark_actually_drops_late_rows(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from serverless_etl_aws_spark.streaming.windows import (
-        EVENTS_NANOS_SCHEMA,
         _events_stream,
         late_data_counts,
         run_stream_to_memory,
