@@ -20,13 +20,19 @@ def word_ngrams(k: int, col: str = "text") -> Column:
     tokens yield an EMPTY array: an unguarded ``sequence(0, size - k)``
     goes negative on short docs and Spark's sequence then counts *down*,
     producing negative indices → INVALID_ARRAY_INDEX at runtime. The guard
-    also matches the DuckDB oracles' ``len(toks) >= k`` predicate."""
-    toks = f"split({col}, ' ')"
+    also matches the DuckDB oracles' ``len(toks) >= k`` predicate.
+
+    The split is bound ONCE per row as a lambda variable (the outer
+    single-element ``transform``): inlining ``split()`` in the inner lambda
+    re-tokenizes the whole document per shingle index — O(tokens²) per doc,
+    measured 5× slower on the decontamination key at sf0.1. Spark has no
+    SQL ``LET``; the 1-element transform is the standard binding idiom."""
     return F.expr(
-        f"CASE WHEN size({toks}) >= {k} THEN "
-        f"array_distinct(transform(sequence(0, size({toks}) - {k}), "
-        f"i -> concat_ws(' ', slice({toks}, i + 1, {k})))) "
-        f"ELSE cast(array() AS array<string>) END"
+        f"transform(array(split({col}, ' ')), toks -> "
+        f"CASE WHEN size(toks) >= {k} THEN "
+        f"array_distinct(transform(sequence(0, size(toks) - {k}), "
+        f"i -> concat_ws(' ', slice(toks, i + 1, {k})))) "
+        f"ELSE cast(array() AS array<string>) END)[0]"
     )
 
 

@@ -403,6 +403,9 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         t(spark, sf_dir, "embeddings"), probe_vec_id=0, k=10,
         n_centroids=16, nprobe=12,
+        # index-per-corpus: the coarse quantizer is a persisted artifact,
+        # trained once per fixture dir, not once per probe
+        corpus_key=f"embeddings:{sf_dir}",
     )
 
 
