@@ -137,7 +137,16 @@ def run_stream_to_memory(
                 q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    # Snapshot the sink rows into block storage and DROP the memory-sink
+    # temp view: the sink object holds every result row on the driver for
+    # as long as the view is registered, so a long session draining many
+    # streams (the bench: 7 stream keys × 2 runs) accumulates them all —
+    # measured as multi-second GC stalls landing on whichever key runs
+    # next. The localCheckpoint blocks are freed by the ContextCleaner as
+    # soon as the returned DataFrame is garbage-collected.
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def tumbling_counts(stream: DataFrame) -> DataFrame:

@@ -315,3 +315,49 @@ def test_warehouse_export_jdbc_stub_invoked(spark, tmp_path):
     )
     exp.export(spark.range(7), "dim_seq")
     assert calls == [(7, "dim_seq")]
+
+
+class TestWarehouseJdbc:
+    def test_export_pushes_through_jdbc_writer(self, spark, tmp_path):
+        """Completes the reference's declared warehouse milestone
+        (reference README.md:117-118, never built there): the export layer
+        drives a REAL ``write.jdbc`` against Spark's bundled embedded
+        Derby, and the loaded table round-trips. The connection is
+        injected (``jdbc_writer`` factory) exactly as a Redshift/Snowflake
+        deployment would inject theirs — the engine code is
+        warehouse-agnostic."""
+        from serverless_etl_aws_spark.pipeline.export import (
+            WarehouseExporter,
+            jdbc_writer,
+        )
+
+        url = "jdbc:derby:memory:whtest;create=true"
+        props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+        try:
+            spark._jvm.java.lang.Class.forName(props["driver"])
+        except Exception:
+            pytest.skip("Derby JDBC driver not on the Spark classpath")
+
+        df = spark.createDataFrame(
+            [("1-URGENT", 3, 90.5), ("2-HIGH", 5, 10.25)],
+            "o_orderpriority string, order_count int, sum_totalprice double",
+        )
+        exporter = WarehouseExporter(
+            str(tmp_path / "wh"), jdbc_writer=jdbc_writer(url, props)
+        )
+        manifest = exporter.export(df, "gold_orders")
+
+        # manifest hand-off AND the direct JDBC load see identical rows
+        via_manifest = {
+            tuple(r) for r in exporter.read_batch(spark, manifest).collect()
+        }
+        via_jdbc = {
+            tuple(r)
+            for r in spark.read.jdbc(
+                url, "gold_orders", properties=props
+            ).collect()
+        }
+        assert via_manifest == via_jdbc == {
+            ("1-URGENT", 3, 90.5),
+            ("2-HIGH", 5, 10.25),
+        }
