@@ -243,17 +243,28 @@ def embedding_cosine_pairs(
             k=k, seed=seed, featuresCol="__fv", predictionCol="__sub"
         ).fit(feats)
         blocked = model.transform(feats).drop("__fv").unionByName(small)
+    # Per-row norms are hoisted BEFORE the pair join: inside the join,
+    # cosine_expr would recompute |a| and |b| per PAIR (O(pairs) extra
+    # higher-order-function evaluations — zip_with/aggregate are
+    # interpreted, not codegen'd, so they dominate the exact path).
+    # dot/(na*nb) is arithmetically identical to cosine_expr, so oracle
+    # hashes are unchanged.
+    from .simsearch import _dot
+
+    norm = F.sqrt(_dot(vec_col, vec_col))
     a = blocked.select(
         F.col(id_col).alias("vec_a"),
         F.col(block_col),
         F.col("__sub"),
         F.col(vec_col).alias("va"),
+        norm.alias("__na"),
     )
     b = blocked.select(
         F.col(id_col).alias("vec_b"),
         F.col(block_col).alias("__blk_b"),
         F.col("__sub").alias("__sub_b"),
         F.col(vec_col).alias("vb"),
+        norm.alias("__nb"),
     )
     return (
         a.join(
@@ -262,7 +273,10 @@ def embedding_cosine_pairs(
             & (F.col("__sub") == F.col("__sub_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
-        .withColumn("cosine", quant6(cosine_expr("va", "vb")))
+        .withColumn(
+            "cosine",
+            quant6(_dot("va", "vb") / (F.col("__na") * F.col("__nb"))),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", block_col, "cosine")
     )
