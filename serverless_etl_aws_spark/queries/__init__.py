@@ -65,6 +65,7 @@ def build_registry() -> dict[str, Query]:
         aggregates,
         extras,
         extras2,
+        extras3,
         joins,
         llm,
         pipeline_ops,
@@ -89,6 +90,7 @@ def build_registry() -> dict[str, Query]:
         llm,
         extras,
         extras2,
+        extras3,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

@@ -1,0 +1,323 @@
+"""Third extension wave — lakehouse maintenance + training-data pipeline
+breadth: batch k-NN join (two-stage partial top-k), small-file compaction,
+declarative data-quality audit, and snapshot-incremental corpus dedup.
+
+All float outputs follow the engine's cross-engine discipline
+(``queries/_util.py``): exact decimal sums and floor-quantization — never
+``ROUND(double)``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.simsearch import SQL_COSINE, cosine_expr, quant6
+from ..operators.text import SQL_FINGERPRINT, fingerprint
+from . import Query
+from ._util import dsum, sql_dsum, t, scratch_root
+
+SCRATCH = scratch_root()
+
+
+def _fresh(path: str) -> str:
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+# ------------------------------------------------------------- k-NN join
+
+KNN_K = 5
+KNN_N_PROBES = 5
+
+
+def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: top-``KNN_K`` cosine neighbors for EVERY probe in a
+    probe set (vec_id < 5), not just one — the shape dataset-distillation
+    and retrieval-augmentation pipelines actually run (N queries × corpus).
+
+    Scale design: the probe set is broadcast (tiny side), scoring is one
+    map-side pass over the corpus (corpus never shuffles whole), and top-k
+    is TWO-STAGE — a per-(probe, input-partition) partial top-k via
+    ``array_sort + slice`` over grouped structs (state ≤ partition rows,
+    output ≤ k per group), then a merge of the ≤ k·P partials per probe.
+    The full corpus×probes cross product never crosses an exchange; only
+    k·P candidate structs per probe do. A single window rank over
+    (probe_id) would shuffle all corpus×probes scored rows instead.
+
+    Float discipline: cosines are quant6-floored from bit-identical JVM
+    expressions, vec_id tie-break — same contract the hash-green
+    ``llm_sim_search`` key uses.
+    """
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < KNN_N_PROBES)
+        .select(F.col("vec_id").alias("pid"), F.col("v").alias("pv"))
+    )
+    scored = (
+        emb.filter(F.col("vec_id") >= KNN_N_PROBES)
+        .join(F.broadcast(probes))
+        .select(
+            "pid",
+            "vec_id",
+            quant6(cosine_expr("v", "pv")).alias("cosine"),
+        )
+    )
+    # struct sorts ascending field-by-field: (-cosine, vec_id) ascending
+    # == cosine descending with vec_id tie-break.
+    cand = F.struct(
+        (-F.col("cosine")).alias("nc"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("cosine").alias("cosine"),
+    )
+    partial = (
+        scored.withColumn("part", F.spark_partition_id())
+        .groupBy("pid", "part")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(cand)), 1, KNN_K
+            ).alias("top")
+        )
+    )
+    merged = partial.groupBy("pid").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("top"))), 1, KNN_K
+        ).alias("top")
+    )
+    return merged.select(
+        "pid", F.explode("top").alias("e")
+    ).select("pid", "e.vec_id", "e.cosine")
+
+
+LLM_KNN_JOIN_SQL = f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), cand AS (
+    SELECT p.vec_id AS pid, c.vec_id,
+           floor(({SQL_COSINE.replace('va', 'c.emb').replace('vb', 'p.emb')})
+                 * 1000000.0) / 1000000.0 AS cosine
+    FROM e c CROSS JOIN e p
+    WHERE p.vec_id < {KNN_N_PROBES} AND c.vec_id >= {KNN_N_PROBES}
+), ranked AS (
+    SELECT pid, vec_id, cosine,
+           row_number() OVER (PARTITION BY pid
+                              ORDER BY cosine DESC, vec_id) AS rn
+    FROM cand
+)
+SELECT pid, vec_id, cosine FROM ranked WHERE rn <= {KNN_K}
+"""
+
+
+# ------------------------------------------------------- compaction job
+
+
+def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the lakehouse maintenance job every
+    ingest-heavy table needs (a 1000-executor stream writing per-batch
+    files degrades scans until someone rewrites them). The job: read the
+    fragmented table, bin-pack to ``ceil(bytes / target_file_size)``
+    output files via ``coalesce`` (NO shuffle — coalesce merges partitions
+    in place; ``repartition`` would pay a full exchange for nothing), and
+    rewrite. Content must be bit-preserved, which is exactly what the
+    oracle checks: the returned aggregate over the COMPACTED files must
+    hash-match the same aggregate over the original table. File-count
+    reduction itself is asserted in tests/test_operators.py.
+    """
+    base = _fresh(os.path.join(SCRATCH, "maintenance_compact"))
+    frag_dir = os.path.join(base, "fragmented")
+    out_dir = os.path.join(base, "compacted")
+    li = t(spark, sf_dir, "lineitem")
+    # simulate an ingest-fragmented table: 64 small files
+    li.repartition(64).write.mode("errorifexists").parquet(frag_dir)
+
+    frag = spark.read.parquet(frag_dir)
+    bytes_total = sum(
+        os.path.getsize(os.path.join(frag_dir, f))
+        for f in os.listdir(frag_dir)
+        if f.endswith(".parquet")
+    )
+    target = 64 * 1024 * 1024  # 64 MB files; ~128 MB is typical at scale
+    n_out = max(1, -(-bytes_total // target))
+    frag.coalesce(int(n_out)).write.mode("errorifexists").parquet(out_dir)
+
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("line_count"),
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
+MAINTENANCE_COMPACT_SQL = f"""
+SELECT l_returnflag,
+       COUNT(*) AS line_count,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------- data-quality audit
+
+
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (Deequ-style expectations): one row
+    per rule with its violation count. All per-table rules evaluate in a
+    SINGLE conditional-aggregation pass over that table (``sum(case
+    when)`` — map-side combinable, one scan regardless of rule count),
+    then unpivot via ``stack``. The uniqueness rule needs a distinct and
+    runs as its own aggregate. This is the audit layer the reference's
+    clean_taxi step implies but never formalizes (reference:
+    src/glue_scripts/bronze_to_silver.py drops nulls silently).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    ev = t(spark, sf_dir, "events")
+
+    def viol(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    li_counts = li.agg(
+        viol(~F.col("l_quantity").between(1, 50)).alias("qty_range"),
+        viol(~F.col("l_discount").between(0.0, 0.10)).alias("disc_range"),
+        viol(F.col("l_shipdate").isNull()).alias("shipdate_null"),
+        viol(
+            F.col("l_extendedprice") <= F.lit(0.0)
+        ).alias("price_nonpositive"),
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(F.struct("l_orderkey", "l_linenumber"))
+        ).cast("long").alias("line_key_dup"),
+    )
+    ev_counts = ev.agg(
+        viol(F.col("ts").isNull()).alias("ts_null"),
+        viol(F.col("user_id").isNull()).alias("user_null"),
+        viol(
+            F.col("value").isNotNull() & (F.col("value") < 0.0)
+        ).alias("value_negative"),
+    )
+    li_rules = li_counts.select(
+        F.expr(
+            "stack(5,"
+            " 'lineitem.qty_range', qty_range,"
+            " 'lineitem.disc_range', disc_range,"
+            " 'lineitem.shipdate_null', shipdate_null,"
+            " 'lineitem.price_nonpositive', price_nonpositive,"
+            " 'lineitem.line_key_dup', line_key_dup)"
+            " AS (rule, violations)"
+        )
+    )
+    ev_rules = ev_counts.select(
+        F.expr(
+            "stack(3,"
+            " 'events.ts_null', ts_null,"
+            " 'events.user_null', user_null,"
+            " 'events.value_negative', value_negative)"
+            " AS (rule, violations)"
+        )
+    )
+    return li_rules.unionByName(ev_rules)
+
+
+# Every aggregate is CAST to BIGINT: DuckDB's SUM over integers returns
+# HUGEINT (int128), which pandas materializes as float — "0.0" vs
+# Spark's long "0" — a pure dtype artifact that would hash-mismatch.
+DQ_EXPECTATIONS_SQL = """
+SELECT 'lineitem.qty_range' AS rule,
+       CAST(SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END)
+            AS BIGINT) AS violations FROM lineitem
+UNION ALL
+SELECT 'lineitem.disc_range',
+       CAST(SUM(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.10
+                     THEN 1 ELSE 0 END) AS BIGINT)
+       FROM lineitem
+UNION ALL
+SELECT 'lineitem.shipdate_null',
+       CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       FROM lineitem
+UNION ALL
+SELECT 'lineitem.price_nonpositive',
+       CAST(SUM(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+       FROM lineitem
+UNION ALL
+SELECT 'lineitem.line_key_dup',
+       CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+       FROM lineitem
+UNION ALL
+SELECT 'events.ts_null',
+       CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+UNION ALL
+SELECT 'events.user_null',
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       FROM events
+UNION ALL
+SELECT 'events.value_negative',
+       CAST(SUM(CASE WHEN value IS NOT NULL AND value < 0.0
+                     THEN 1 ELSE 0 END) AS BIGINT)
+       FROM events
+"""
+
+
+# ------------------------------------------- snapshot-incremental dedup
+
+
+def llm_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup — the INCREMENTAL shape of corpus dedup: new
+    documents (here ``doc_id % 4 == 0``) are checked against the previous
+    snapshot (the other 75%) by exact content fingerprint, and only the
+    duplicated new docs are reported with their snapshot-match count. At
+    100 TB this is a fingerprint equi-join where only the (hash, id)
+    projection shuffles — never document text — and the snapshot side is
+    a pre-computed fingerprint table maintained by ingest, not recomputed
+    (recomputed here because the fixture has no state dir).
+    """
+    docs = t(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", fingerprint("text").alias("fp"))
+    new = fp.filter(F.col("doc_id") % 4 == 0)
+    snapshot = fp.filter(F.col("doc_id") % 4 != 0).select(
+        F.col("fp"), F.col("doc_id").alias("snap_id")
+    )
+    return (
+        new.join(snapshot, "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("snapshot_matches"))
+    )
+
+
+LLM_CROSS_DEDUP_SQL = f"""
+WITH fp AS (
+    SELECT doc_id, {SQL_FINGERPRINT} AS fp FROM documents
+)
+SELECT n.doc_id, COUNT(*) AS snapshot_matches
+FROM (SELECT * FROM fp WHERE doc_id % 4 = 0) n
+JOIN (SELECT * FROM fp WHERE doc_id % 4 <> 0) s ON n.fp = s.fp
+GROUP BY n.doc_id
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "llm_knn_join": Query(
+        llm_knn_join, LLM_KNN_JOIN_SQL,
+        "batch k-NN join, two-stage partial top-k",
+    ),
+    "maintenance_compact": Query(
+        maintenance_compact, MAINTENANCE_COMPACT_SQL,
+        "small-file compaction with content-preservation oracle",
+    ),
+    "dq_expectations": Query(
+        dq_expectations, DQ_EXPECTATIONS_SQL,
+        "declarative data-quality audit (one pass per table)",
+    ),
+    "llm_cross_dedup": Query(
+        llm_cross_dedup, LLM_CROSS_DEDUP_SQL,
+        "snapshot-incremental fingerprint dedup",
+    ),
+}

@@ -431,3 +431,26 @@ def test_sketch_merge_estimates_match_exact(spark, sf_dir):
         d, n = exact[k]
         assert rows == n
         assert abs(approx - d) / d <= 0.05
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    """maintenance_compact must actually compact: same rows (checked by
+    its oracle), far fewer files — 64 fragmented files bin-packed toward
+    the 64 MB target (tiny fixture bytes → 1 output file)."""
+    import os
+
+    from serverless_etl_aws_spark.queries.extras3 import (
+        SCRATCH,
+        maintenance_compact,
+    )
+
+    maintenance_compact(spark, sf_dir).collect()
+    base = os.path.join(SCRATCH, "maintenance_compact")
+
+    def n_parquet(d):
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+    n_frag = n_parquet(os.path.join(base, "fragmented"))
+    n_out = n_parquet(os.path.join(base, "compacted"))
+    assert n_frag == 64
+    assert n_out < n_frag // 8
