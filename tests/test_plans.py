@@ -113,3 +113,54 @@ def test_no_cartesian_product_in_registry(spark, sf_dir):
         if "CartesianProduct" in plan_of(df):
             offenders.append(key)
     assert offenders == []
+
+
+def test_knn_join_probes_broadcast_no_corpus_shuffle(spark, sf_dir):
+    """llm_knn_join's scale contract: probes broadcast (scoring is
+    map-side), and the only exchanges move the partial top-k structs —
+    the scored corpus×probes product itself never shuffles (no Exchange
+    below the first aggregate)."""
+    from serverless_etl_aws_spark.queries.extras3 import llm_knn_join
+
+    plan = plan_of(llm_knn_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # exchanges exist only above partial aggregation: every Exchange line
+    # must sit above the first HashAggregate/ObjectHashAggregate
+    first_agg = min(
+        i for i, line in enumerate(plan.splitlines())
+        if "Aggregate" in line
+    )
+    for i, line in enumerate(plan.splitlines()):
+        if "Exchange" in line and "Broadcast" not in line:
+            assert i < first_agg or any(
+                "Aggregate" in l for l in plan.splitlines()[i:]
+            ), plan
+
+
+def test_compaction_plan_has_no_shuffle(spark, sf_dir):
+    """The compaction rewrite must be coalesce (merge in place), never a
+    full exchange: read fragmented → coalesce(n) plans zero Exchange."""
+    from serverless_etl_aws_spark.queries.extras3 import (
+        SCRATCH,
+        maintenance_compact,
+    )
+    import os
+
+    maintenance_compact(spark, sf_dir).collect()  # stages the scratch dirs
+    frag = spark.read.parquet(
+        os.path.join(SCRATCH, "maintenance_compact", "fragmented")
+    )
+    plan = plan_of(frag.coalesce(1))
+    assert "Exchange" not in plan, plan
+
+
+def test_dq_expectations_single_pass_per_table(spark, sf_dir):
+    """All lineitem rules must evaluate in one scan: the plan reads the
+    lineitem parquet exactly once (plus one scan for the distinct-key
+    rule's aggregate — same scan node, so ≤ 2 file scans total), and
+    events exactly once."""
+    from serverless_etl_aws_spark.queries.extras3 import dq_expectations
+
+    plan = plan_of(dq_expectations(spark, sf_dir))
+    assert plan.count("lineitem.parquet") <= 2, plan
+    assert plan.count("events.parquet") <= 1, plan
