@@ -454,3 +454,65 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     n_out = n_parquet(os.path.join(base, "compacted"))
     assert n_frag == 64
     assert n_out < n_frag // 8
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    scored=st.lists(
+        st.tuples(
+            st.integers(0, 2),            # pid
+            st.integers(100, 139),        # vec_id
+            st.integers(-5, 5),           # coarse score -> forces ties
+        ),
+        min_size=0, max_size=40,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+def test_knn_two_stage_topk_equals_window_rank(spark, scored):
+    """The two-stage partial top-k (per-partition array_sort+slice, then
+    merge) must equal the naive window row_number formulation on arbitrary
+    scored data — including tied scores, groups smaller than k, and empty
+    input. Scores are small integers so ties are common; the vec_id
+    tie-break must pick identical rows in both formulations."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    K = 3
+    df = spark.createDataFrame(
+        [(p, v, float(s)) for p, v, s in scored],
+        "pid int, vec_id long, cosine double",
+    ).repartition(4)  # force multiple partials per pid
+
+    cand = F.struct(
+        (-F.col("cosine")).alias("nc"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("cosine").alias("cosine"),
+    )
+    partial = (
+        df.withColumn("part", F.spark_partition_id())
+        .groupBy("pid", "part")
+        .agg(F.slice(F.array_sort(F.collect_list(cand)), 1, K).alias("top"))
+    )
+    two_stage = {
+        (r["pid"], r["e"]["vec_id"], r["e"]["cosine"])
+        for r in partial.groupBy("pid")
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("top"))), 1, K
+            ).alias("top")
+        )
+        .select("pid", F.explode("top").alias("e"))
+        .collect()
+    }
+    w = Window.partitionBy("pid").orderBy(F.col("cosine").desc(), "vec_id")
+    naive = {
+        (r["pid"], r["vec_id"], r["cosine"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .collect()
+    }
+    assert two_stage == naive
