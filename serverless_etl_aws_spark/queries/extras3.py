@@ -321,3 +321,148 @@ QUERIES: dict[str, Query] = {
         "snapshot-incremental fingerprint dedup",
     ),
 }
+
+
+# ------------------------------------------------- batch sessionization
+
+
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the gaps-and-islands window composition
+    (lag → boundary flag → running sum → group), produced to EXACTLY the
+    same output contract as the streaming ``stream_session`` key and
+    checked against the SAME oracle SQL: explicit proof the engine's batch
+    and streaming session semantics agree (Spark session_window's
+    end = last event + gap).
+
+    Scale: two window passes and one aggregate, all partitioned by
+    ``user_id`` — one shuffle total (the window partitions carry through
+    to the groupBy under AQE)."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_min = 30
+    flagged = ev.withColumn(
+        "new_session",
+        (
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            > gap_min * 60
+        ).cast("int"),
+    ).withColumn(
+        "new_session",
+        F.coalesce(F.col("new_session"), F.lit(1)),
+    )
+    sid = flagged.withColumn(
+        "sid",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        sid.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.count(F.lit(1)).alias("event_count"),
+        )
+        .select(
+            F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format(
+                F.col("end_ts") + F.expr(f"INTERVAL {gap_min} MINUTES"),
+                "yyyy-MM-dd HH:mm:ss.SSSSSS",
+            ).alias("session_end"),
+            "user_id",
+            "event_count",
+        )
+    )
+
+
+# Same oracle as the streaming key — that equality IS the point.
+from .streaming_ops import STREAM_SESSION_SQL as WIN_SESSIONIZE_SQL  # noqa: E402
+
+
+# ------------------------------------------------------ conversion funnel
+
+
+def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: how many users did view → click →
+    purchase IN THAT ORDER (each later stage strictly after the user's
+    first event of the previous stage). The product-analytics op every
+    event warehouse runs.
+
+    Scale: one aggregate per stage, each keyed on ``user_id`` with the
+    previous stage's first-times joined back (shuffle on user_id, AQE-
+    coalesced; stage tables shrink monotonically). No collect, no window
+    over the whole event stream."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(prev: DataFrame, etype: str) -> DataFrame:
+        joined = ev.filter(F.col("event_type") == etype).join(
+            prev.select("user_id", F.col("t").alias("prev_t")), "user_id"
+        )
+        return (
+            joined.filter(F.col("ts") > F.col("prev_t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    c = first_after(v, "click")
+    p = first_after(c, "purchase")
+    return (
+        v.agg(F.count(F.lit(1)).cast("long").alias("users"))
+        .select(F.lit("1_view").alias("stage"), "users")
+        .unionByName(
+            c.agg(F.count(F.lit(1)).cast("long").alias("users")).select(
+                F.lit("2_view_click").alias("stage"), "users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).cast("long").alias("users")).select(
+                F.lit("3_view_click_purchase").alias("stage"), "users"
+            )
+        )
+    )
+
+
+AGG_FUNNEL_SQL = """
+WITH v AS (
+    SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t
+    GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM v
+UNION ALL
+SELECT '2_view_click', CAST(COUNT(*) AS BIGINT) FROM c
+UNION ALL
+SELECT '3_view_click_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+"""
+
+
+QUERIES.update(
+    {
+        "win_sessionize": Query(
+            win_sessionize, WIN_SESSIONIZE_SQL,
+            "batch gaps-and-islands sessionization (same oracle as stream_session)",
+        ),
+        "agg_funnel": Query(
+            agg_funnel, AGG_FUNNEL_SQL,
+            "ordered conversion funnel (view>click>purchase)",
+        ),
+    }
+)
