@@ -466,3 +466,95 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------- statistical LM quality
+
+
+def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical language-model quality score — the classic
+    perplexity-style quality filter of training-data pipelines, kept
+    transcendental-free so it hash-matches across engines: score a doc by
+    the MEAN CORPUS PROBABILITY of its bigrams (p = corpus_count/total —
+    pure integer division into IEEE doubles; `ln()` differs in the last
+    ulp between libm implementations, so no logs). Repetitive/templated
+    docs score high, rare-garbage docs score low — same ordering signal
+    as negative perplexity.
+
+    Scale: bigram counting is one map-side-combinable groupBy; the
+    doc-bigram ⋈ corpus-count equi-join shuffles on the gram hash (the
+    standard LM-training shuffle; skewed hot grams are exactly what AQE
+    skew-join splits). The mean uses the engine's decimal-sum discipline
+    (sum order differs between engines; decimal accumulation is exact).
+    """
+    docs = t(spark, sf_dir, "documents")
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(array(split(text, ' ')), toks -> "
+                "CASE WHEN size(toks) >= 2 THEN "
+                "transform(sequence(0, size(toks) - 2), "
+                "i -> concat_ws(' ', toks[i], toks[i + 1])) "
+                "ELSE cast(array() AS array<string>) END)[0]"
+            )
+        ).alias("gram"),
+    )
+    counts = bigrams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("gram_n")
+    )
+    total = bigrams.agg(F.count(F.lit(1)).alias("total_n"))
+    scored = (
+        bigrams.join(counts, "gram")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (F.col("gram_n").cast("double") / F.col("total_n")).alias("p"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        (
+            F.floor(
+                F.sum(F.col("p").cast("decimal(28,18)")).cast("double")
+                / F.count(F.lit(1))
+                * 1000000000.0
+            )
+            / 1000000000.0
+        ).alias("avg_p"),
+    )
+
+
+LLM_BIGRAM_LM_SQL = """
+WITH bigrams AS (
+    SELECT doc_id, unnest(grams) AS gram
+    FROM (
+        SELECT doc_id,
+               [array_to_string(toks[i:i+1], ' ')
+                for i in range(1, len(toks))] AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 2
+    )
+), counts AS (
+    SELECT gram, COUNT(*) AS gram_n FROM bigrams GROUP BY gram
+), total AS (
+    SELECT COUNT(*) AS total_n FROM bigrams
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       floor(CAST(SUM(CAST(CAST(c.gram_n AS DOUBLE) / t.total_n
+                           AS DECIMAL(28,18))) AS DOUBLE)
+             / COUNT(*) * 1000000000.0) / 1000000000.0 AS avg_p
+FROM bigrams b JOIN counts c ON b.gram = c.gram CROSS JOIN total t
+GROUP BY b.doc_id
+"""
+
+
+QUERIES.update(
+    {
+        "llm_bigram_lm": Query(
+            llm_bigram_lm, LLM_BIGRAM_LM_SQL,
+            "bigram statistical-LM quality score (transcendental-free)",
+        ),
+    }
+)
