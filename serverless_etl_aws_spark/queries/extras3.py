@@ -342,11 +342,17 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select("user_id", "ts")
     w = Window.partitionBy("user_id").orderBy("ts")
     gap_min = 30
+    # Compare gaps at MICROSECOND precision: the oracle's
+    # `> INTERVAL 30 minutes` is exact on timestamp(us) values, while
+    # `ts.cast('long')` truncates to whole seconds — a true gap in
+    # (1800s, 1801s) would truncate to exactly 1800 and split sessions
+    # differently from the oracle on unlucky fixture data.
+    gap_us = gap_min * 60 * 1_000_000
     flagged = ev.withColumn(
         "new_session",
         (
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-            > gap_min * 60
+            F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+            > gap_us
         ).cast("int"),
     ).withColumn(
         "new_session",
