@@ -14,12 +14,22 @@ partial aggregation does not apply, but AQE coalesces the output).
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 from pyspark.sql.window import Window
 
 from . import Query
-from ._util import t
+from ._util import t, scratch_root
 
 
 def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,8 +148,94 @@ FROM (
 """
 
 
+# Declared superset schema for the drifted multi-file scan below. The
+# engine's schema-evolution contract: the reader declares the CURRENT
+# schema; historical files may lack columns (read as NULL) or store a
+# narrower physical type (widened on read — Spark 4 parquet readers
+# upcast int32→int64 etc.).
+MERGE_SCHEMA_DECLARED = StructType(
+    [
+        StructField("o_orderkey", LongType()),
+        StructField("o_custkey", LongType()),
+        StructField("o_totalprice", DoubleType()),
+        StructField("o_orderpriority", StringType()),
+    ]
+)
+
+
+def stage_drifted_orders(sf_dir: str, base: str) -> tuple[str, str]:
+    """Fabricate the two 'monthly drop' files whose schemas drift — the
+    situation the reference's multi-file scan hits on real TLC data
+    (reference: src/glue_scripts/bronze_to_silver.py:45 reads N monthly
+    files in one call; TLC months add/retype columns across years).
+
+    v1 (old producer): rows with ``o_orderkey % 3 != 0``; ``o_orderkey``
+    stored as *int32* and NO ``o_orderpriority`` column.
+    v2 (new producer): the remaining rows; ``o_orderkey`` widened to
+    int64 and ``o_orderpriority`` added.
+
+    Driver-side pyarrow scaffolding (same rationale as
+    split_parquet_by_mod): the operator under test is the Spark read, not
+    the fabrication."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+    )
+    mod = pa.array(tbl["o_orderkey"].to_numpy(zero_copy_only=False) % 3 == 0)
+    old = tbl.filter(pc.invert(mod)).drop_columns(["o_orderpriority"])
+    old = old.set_column(
+        0, "o_orderkey", pc.cast(old["o_orderkey"], pa.int32())
+    )
+    new = tbl.filter(mod)
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    os.makedirs(base)
+    p_old = os.path.join(base, "orders_2019_01.parquet")
+    p_new = os.path.join(base, "orders_2019_02.parquet")
+    pq.write_table(old, p_old)
+    pq.write_table(new, p_new)
+    return p_old, p_new
+
+
+def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift multi-file scan: one declared-schema read over files
+    whose physical schemas differ (missing column → NULL, int32 → int64
+    widened). This is the production shape of the reference's bronze scan
+    (bronze_to_silver.py:45) once monthly files drift.
+
+    Scale: a plain multi-file parquet scan — no shuffle, no per-file
+    driver loop; schema resolution is per-file at the reader, so 10⁵
+    drifted files cost the same plan. ``mergeSchema`` (footer-union) is
+    deliberately NOT used: it both fails on retyped columns and requires
+    a footer pass over every file at planning time — the declared-schema
+    contract is the 100 TB-sane one."""
+    base = os.path.join(scratch_root(), "scan_merge_schema")
+    p_old, p_new = stage_drifted_orders(sf_dir, base)
+    return spark.read.schema(MERGE_SCHEMA_DECLARED).parquet(p_old, p_new)
+
+
+# Oracle reconstructs the drift from the base table: rows from the old
+# file (o_orderkey % 3 != 0) must surface NULL o_orderpriority.
+MERGE_SCHEMA_SQL = """
+SELECT o_orderkey,
+       o_custkey,
+       o_totalprice,
+       CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority END
+           AS o_orderpriority
+FROM orders
+"""
+
+
 QUERIES: dict[str, Query] = {
     "scan_parquet": Query(scan_parquet, SCAN_SQL, "full lineitem scan"),
+    "scan_merge_schema": Query(
+        scan_merge_schema, MERGE_SCHEMA_SQL,
+        "declared-schema evolution over drifted multi-file scan",
+    ),
     "project_rename": Query(project_rename, PROJECT_SQL, "select+alias+compute"),
     "filter_pred": Query(filter_pred, FILTER_SQL, "conjunctive pushdown filters"),
     "filter_null": Query(filter_null, FILTER_NULL_SQL, "null-safe predicates"),

@@ -516,3 +516,22 @@ def test_knn_two_stage_topk_equals_window_rank(spark, scored):
         .collect()
     }
     assert two_stage == naive
+
+
+def test_merge_schema_missing_column_nulls_not_errors(spark, sf_dir):
+    """Schema-drift contract: a file written before a column existed reads
+    back with that column NULL (not an error), and a column stored as
+    int32 widens to the declared int64."""
+    from serverless_etl_aws_spark.queries.relational import scan_merge_schema
+
+    df = scan_merge_schema(spark, sf_dir)
+    assert dict(df.dtypes)["o_orderkey"] == "bigint"
+    old_rows = df.filter(F.col("o_orderkey") % 3 != 0)
+    new_rows = df.filter(F.col("o_orderkey") % 3 == 0)
+    assert old_rows.count() > 0 and new_rows.count() > 0
+    # every old-producer row nulls the missing column; no new-producer row does
+    assert old_rows.filter(F.col("o_orderpriority").isNotNull()).count() == 0
+    assert new_rows.filter(F.col("o_orderpriority").isNull()).count() == 0
+    # nothing lost relative to the base table
+    base = load_table(spark, sf_dir, "orders")
+    assert df.count() == base.count()
