@@ -37,6 +37,12 @@ from pyspark.sql.types import StructType
 from .report import RunReport
 
 
+#: Upper bound on partition values carried through the silver write's
+#: Observation. Far above any sane partition-column cardinality; past it
+#: the hook falls back to its own capped distinct (and its loud failure).
+_TOUCHED_OBS_CAP = 100_000
+
+
 @dataclass
 class IngestResult:
     files_processed: int
@@ -75,7 +81,21 @@ class IncrementalIngest:
         # DataFrame — downstream maintenance hook (e.g. gold rollup refresh,
         # pipeline/rollup.py). Runs before the checkpoint commit, so a crash
         # mid-hook replays the batch and the hook idempotently again.
+        # Hooks that also accept a ``touched`` parameter (rollup's
+        # refresh_for_batch) receive the batch's distinct partition values
+        # from the silver write's own Observation — zero extra jobs.
         self.post_batch = post_batch
+        self._post_batch_takes_touched = False
+        if post_batch is not None and partition_by:
+            import inspect
+
+            try:
+                params = inspect.signature(post_batch).parameters
+                self._post_batch_takes_touched = (
+                    "touched" in params or len(params) >= 2
+                )
+            except (TypeError, ValueError):
+                pass
 
     def run_once(self) -> IngestResult:
         """Drain all currently-available bronze files exactly once.
@@ -106,11 +126,27 @@ class IncrementalIngest:
 
             # Row count rides along with the write via the Observation API
             # — a separate ``batch_df.count()`` would re-read the whole
-            # batch from bronze a second time.
+            # batch from bronze a second time. When the maintenance hook
+            # wants the batch's touched partitions, those ride along too
+            # (sorted collect_set — bounded by contract: a partition
+            # column is low-cardinality; the slice caps the transfer and
+            # _TOUCHED_OBS_CAP overflow falls back to the hook's own
+            # capped-distinct path, which fails loudly past its limit).
             obs = Observation()
+            metrics = [F.count(F.lit(1)).alias("rows")]
+            if self._post_batch_takes_touched:
+                pcol = F.col(self.partition_by)
+                metrics.append(
+                    F.slice(
+                        F.sort_array(F.collect_set(pcol)),
+                        1,
+                        _TOUCHED_OBS_CAP,
+                    ).alias("touched")
+                )
+                metrics.append(F.size(F.collect_set(pcol)).alias("n_touched"))
             out = (
                 batch_df.withColumn("ingest_batch", F.lit(batch_id))
-                .observe(obs, F.count(F.lit(1)).alias("rows"))
+                .observe(obs, *metrics)
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .option("maxRecordsPerFile", self.max_records_per_file)
@@ -120,7 +156,14 @@ class IncrementalIngest:
             )
             out.partitionBy(*cols).parquet(self.silver_dir)
             if self.post_batch is not None:
-                self.post_batch(batch_df)
+                if self._post_batch_takes_touched:
+                    got = obs.get
+                    touched = list(got["touched"])
+                    if got["n_touched"] > len(touched):
+                        touched = None  # overflow: let the hook recount
+                    self.post_batch(batch_df, touched=touched)
+                else:
+                    self.post_batch(batch_df)
             counts["rows"] += int(obs.get["rows"])
             counts["batches"] += 1
 

@@ -51,36 +51,57 @@ class PartitionedRollup:
 
     def refresh_partitions(self, values: list) -> int:
         """Recompute the given gold partitions from silver and overwrite
-        exactly those (dynamic partition overwrite)."""
+        exactly those (dynamic partition overwrite).
+
+        The recomputed slice is coalesced before the write: its size is
+        bounded by construction (≤ ``max_touched_partitions`` partitions ×
+        the aggregate's group cardinality — aggregate rows, not fact rows),
+        and without the coalesce every post-AQE output task writes a file
+        into every touched partition dir, so files ≈ tasks × partitions.
+        ``write_tasks`` scales the writer count with the touched-partition
+        count (1 task per 32 partitions) rather than pinning 1, so a wide
+        backfill (say 10k partitions) still writes in parallel."""
         if not values:
             return 0
+        write_tasks = max(1, len(values) // 32)
         silver = self.spark.read.parquet(self.silver_dir)
         gold = self.aggregate(
             silver.filter(F.col(self.partition_col).isin(values))
         )
         (
-            gold.write.mode("overwrite")
+            gold.coalesce(write_tasks)
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(self.partition_col)
             .parquet(self.gold_dir)
         )
         return len(values)
 
-    def refresh_for_batch(self, batch_df: DataFrame) -> int:
+    def refresh_for_batch(
+        self, batch_df: DataFrame, touched: list | None = None
+    ) -> int:
         """Refresh the partitions a just-ingested batch touches (call from
         the ingest's foreachBatch, after the silver write).
 
-        The distinct-collect is bounded by ``max_touched_partitions``: a
-        partition column is by contract low-cardinality (days, payment
-        types), and a misconfigured high-cardinality column (an id, a
-        timestamp) must fail loudly HERE rather than OOM the driver —
-        the limit+1 fetch never materializes more than the cap."""
-        touched_df = (
-            batch_df.select(self.partition_col)
-            .distinct()
-            .limit(self.max_touched_partitions + 1)
-        )
-        touched = [r[0] for r in touched_df.collect()]
+        ``touched`` lets the caller hand over the batch's distinct
+        partition values when it already knows them — IncrementalIngest
+        rides a ``collect_set`` on its silver-write Observation, saving a
+        whole re-read-the-batch Spark job per micro-batch. When absent,
+        they are computed here with a capped distinct.
+
+        Either path is bounded by ``max_touched_partitions``: a partition
+        column is by contract low-cardinality (days, payment types), and a
+        misconfigured high-cardinality column (an id, a timestamp) must
+        fail loudly HERE rather than OOM the driver — the limit+1 fetch
+        (or the caller's sliced collect_set) never hands over more than
+        the cap."""
+        if touched is None:
+            touched_df = (
+                batch_df.select(self.partition_col)
+                .distinct()
+                .limit(self.max_touched_partitions + 1)
+            )
+            touched = [r[0] for r in touched_df.collect()]
         if len(touched) > self.max_touched_partitions:
             raise ValueError(
                 f"refresh_for_batch: batch touches more than "

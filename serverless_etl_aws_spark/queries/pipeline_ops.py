@@ -111,7 +111,18 @@ def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-event-type aggregate via partition-scoped recompute
     (pipeline/rollup.py). The oracle recomputes gold directly from the
     events table — the maintained table must equal the from-scratch
-    aggregate."""
+    aggregate.
+
+    Bench-history note (round-4 audit of the flagged r2→r3 "regression",
+    2.76→3.84 s warm): the r2 number was an artifact, not a baseline.
+    Round 2 ran the pre-footer-sniff ns decode against the already-µs
+    fixture, which collapsed every event to 1970-01-20 — the pipeline
+    maintained ONE gold date partition instead of ~30, so every silver
+    and gold commit was ~30× narrower. Re-running the r2 code on a
+    correct-unit fixture on the same machine measures 3.8–4.4 s warm,
+    i.e. equal to current code: the delta was the price of the correct
+    answer. (Evidence + method: docs/SCALING.md "Bench regression
+    audits".)"""
     from ..pipeline.rollup import PartitionedRollup
 
     base = _fresh(os.path.join(SCRATCH, "rollup_incremental"))
