@@ -112,5 +112,73 @@ class PartitionedRollup:
             )
         return self.refresh_partitions(touched)
 
+    def upsert(
+        self,
+        delta_gold: DataFrame,
+        merge: Callable[[DataFrame], DataFrame],
+    ) -> int:
+        """MERGE-shaped gold maintenance: combine a *delta* gold aggregate
+        into the existing gold rows by key, rewriting only the partitions
+        the delta touches (read-merge-overwrite — no table format / ACID
+        log needed, at the cost of partition-level rather than row-level
+        commit granularity).
+
+        Complements :meth:`refresh_partitions`: recompute reads SILVER for
+        the touched partitions (cost ∝ silver slice — right when silver is
+        cheap to re-scan or late data is a large share), while upsert reads
+        only the GOLD slice plus the delta (cost ∝ aggregate rows — right
+        when a few late rows land in big, already-built partitions, the
+        100 TB norm). Both are idempotent only per their inputs: replaying
+        the same delta twice double-counts, so drive upsert from an
+        exactly-once batch source (IncrementalIngest's foreachBatch).
+
+        ``merge`` receives ``existing_slice ∪ delta`` and must re-combine
+        rows by key (e.g. group-by-key summing additive partials). Partials
+        stored in gold must be mergeable EXACTLY — keep sums as decimals
+        and round only at read, else merged partials drift from a
+        from-scratch recompute in the last cent.
+
+        Returns the number of partitions rewritten."""
+        touched_df = (
+            delta_gold.select(self.partition_col)
+            .distinct()
+            .limit(self.max_touched_partitions + 1)
+        )
+        touched = [r[0] for r in touched_df.collect()]
+        if not touched:
+            return 0
+        if len(touched) > self.max_touched_partitions:
+            raise ValueError(
+                f"upsert: delta touches more than "
+                f"{self.max_touched_partitions} distinct "
+                f"{self.partition_col!r} values"
+            )
+        import os
+
+        if os.path.exists(self.gold_dir):
+            # Materialize the existing slice (localCheckpoint) before the
+            # write: the merged plan would otherwise read from the same
+            # path the dynamic overwrite rewrites. The slice is
+            # aggregate-sized (touched partitions × group keys), so the
+            # checkpoint is small by construction.
+            existing = (
+                self.read_gold()
+                .filter(F.col(self.partition_col).isin(touched))
+                .localCheckpoint(eager=True)
+            )
+            both = existing.unionByName(delta_gold)
+        else:
+            both = delta_gold
+        merged = merge(both)
+        write_tasks = max(1, len(touched) // 32)
+        (
+            merged.coalesce(write_tasks)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(self.partition_col)
+            .parquet(self.gold_dir)
+        )
+        return len(touched)
+
     def read_gold(self) -> DataFrame:
         return self.spark.read.parquet(self.gold_dir)

@@ -183,6 +183,84 @@ GROUP BY 1, 2
 """
 
 
+def rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-shaped gold maintenance (VERDICT r3 gap #2): late-arriving
+    rows MODIFY existing gold rows instead of appending new ones.
+
+    Build gold from the on-time half of events (event_id % 2 = 0), then a
+    late delta (the other half — same dates, same event types) arrives and
+    is upserted: the delta's partial aggregates merge by (event_date,
+    event_type) into rows that already exist in gold. The oracle is the
+    from-scratch aggregate over ALL events — an append-not-merge bug would
+    double the row count, and a lossy merge would miss counts, so the hash
+    check distinguishes upsert from both.
+
+    Exactness: gold stores the sum partial as DECIMAL(18,4) (unrounded)
+    and rounds only in the final read — merging two rounded partials would
+    drift from the oracle's single rounding in the last cent.
+
+    Scale: cost ∝ gold slice + delta aggregate, never silver history —
+    the right maintenance shape when a few late rows land in big,
+    already-built partitions."""
+    from ..pipeline.rollup import PartitionedRollup
+
+    base = _fresh(os.path.join(SCRATCH, "rollup_upsert"))
+    gold = os.path.join(base, "gold")
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+
+    def to_gold_partial(df):
+        return df.groupBy("event_date", "event_type").agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .alias("sum_value_exact"),
+        )
+
+    rollup = PartitionedRollup(
+        spark, silver_dir=base, gold_dir=gold,
+        partition_col="event_date", aggregate=to_gold_partial,
+    )
+    # initial build: the on-time half
+    on_time = to_gold_partial(ev.filter(F.col("event_id") % 2 == 0))
+    (
+        on_time.coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(gold)
+    )
+    # late delta: the other half, landing in the SAME partitions/keys
+    delta = to_gold_partial(ev.filter(F.col("event_id") % 2 == 1))
+
+    def merge(both):
+        return both.groupBy("event_date", "event_type").agg(
+            F.sum("event_count").alias("event_count"),
+            F.sum("sum_value_exact").cast("decimal(18,4)")
+            .alias("sum_value_exact"),
+        )
+
+    rollup.upsert(delta, merge)
+    return rollup.read_gold().select(
+        "event_date",
+        "event_type",
+        "event_count",
+        F.round(F.col("sum_value_exact"), 2).cast("double").alias("sum_value"),
+    )
+
+
+ROLLUP_UPSERT_SQL = """
+SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date,
+       event_type,
+       COUNT(*) AS event_count,
+       CAST(ROUND(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,4))), 2)
+            AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def export_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gold→warehouse hand-off (the reference's declared Redshift
     milestone, reference README.md:4 + 117-118): aggregate orders to a
@@ -228,5 +306,9 @@ QUERIES: dict[str, Query] = {
     "export_warehouse": Query(
         export_warehouse, EXPORT_WAREHOUSE_SQL,
         "gold→warehouse manifest export + loader readback",
+    ),
+    "rollup_upsert": Query(
+        rollup_upsert, ROLLUP_UPSERT_SQL,
+        "MERGE-shaped gold upsert: late rows modify existing gold rows",
     ),
 }

@@ -361,3 +361,67 @@ class TestWarehouseJdbc:
             ("1-URGENT", 3, 90.5),
             ("2-HIGH", 5, 10.25),
         }
+
+
+def test_rollup_upsert_merges_existing_and_creates_new(spark, tmp_path):
+    """MERGE semantics: a delta row for an existing (partition, key) must
+    MODIFY that gold row in place (no duplicate), and a delta row for an
+    unseen partition must create it; untouched partitions stay binary-
+    identical (their files are not rewritten)."""
+    from pyspark.sql import functions as F
+
+    from serverless_etl_aws_spark.pipeline.rollup import PartitionedRollup
+
+    gold_dir = str(tmp_path / "gold")
+    agg = lambda df: df.groupBy("day", "kind").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")
+    )
+    roll = PartitionedRollup(
+        spark,
+        silver_dir=str(tmp_path / "silver"),
+        gold_dir=gold_dir,
+        partition_col="day",
+        aggregate=agg,
+    )
+    initial = spark.createDataFrame(
+        [("d1", "a", 10), ("d1", "a", 5), ("d2", "b", 7)],
+        "day string, kind string, v long",
+    )
+    agg(initial).write.partitionBy("day").parquet(gold_dir)
+
+    untouched_files = {
+        f: os.path.getmtime(os.path.join(gold_dir, "day=d2", f))
+        for f in os.listdir(os.path.join(gold_dir, "day=d2"))
+        if f.endswith(".parquet")
+    }
+
+    delta = agg(
+        spark.createDataFrame(
+            [("d1", "a", 3), ("d3", "c", 1)], "day string, kind string, v long"
+        )
+    )
+
+    def merge(both):
+        return both.groupBy("day", "kind").agg(
+            F.sum("n").alias("n"), F.sum("total").alias("total")
+        )
+
+    rewritten = roll.upsert(delta, merge)
+    assert rewritten == 2  # d1 (existing) + d3 (new), NOT d2
+
+    rows = {
+        (r["day"], r["kind"]): (r["n"], r["total"])
+        for r in roll.read_gold().collect()
+    }
+    assert rows == {
+        ("d1", "a"): (3, 18),  # modified in place: 2+1 rows, 15+3
+        ("d2", "b"): (1, 7),   # untouched
+        ("d3", "c"): (1, 1),   # new partition
+    }
+    # d2's files were not rewritten (same names, same mtimes)
+    after = {
+        f: os.path.getmtime(os.path.join(gold_dir, "day=d2", f))
+        for f in os.listdir(os.path.join(gold_dir, "day=d2"))
+        if f.endswith(".parquet")
+    }
+    assert after == untouched_files
