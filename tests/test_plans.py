@@ -115,26 +115,104 @@ def test_no_cartesian_product_in_registry(spark, sf_dir):
     assert offenders == []
 
 
+def walk_plan(jnode):
+    """Depth-first walk of a JVM SparkPlan tree, yielding each node.
+    Descends through AQE wrappers: AdaptiveSparkPlanExec holds its live
+    plan behind ``executedPlan()``, query-stage nodes behind ``plan()`` —
+    ``children()`` is empty on both, so a naive walk sees one node."""
+    yield jnode
+    name = jnode.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        yield from walk_plan(jnode.executedPlan())
+        return
+    if name.endswith("QueryStageExec"):
+        yield from walk_plan(jnode.plan())
+        return
+    children = jnode.children()
+    for i in range(children.size()):
+        yield from walk_plan(children.apply(i))
+
+
+def node_name(jnode) -> str:
+    return jnode.getClass().getSimpleName()
+
+
 def test_knn_join_probes_broadcast_no_corpus_shuffle(spark, sf_dir):
     """llm_knn_join's scale contract: probes broadcast (scoring is
-    map-side), and the only exchanges move the partial top-k structs —
-    the scored corpus×probes product itself never shuffles (no Exchange
-    below the first aggregate)."""
+    map-side), and the only shuffles move partial top-k aggregates —
+    structurally, EVERY non-broadcast Exchange in the tree must have a
+    partial aggregate somewhere in its subtree (i.e. rows are aggregated
+    before they shuffle; the scored corpus×probes product itself never
+    moves)."""
     from serverless_etl_aws_spark.queries.extras3 import llm_knn_join
 
-    plan = plan_of(llm_knn_join(spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    # exchanges exist only above partial aggregation: every Exchange line
-    # must sit above the first HashAggregate/ObjectHashAggregate
-    first_agg = min(
-        i for i, line in enumerate(plan.splitlines())
-        if "Aggregate" in line
+    root = llm_knn_join(spark, sf_dir)._jdf.queryExecution().executedPlan()
+    names = [node_name(n) for n in walk_plan(root)]
+    assert any("Broadcast" in n and "Join" in n for n in names), names
+    agg_names = ("HashAggregateExec", "ObjectHashAggregateExec",
+                 "SortAggregateExec")
+    assert any(n in agg_names for n in names), (
+        f"plan has no aggregate node at all: {names}"
     )
-    for i, line in enumerate(plan.splitlines()):
-        if "Exchange" in line and "Broadcast" not in line:
-            assert i < first_agg or any(
-                "Aggregate" in l for l in plan.splitlines()[i:]
-            ), plan
+    for node in walk_plan(root):
+        name = node_name(node)
+        if "Exchange" in name and "Broadcast" not in name:
+            subtree = [node_name(c) for c in walk_plan(node)]
+            assert any(n in agg_names for n in subtree[1:]), (
+                f"{name} shuffles un-aggregated rows; subtree: {subtree}"
+            )
+
+
+def test_aqe_skew_join_splits_partitions(spark, sf_dir):
+    """The 100 TB skew story leans on AQE's skew-join (ARCHITECTURE.md):
+    prove it actually fires. A join with one hot key, run under AQE with
+    broadcast disabled and test-sized skew thresholds, must mark the
+    sort-merge join skew-handled (``skew=true``) — i.e. the oversized
+    shuffle partition was split at runtime rather than landing on one
+    task. Manual salting (join_salted, queries/extras.py) remains the
+    belt-and-suspenders path; this pins the automatic one."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8k",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # one hot key (~90% of rows) with an incompressible payload so the
+        # hot shuffle partition's bytes clear the skew threshold. The
+        # aggregate must CONSUME the payload (sum of lengths): skew
+        # detection reads compressed map-output sizes, and a count(1)
+        # would prune the payload out of the shuffle, leaving a hot
+        # partition of identical keys that lz4 flattens below threshold.
+        left = (
+            spark.range(120_000)
+            .withColumn(
+                "k", F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(
+                    (F.col("id") % 97) + 1
+                )
+            )
+            .withColumn("payload", F.sha2(F.col("id").cast("string"), 256))
+        )
+        right = spark.range(98).withColumnRenamed("id", "k").withColumn(
+            "tag", F.sha2(F.col("k").cast("string"), 256)
+        )
+        joined = left.join(right, "k").select(
+            F.sum(F.length("payload")).alias("n")
+        )
+        joined.collect()  # AQE decides at runtime — must execute
+        plan = plan_of(joined)
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan  # the AQEShuffleRead split marker
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_compaction_plan_has_no_shuffle(spark, sf_dir):
