@@ -19,6 +19,8 @@ ranking with a vec_id tiebreak so top-k boundaries are engine-stable.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -154,8 +156,38 @@ def _fold_dot(a, b) -> float:
 #: writes it to disk; a 100 TB corpus trains it once per ingest, not per
 #: query) — re-fitting per probe would be the wrong design at any scale.
 #: Opt-in via ``corpus_key`` because a DataFrame alone can't tell the
-#: engine whether its underlying corpus changed.
+#: engine whether its underlying corpus changed — build the key with
+#: :func:`corpus_cache_key` so a regenerated corpus invalidates it.
 _CENTROID_CACHE: dict = {}
+
+
+def clear_centroid_cache() -> None:
+    """Drop every cached coarse quantizer (test/maintenance hook)."""
+    _CENTROID_CACHE.clear()
+
+
+def corpus_cache_key(path: str, label: str = "") -> str:
+    """Build a ``corpus_key`` bound to the on-disk corpus CONTENT, not
+    just its path: the parquet file's (mtime_ns, size) — every member's,
+    for a directory — is folded in, so regenerating a fixture in place
+    retrains the quantizer instead of silently serving stale centroids
+    (a long-lived bench/pytest process would otherwise never notice).
+    Local filesystems only; an object-store deployment would fold in the
+    listing's ETags the same way."""
+    parts = [label or path]
+    if os.path.isdir(path):
+        members = sorted(
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        for m in members:
+            st = os.stat(os.path.join(path, m))
+            parts.append(f"{m}:{st.st_mtime_ns}:{st.st_size}")
+    else:
+        st = os.stat(path)
+        parts.append(f"{st.st_mtime_ns}:{st.st_size}")
+    return "|".join(parts)
 
 
 def ivf_topk(
@@ -240,6 +272,17 @@ def ivf_topk(
     pv_norm = float(np.linalg.norm(pv_np))
     probe_id = probe_vec_id
 
+    # Numeric-drift contract (deliberate, documented): the PROBE-side
+    # cluster ranking above uses sequential left-fold math so nprobe
+    # selection is stable against the JVM-expression formulation this
+    # operator evolved from. The CORPUS-side batch scorer below uses
+    # numpy matmul, whose pairwise/SIMD summation can differ from a
+    # left-fold in the last ulp — at a quant6 floor boundary that can
+    # flip a vector's cluster assignment or final-rank tie. This is
+    # within the key's contract: IVF results are rows-only (approximate
+    # by design, no hash oracle) and recall-tested with tolerance; a
+    # fold-consistent batch reduction would cost the vectorization that
+    # makes this the scale path (python-loop folds per row, ~100×).
     def score_batches(batches):
         import pandas as pd
 

@@ -400,12 +400,21 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.9-1.0 at nprobe=12 across sf0.001/0.01/0.1). On clustered
     real-world embeddings a small nprobe recovers — see the synthetic
     clustered recall test in tests/test_operators.py."""
+    import os
+
+    from ..operators.simsearch import corpus_cache_key
+
     return ivf_topk(
         t(spark, sf_dir, "embeddings"), probe_vec_id=0, k=10,
         n_centroids=16, nprobe=12,
         # index-per-corpus: the coarse quantizer is a persisted artifact,
-        # trained once per fixture dir, not once per probe
-        corpus_key=f"embeddings:{sf_dir}",
+        # trained once per fixture dir, not once per probe. The key folds
+        # in the file's mtime/size fingerprint so an in-place fixture
+        # regeneration retrains instead of serving stale centroids.
+        corpus_key=corpus_cache_key(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            label=f"embeddings:{sf_dir}",
+        ),
     )
 
 

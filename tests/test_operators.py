@@ -4,6 +4,8 @@ stub."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -535,3 +537,64 @@ def test_merge_schema_missing_column_nulls_not_errors(spark, sf_dir):
     # nothing lost relative to the base table
     base = load_table(spark, sf_dir, "orders")
     assert df.count() == base.count()
+
+
+def test_ivf_cache_invalidates_on_corpus_regeneration(spark, tmp_path):
+    """Regenerating a corpus in place (same path, new content) must
+    retrain the coarse quantizer: the cache key folds in the file
+    fingerprint, so the stale centroids can't be served."""
+    import numpy as np
+
+    from serverless_etl_aws_spark.operators import simsearch
+    from serverless_etl_aws_spark.operators.simsearch import (
+        corpus_cache_key,
+        ivf_topk,
+    )
+
+    path = str(tmp_path / "emb.parquet")
+    rng = np.random.default_rng(7)
+
+    def write_corpus(seed):
+        r = np.random.default_rng(seed)
+        rows = [
+            (i, [float(x) for x in r.normal(size=8)]) for i in range(64)
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    write_corpus(1)
+    key1 = corpus_cache_key(path, label="t")
+    emb = spark.read.parquet(path)
+    simsearch.clear_centroid_cache()
+    ivf_topk(emb, 0, 5, 4, 2, corpus_key=key1).collect()
+    assert len(simsearch._CENTROID_CACHE) == 1
+
+    write_corpus(2)  # in-place regeneration: same path, new content
+    key2 = corpus_cache_key(path, label="t")
+    assert key2 != key1  # fingerprint moved with the rewrite
+    emb2 = spark.read.parquet(path)
+    ivf_topk(emb2, 0, 5, 4, 2, corpus_key=key2).collect()
+    # a second, RETRAINED entry — the stale one was not reused
+    assert len(simsearch._CENTROID_CACHE) == 2
+    (c1, c2) = (v for v in simsearch._CENTROID_CACHE.values())
+    assert not np.allclose(c1, c2)
+    simsearch.clear_centroid_cache()
+
+
+def test_hadoop_dir_bytes_scheme_agnostic(spark, tmp_path):
+    """The compaction sizer must answer identically for a plain local
+    path and an explicit file: URI (the object-store-portability
+    contract), and match the OS's own accounting."""
+    from serverless_etl_aws_spark.queries._util import hadoop_dir_bytes
+
+    out = str(tmp_path / "sized")
+    spark.range(1000).repartition(4).write.parquet(out)
+    expected = sum(
+        os.path.getsize(os.path.join(out, f))
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+    assert expected > 0
+    assert hadoop_dir_bytes(spark, out) == expected
+    assert hadoop_dir_bytes(spark, f"file://{out}") == expected
