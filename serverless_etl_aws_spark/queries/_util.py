@@ -94,6 +94,27 @@ def sql_davg(expr: str, scale: int = 2) -> str:
     )
 
 
+def hadoop_dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes of the parquet data files directly under ``path``,
+    listed through Hadoop's FileSystem API — the same abstraction the
+    scans use, so it resolves any supported scheme (``file:``, ``s3a:``,
+    ``hdfs:``) identically. A local ``os.listdir`` would silently break
+    the moment the table moves to an object store."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = 0
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if (
+            st.isFile()
+            and name.endswith(".parquet")
+            and not name.startswith(("_", "."))
+        ):
+            total += st.getLen()
+    return total
+
+
 def scratch_root() -> str:
     """Per-process scratch directory for query functions that materialize
     side files (staged streaming sources, csv/json/orc exports, bucketed

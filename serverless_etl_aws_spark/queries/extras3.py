@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..operators.simsearch import SQL_COSINE, cosine_expr, quant6
 from ..operators.text import SQL_FINGERPRINT, fingerprint
 from . import Query
-from ._util import dsum, sql_dsum, t, scratch_root
+from ._util import dsum, hadoop_dir_bytes, sql_dsum, t, scratch_root
 
 SCRATCH = scratch_root()
 
@@ -139,11 +139,9 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     li.repartition(64).write.mode("errorifexists").parquet(frag_dir)
 
     frag = spark.read.parquet(frag_dir)
-    bytes_total = sum(
-        os.path.getsize(os.path.join(frag_dir, f))
-        for f in os.listdir(frag_dir)
-        if f.endswith(".parquet")
-    )
+    # Sized through the Hadoop FileSystem API (object-store-portable:
+    # the same call answers for file:/s3a:/hdfs: paths).
+    bytes_total = hadoop_dir_bytes(spark, frag_dir)
     target = 64 * 1024 * 1024  # 64 MB files; ~128 MB is typical at scale
     n_out = max(1, -(-bytes_total // target))
     frag.coalesce(int(n_out)).write.mode("errorifexists").parquet(out_dir)
