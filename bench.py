@@ -76,15 +76,25 @@ def main() -> None:
 
     for key in sorted(registry):
         q = registry[key]
+        # Cold and warm run under SEPARATE try blocks so a warm-only
+        # failure (e.g. a side-effectful key that breaks on re-execution)
+        # still records its successful cold measurement — {-1, -1} means
+        # "never ran", {cold, -1} means "ran once, flaked on repeat".
         try:
             cold = run_once(q)
-            warm = run_once(q)
-            timings[key] = warm
-            detail[key] = {"cold": cold, "warm": warm}
         except Exception as exc:  # pragma: no cover — keep the line parseable
             timings[key] = -1.0
             detail[key] = {"cold": -1.0, "warm": -1.0}
-            print(f"# {key} FAILED: {exc}", file=sys.stderr)
+            print(f"# {key} FAILED (cold): {exc}", file=sys.stderr)
+            continue
+        try:
+            warm = run_once(q)
+            timings[key] = warm
+            detail[key] = {"cold": cold, "warm": warm}
+        except Exception as exc:  # pragma: no cover
+            timings[key] = -1.0
+            detail[key] = {"cold": cold, "warm": -1.0}
+            print(f"# {key} FAILED (warm, cold={cold}s): {exc}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     detail_path = os.path.join(
