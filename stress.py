@@ -84,6 +84,135 @@ def build_scaled(spark, replicas: int) -> str:
 
 REGISTRY_KEYS = ["agg_group", "win_running", "sort_limit", "topk_per_group"]
 
+# ---------------------------------------------------------------- sf1.0
+# A materialized 10× copy of sf0.1 (~6M lineitem rows — the sf1.0 the
+# fixtures don't ship) for the once-per-round sanity pass over the five
+# headline keys (docs/SCALING.md). Single parquet FILES (not dirs) so the
+# streaming keys' stage-and-copy scaffolding works unchanged.
+
+SF1_DIR = "/root/repo/.scratch/sf1.0"
+SF1_KEYS = [
+    "agg_group", "join_multiway", "llm_dedup_ngram",
+    "llm_sim_search_ivf", "stream_session",
+]
+
+
+def build_sf1() -> str:
+    """Replicate sf0.1 ×10 driver-side (pyarrow one-pass — scaffolding,
+    same rationale as split_parquet_by_mod). Key-shifted so FKs stay
+    valid; events shift user_id too (10× users, constant per-user event
+    density, so sessionization state scales rather than densifying).
+
+    Documents are NOT copied verbatim: every third token of each replica
+    is rewritten to a replica-salted token. Verbatim copies would make
+    every doc a 10-way near-dup cluster — candidate pairs (and true
+    output) grow quadratically in replicas, which would measure an input
+    distribution shift, not the operator's scaling. Position-rule
+    mutation keeps each replica's INTERNAL dup statistics intact (two
+    near-dups mutate identically) while making cross-replica trigram
+    sets disjoint, so dup work and output scale linearly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    done = os.path.join(SF1_DIR, "_BUILD_COMPLETE")
+    if os.path.exists(done):
+        return SF1_DIR
+    if os.path.exists(SF1_DIR):
+        shutil.rmtree(SF1_DIR)
+    os.makedirs(SF1_DIR)
+    R = 10
+
+    def rep(name: str, shifts: dict[str, int], mutate=None):
+        tbl = pq.read_table(os.path.join(BASE_SF, f"{name}.parquet"))
+        parts = []
+        for i in range(R):
+            t2 = tbl
+            for col, stride in shifts.items():
+                idx = t2.schema.get_field_index(col)
+                shifted = pc.add(t2[col], i * stride)
+                t2 = t2.set_column(idx, col, pc.cast(shifted, t2[col].type))
+            if mutate is not None:
+                t2 = mutate(t2, i)
+            parts.append(t2)
+        pq.write_table(
+            pa.concat_tables(parts),
+            os.path.join(SF1_DIR, f"{name}.parquet"),
+        )
+
+    def max_plus_1(name, col):
+        t = pq.read_table(os.path.join(BASE_SF, f"{name}.parquet"), columns=[col])
+        return int(pc.max(t[col]).as_py()) + 1
+
+    max_ok = max_plus_1("orders", "o_orderkey")
+    max_ck = max_plus_1("orders", "o_custkey")
+    rep("lineitem", {"l_orderkey": max_ok})
+    rep("orders", {"o_orderkey": max_ok, "o_custkey": max_ck})
+    rep("customer", {"c_custkey": max_ck})
+    rep("events", {
+        "event_id": max_plus_1("events", "event_id"),
+        "user_id": max_plus_1("events", "user_id"),
+    })
+    rep("embeddings", {"vec_id": max_plus_1("embeddings", "vec_id")})
+
+    def mutate_docs(t2, i):
+        if i == 0:
+            return t2
+        texts = t2["text"].to_pylist()
+        out = []
+        for txt in texts:
+            toks = txt.split(" ")
+            for j in range(2, len(toks), 3):
+                toks[j] = f"r{i}x{j}"
+            out.append(" ".join(toks))
+        arr = pa.array(out, type=pa.string())
+        t2 = t2.set_column(t2.schema.get_field_index("text"), "text", arr)
+        n_chars = pa.array([len(s) for s in out], type=pa.int64())
+        return t2.set_column(
+            t2.schema.get_field_index("n_chars"), "n_chars", n_chars
+        )
+
+    rep("documents", {"doc_id": max_plus_1("documents", "doc_id")},
+        mutate=mutate_docs)
+    for small in ("part", "nation", "region", "supplier"):
+        shutil.copy(
+            os.path.join(BASE_SF, f"{small}.parquet"),
+            os.path.join(SF1_DIR, f"{small}.parquet"),
+        )
+    open(done, "w").close()
+    return SF1_DIR
+
+
+def run_sf1(spark) -> None:
+    """Warm-protocol timing of the headline keys at sf0.1 vs sf1.0."""
+    registry = build_registry()
+    sf1 = build_sf1()
+
+    def timed(sf_dir):
+        times = {}
+        for key in SF1_KEYS:
+            registry[key].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()  # cold: staging + first-touch
+            t0 = time.perf_counter()
+            registry[key].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            times[key] = round(time.perf_counter() - t0, 2)
+        return times
+
+    base = timed(BASE_SF)
+    big = timed(sf1)
+    report = {
+        k: {
+            "sf0.1_sec": base[k],
+            "sf1.0_sec": big[k],
+            "ratio_at_10x_data": round(big[k] / max(base[k], 1e-9), 1),
+        }
+        for k in SF1_KEYS
+    }
+    print(json.dumps({"mode": "sf1", "queries": report}, indent=2))
+
 
 def shuffle_fact_join(spark, sf_dir: str):
     """lineitem⋈orders with broadcast disabled — a genuine shuffle
@@ -122,8 +251,14 @@ def run(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if len(sys.argv) > 1 and sys.argv[1] == "sf1":
+        spark = get_spark(app_name="stress-sf1", master=f"local[{cpus}]")
+        spark.sparkContext.setLogLevel("ERROR")
+        run_sf1(spark)
+        spark.stop()
+        return
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     spark = get_spark(app_name="stress", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
     scaled = build_scaled(spark, replicas)
