@@ -242,3 +242,19 @@ def test_dq_expectations_single_pass_per_table(spark, sf_dir):
     plan = plan_of(dq_expectations(spark, sf_dir))
     assert plan.count("lineitem.parquet") <= 2, plan
     assert plan.count("events.parquet") <= 1, plan
+
+
+def test_merge_schema_scan_keeps_pushdown(spark, sf_dir):
+    """Schema evolution must not cost the scan its pushdown: a filter over
+    the drifted multi-file read still reaches the parquet scan as a
+    PushedFilter (a normalization layer done with UDFs or per-file unions
+    would silently lose this)."""
+    from serverless_etl_aws_spark.queries.relational import scan_merge_schema
+
+    df = scan_merge_schema(spark, sf_dir).filter(
+        F.col("o_totalprice") > 100000.0
+    )
+    plan = formatted(df)
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "o_totalprice" in pushed, plan
