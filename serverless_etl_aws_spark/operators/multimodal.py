@@ -115,6 +115,45 @@ def resize_payloads(
     return with_payloads.mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, n_space long, n_digit long, n_upper long"
+)
+
+
+def feature_extract(with_payloads: DataFrame) -> DataFrame:
+    """Per-payload feature vector from the raw body bytes, computed
+    vectorized in numpy per Arrow batch (a real build swaps the
+    byte-class counts for CNN embeddings / MFCCs; the batch flow, schema
+    and byte accounting stay).
+
+    The chosen features are deliberately byte-exact under ANY utf-8
+    content: 0x20/0x30-0x39/0x41-0x5A never occur inside multi-byte
+    sequences, so byte-class counts equal character-class counts and the
+    relational oracle can recompute them from the text."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8)[8:]  # skip header
+                rows.append(
+                    (
+                        doc_id,
+                        int(b.size),
+                        int((b == 0x20).sum()),
+                        int(((b >= 0x30) & (b <= 0x39)).sum()),
+                        int(((b >= 0x41) & (b <= 0x5A)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_bytes", "n_space", "n_digit", "n_upper"],
+            )
+
+    return with_payloads.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
 FRAME_SCHEMA = "doc_id long, frame_no int, frame_bytes long, frame_head string"
 
 

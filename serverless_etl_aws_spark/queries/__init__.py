@@ -59,6 +59,7 @@ PRIORITY_EXT: tuple[str, ...] = (
     "llm_fingerprint", "llm_lang_id", "llm_quality_score",
     "llm_token_count", "llm_tfidf", "llm_pii_scrub", "llm_embed_quantize",
     "llm_corpus_stats", "mm_decode_meta", "mm_frame_sample",
+    "mm_resize", "mm_feature_extract",
 )
 
 

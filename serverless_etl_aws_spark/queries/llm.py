@@ -640,6 +640,49 @@ FROM documents,
 """
 
 
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pass over binary payloads (operators/multimodal.py:
+    ``resize_payloads``) — re-wraps each payload's geometry at a new
+    width through the same Arrow-batched mapInPandas flow a real PIL
+    resize would use. Completes the brief's decode / feature-extract /
+    resize / frame-sample multimodal quartet as registry keys."""
+    docs = t(spark, sf_dir, "documents")
+    return multimodal.resize_payloads(
+        multimodal.synthesize_payloads(docs), target_width=32
+    )
+
+
+MM_RESIZE_SQL = """
+SELECT doc_id,
+       CAST(32 AS INTEGER) AS width,
+       CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 32)
+            AS INTEGER) AS height,
+       CAST(octet_length(encode(text)) + 8 AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level feature extraction over binary payloads (numpy per
+    Arrow batch). Features are byte-exact under any utf-8 content, so
+    the oracle recomputes them from the text side."""
+    docs = t(spark, sf_dir, "documents")
+    return multimodal.feature_extract(multimodal.synthesize_payloads(docs))
+
+
+MM_FEATURE_EXTRACT_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(length(text) - length(replace(text, ' ', ''))
+            AS BIGINT) AS n_space,
+       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+            AS BIGINT) AS n_digit,
+       CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+            AS BIGINT) AS n_upper
+FROM documents
+"""
+
+
 def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top TF-IDF term per document.
 
@@ -879,6 +922,10 @@ QUERIES: dict[str, Query] = {
                             "multimodal binary metadata extraction"),
     "mm_frame_sample": Query(mm_frame_sample, MM_FRAME_SAMPLE_SQL,
                              "payload frame-sampling fan-out"),
+    "mm_resize": Query(mm_resize, MM_RESIZE_SQL,
+                       "payload resize geometry pass"),
+    "mm_feature_extract": Query(mm_feature_extract, MM_FEATURE_EXTRACT_SQL,
+                                "byte-level payload feature extraction"),
     "llm_doc_chunk": Query(llm_doc_chunk, LLM_DOC_CHUNK_SQL,
                            "context-window chunking with overlap"),
     "llm_pack_sequences": Query(llm_pack_sequences, LLM_PACK_SEQUENCES_SQL,
