@@ -640,6 +640,63 @@ FROM documents,
 """
 
 
+def llm_repeat_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: fraction of duplicate word trigrams
+    within each document — the Gopher-family quality filter (high
+    repetition = boilerplate/spam/looped generation; public recipe:
+    Rae et al. 2021 §A1.1 'repetition' filters). Entirely JVM-side: one
+    ``transform`` over the token array per row (O(tokens), the lambda is
+    interpreted but does constant work per element), no explode, no
+    shuffle — a pure map pass at any corpus size.
+
+    Float discipline: counts are exact ints; the fraction is one IEEE
+    division, floor-quantized (``_util.fquant`` rules)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    ).filter(F.size("w") >= 3)
+    tg = toks.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(w) - 2), "
+            "i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
+        ).alias("tgs"),
+    )
+    counted = tg.select(
+        "doc_id",
+        F.size("tgs").cast("long").alias("n_trigrams"),
+        F.size(F.array_distinct("tgs")).cast("long").alias("n_distinct"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_trigrams",
+        "n_distinct",
+        fquant(
+            (F.col("n_trigrams") - F.col("n_distinct"))
+            / F.col("n_trigrams"),
+            4,
+        ).alias("repeat_frac"),
+    )
+
+
+LLM_REPEAT_NGRAM_SQL = """
+WITH tg AS (
+    SELECT doc_id,
+           list_transform(range(1, len(w) - 1),
+                          i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS tgs
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE len(w) >= 3
+)
+SELECT doc_id,
+       CAST(len(tgs) AS BIGINT) AS n_trigrams,
+       CAST(len(list_distinct(tgs)) AS BIGINT) AS n_distinct,
+       floor((len(tgs) - len(list_distinct(tgs)))
+             / CAST(len(tgs) AS DOUBLE) * 10000.0) / 10000.0
+           AS repeat_frac
+FROM tg
+"""
+
+
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize pass over binary payloads (operators/multimodal.py:
     ``resize_payloads``) — re-wraps each payload's geometry at a new
@@ -922,6 +979,8 @@ QUERIES: dict[str, Query] = {
                             "multimodal binary metadata extraction"),
     "mm_frame_sample": Query(mm_frame_sample, MM_FRAME_SAMPLE_SQL,
                              "payload frame-sampling fan-out"),
+    "llm_repeat_ngram": Query(llm_repeat_ngram, LLM_REPEAT_NGRAM_SQL,
+                              "intra-doc repeated-trigram quality signal"),
     "mm_resize": Query(mm_resize, MM_RESIZE_SQL,
                        "payload resize geometry pass"),
     "mm_feature_extract": Query(mm_feature_extract, MM_FEATURE_EXTRACT_SQL,

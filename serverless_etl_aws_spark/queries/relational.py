@@ -230,11 +230,42 @@ FROM orders
 """
 
 
+def scan_pydatasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan through a custom Python Data Source (PySpark 4 API,
+    sources/pyds.py): N planned input partitions, each read executor-side
+    — the engine's pattern for systems without a Spark connector. The
+    source is deterministic, so the oracle replays it relationally."""
+    from ..sources import RangeHashDataSource
+
+    try:
+        spark.dataSource.register(RangeHashDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return (
+        spark.read.format("range_hash")
+        .option("n", 20_000)
+        .option("parts", 8)
+        .load()
+    )
+
+
+SCAN_PYDS_SQL = """
+SELECT i AS id,
+       CAST(i % 8 AS INTEGER) AS part,
+       md5(CAST(i AS VARCHAR)) AS h
+FROM range(0, 20000) t(i)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "scan_parquet": Query(scan_parquet, SCAN_SQL, "full lineitem scan"),
     "scan_merge_schema": Query(
         scan_merge_schema, MERGE_SCHEMA_SQL,
         "declared-schema evolution over drifted multi-file scan",
+    ),
+    "scan_pydatasource": Query(
+        scan_pydatasource, SCAN_PYDS_SQL,
+        "custom Python Data Source scan (partition-planned parallel read)",
     ),
     "project_rename": Query(project_rename, PROJECT_SQL, "select+alias+compute"),
     "filter_pred": Query(filter_pred, FILTER_SQL, "conjunctive pushdown filters"),

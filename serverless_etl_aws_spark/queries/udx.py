@@ -112,8 +112,86 @@ WHERE doc_id % 100 = 0
 """
 
 
+def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped ``applyInPandas`` — the fourth pandas-API shape (after
+    scalar / grouped / table): orders and lineitems co-grouped by month,
+    reconciled in one pandas function that sees BOTH sides of each key
+    (the API for per-key merge logic too stateful for a join, e.g.
+    order-book vs shipment reconciliation).
+
+    Exactness: money sums in integer cents (int64) inside the UDF; the
+    only float op is one final division, identical IEEE in the oracle.
+
+    Scale notes: cogroup shuffles each side once on the key and hands
+    per-key pandas frames to Python — both sides of a key must fit
+    executor memory. A calendar month of a 100 TB fact table would not:
+    production keys are bounded (entity ids, salted composites) or the
+    inputs pre-aggregated, exactly as here the demo key is chosen for
+    the fixture's scale."""
+    orders = t(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        "o_totalprice",
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        "l_extendedprice",
+    )
+
+    def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        booked_c = int((odf["o_totalprice"] * 100).round().sum()) if len(odf) else 0
+        shipped_c = (
+            int((ldf["l_extendedprice"] * 100).round().sum()) if len(ldf) else 0
+        )
+        return pd.DataFrame(
+            {
+                "month": [key[0]],
+                "n_orders": [len(odf)],
+                "n_lines": [len(ldf)],
+                "booked": [booked_c / 100.0],
+                "shipped": [shipped_c / 100.0],
+            }
+        )
+
+    return (
+        orders.groupBy("month")
+        .cogroup(li.groupBy("month"))
+        .applyInPandas(
+            reconcile,
+            schema=(
+                "month string, n_orders long, n_lines long, "
+                "booked double, shipped double"
+            ),
+        )
+    )
+
+
+UDF_COGROUPED_SQL = """
+WITH o AS (
+    SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+           COUNT(*) AS n_orders,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS booked_c
+    FROM orders GROUP BY 1
+), l AS (
+    SELECT strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m') AS month,
+           COUNT(*) AS n_lines,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS shipped_c
+    FROM lineitem GROUP BY 1
+)
+SELECT COALESCE(o.month, l.month) AS month,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(n_lines, 0) AS n_lines,
+       CAST(COALESCE(booked_c, 0) AS DOUBLE) / 100.0 AS booked,
+       CAST(COALESCE(shipped_c, 0) AS DOUBLE) / 100.0 AS shipped
+FROM o FULL OUTER JOIN l USING (month)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "udf_scalar": Query(udf_scalar, UDF_SCALAR_SQL, "pandas UDF normalize"),
     "udaf_grouped": Query(udaf_grouped, UDAF_GROUPED_SQL, "applyInPandas UDAF"),
     "udtf_explode": Query(udtf_explode, UDTF_EXPLODE_SQL, "posexplode UDTF"),
+    "udf_cogrouped": Query(
+        udf_cogrouped, UDF_COGROUPED_SQL,
+        "cogrouped applyInPandas per-key reconciliation",
+    ),
 }

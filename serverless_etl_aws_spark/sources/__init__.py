@@ -1,0 +1,3 @@
+"""Custom source integrations (PySpark 4 Python Data Source API)."""
+
+from .pyds import RangeHashDataSource  # noqa: F401

@@ -1,0 +1,66 @@
+"""Custom Python Data Source (PySpark 4 `pyspark.sql.datasource` API).
+
+The engine's pattern for ingesting systems Spark has no connector for
+(paginated REST APIs, proprietary stores, message logs): implement
+``DataSource`` + ``DataSourceReader`` in Python, plan N ``InputPartition``s
+driver-side, and each executor reads ONLY its partition — parallel,
+restartable at partition granularity, no driver bottleneck. This
+generalizes the reference's single-threaded Lambda downloader
+(reference: src/lambda_functions/fetch_raw_data.py — one HTTP fetch per
+invocation, fan-out delegated to EventBridge) into source-side parallelism
+the cluster schedules itself.
+
+The demo source is deterministic (id + md5 content hash over a
+partitioned id range) so the DuckDB oracle can replay it exactly; a real
+integration swaps ``read``'s body for the API/page fetch while partition
+planning, schema declaration and option plumbing stay identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class RangeHashDataSource(DataSource):
+    """``spark.read.format("range_hash").option("n", ...).option("parts", ...)``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "range_hash"
+
+    def schema(self) -> str:
+        return "id bigint, part int, h string"
+
+    def reader(self, schema) -> "RangeHashReader":
+        return RangeHashReader(
+            n=int(self.options.get("n", 1000)),
+            parts=int(self.options.get("parts", 4)),
+        )
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, index: int):
+        self.index = index
+
+
+class RangeHashReader(DataSourceReader):
+    def __init__(self, n: int, parts: int):
+        self.n = n
+        self.parts = parts
+
+    def partitions(self):
+        # Driver-side partition PLANNING only — no data is touched here.
+        # Each partition owns a contiguous id stride; an executor task
+        # calls read() with exactly one of these.
+        return [_RangePartition(i) for i in range(self.parts)]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        # Runs ON THE EXECUTOR for one partition: the parallel unit a
+        # real connector uses for one API page range / shard / segment.
+        i = partition.index
+        for vid in range(i, self.n, self.parts):
+            h = hashlib.md5(str(vid).encode("ascii")).hexdigest()
+            yield (vid, i, h)

@@ -598,3 +598,25 @@ def test_hadoop_dir_bytes_scheme_agnostic(spark, tmp_path):
     assert expected > 0
     assert hadoop_dir_bytes(spark, out) == expected
     assert hadoop_dir_bytes(spark, f"file://{out}") == expected
+
+
+def test_pydatasource_partition_planning(spark):
+    """The custom Python Data Source must actually parallelize: 8 planned
+    input partitions become 8 scan partitions, and every row is produced
+    by the task that owns its id stride (part = id % parts)."""
+    from serverless_etl_aws_spark.sources import RangeHashDataSource
+
+    try:
+        spark.dataSource.register(RangeHashDataSource)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("range_hash")
+        .option("n", 1000).option("parts", 8).load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    with_task = df.withColumn("task", F.spark_partition_id())
+    # each planned partition maps 1:1 onto one scan task
+    assert with_task.filter(F.col("task") != F.col("part")).count() == 0
+    assert df.count() == 1000
+    assert df.select("id").distinct().count() == 1000
