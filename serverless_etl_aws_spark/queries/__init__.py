@@ -72,6 +72,7 @@ def build_registry() -> dict[str, Query]:
         extras,
         extras2,
         extras3,
+        extras4,
         joins,
         llm,
         pipeline_ops,
@@ -97,6 +98,7 @@ def build_registry() -> dict[str, Query]:
         extras,
         extras2,
         extras3,
+        extras4,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

@@ -236,7 +236,62 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def stream_pydatasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING Python data source (PySpark 4
+    ``simpleStreamReader``, sources/pyds.py): a bounded deterministic
+    counter stream drained through the offset/commit machinery —
+    micro-batch offsets live in the checkpoint, replay goes through
+    ``readBetweenOffsets``, rows arrive exactly once. Drained by
+    polling to the source's known end (the Python streaming API has no
+    AvailableNow drain yet), then snapshotted off the memory sink the
+    same way run_stream_to_memory does (localCheckpoint + drop view, so
+    the sink's driver-side rows are released)."""
+    import time
+    import uuid
+
+    from ..sources import RangeStreamDataSource
+
+    try:
+        spark.dataSource.register(RangeStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+    n = 5000
+    stream = (
+        spark.readStream.format("range_stream")
+        .option("n", n)
+        .option("batch", 2500)
+        .load()
+    )
+    name = f"pyds_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= n:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out.select("id")
+
+
+STREAM_PYDS_SQL = """
+SELECT i AS id FROM range(0, 5000) t(i)
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "stream_pydatasource": Query(
+        stream_pydatasource, STREAM_PYDS_SQL,
+        "custom Python streaming source drained exactly-once",
+    ),
     "stream_tumbling": Query(stream_tumbling, STREAM_TUMBLING_SQL,
                              "1h tumbling counts (streaming)"),
     "stream_sliding": Query(stream_sliding, STREAM_SLIDING_SQL,

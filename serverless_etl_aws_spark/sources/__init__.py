@@ -1,3 +1,3 @@
 """Custom source integrations (PySpark 4 Python Data Source API)."""
 
-from .pyds import RangeHashDataSource  # noqa: F401
+from .pyds import RangeHashDataSource, RangeStreamDataSource  # noqa: F401

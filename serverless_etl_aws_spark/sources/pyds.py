@@ -21,7 +21,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class RangeHashDataSource(DataSource):
@@ -64,3 +69,47 @@ class RangeHashReader(DataSourceReader):
         for vid in range(i, self.n, self.parts):
             h = hashlib.md5(str(vid).encode("ascii")).hexdigest()
             yield (vid, i, h)
+
+
+class RangeStreamDataSource(DataSource):
+    """Custom STREAMING Python data source (``simpleStreamReader``): a
+    deterministic bounded counter stream — offsets are ``{"pos": k}``,
+    each micro-batch advances by ``batch`` ids until ``n``. The pattern
+    for streaming systems Spark has no connector for (message logs,
+    change feeds): offset bookkeeping lives in the checkpoint, replay
+    goes through ``readBetweenOffsets`` (exactly-once across restarts).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "range_stream"
+
+    def schema(self) -> str:
+        return "id bigint"
+
+    def simpleStreamReader(self, schema) -> "RangeStreamReader":
+        return RangeStreamReader(
+            n=int(self.options.get("n", 5000)),
+            batch=int(self.options.get("batch", 1000)),
+        )
+
+
+class RangeStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, n: int, batch: int):
+        self.n = n
+        self.batch = batch
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        if pos >= self.n:
+            return iter([]), {"pos": pos}
+        end = min(pos + self.batch, self.n)
+        return iter([(i,) for i in range(pos, end)]), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # Deterministic replay of a committed-but-lost batch — the
+        # exactly-once contract under restart.
+        return iter([(i,) for i in range(start["pos"], end["pos"])])
