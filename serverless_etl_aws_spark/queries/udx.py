@@ -128,13 +128,24 @@ def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     production keys are bounded (entity ids, salted composites) or the
     inputs pre-aggregated, exactly as here the demo key is chosen for
     the fixture's scale."""
-    orders = t(spark, sf_dir, "orders").select(
-        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
-        "o_totalprice",
+    # Null dates are excluded on BOTH sides: Spark's cogroup puts null
+    # keys in one group while SQL's FULL OUTER JOIN never matches null =
+    # null — the only input on which the two formulations could diverge.
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "o_totalprice",
+        )
     )
-    li = t(spark, sf_dir, "lineitem").select(
-        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
-        "l_extendedprice",
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").isNotNull())
+        .select(
+            F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+            "l_extendedprice",
+        )
     )
 
     def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
@@ -170,12 +181,12 @@ WITH o AS (
     SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
            COUNT(*) AS n_orders,
            SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS booked_c
-    FROM orders GROUP BY 1
+    FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
 ), l AS (
     SELECT strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m') AS month,
            COUNT(*) AS n_lines,
            SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS shipped_c
-    FROM lineitem GROUP BY 1
+    FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1
 )
 SELECT COALESCE(o.month, l.month) AS month,
        COALESCE(n_orders, 0) AS n_orders,
