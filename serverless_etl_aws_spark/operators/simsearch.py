@@ -176,14 +176,16 @@ def corpus_cache_key(path: str, label: str = "") -> str:
     listing's ETags the same way."""
     parts = [label or path]
     if os.path.isdir(path):
-        members = sorted(
-            f
-            for f in os.listdir(path)
-            if f.endswith(".parquet") and not f.startswith((".", "_"))
-        )
-        for m in members:
-            st = os.stat(os.path.join(path, m))
-            parts.append(f"{m}:{st.st_mtime_ns}:{st.st_size}")
+        # Recursive: a Hive-partitioned corpus keeps its data files in
+        # subdirectories — a top-level-only listing would produce a
+        # content-free key and defeat the invalidation this exists for.
+        for root, dirs, files in sorted(os.walk(path)):
+            dirs.sort()
+            for m in sorted(files):
+                if m.endswith(".parquet") and not m.startswith((".", "_")):
+                    st = os.stat(os.path.join(root, m))
+                    rel = os.path.relpath(os.path.join(root, m), path)
+                    parts.append(f"{rel}:{st.st_mtime_ns}:{st.st_size}")
     else:
         st = os.stat(path)
         parts.append(f"{st.st_mtime_ns}:{st.st_size}")

@@ -91,8 +91,13 @@ class IncrementalIngest:
 
             try:
                 params = inspect.signature(post_batch).parameters
-                self._post_batch_takes_touched = (
-                    "touched" in params or len(params) >= 2
+                # Opt-in by NAME only: a hook with some other second
+                # parameter (e.g. ``def hook(df, log=print)``) must keep
+                # its one-arg call contract, not crash on an unexpected
+                # ``touched`` keyword.
+                self._post_batch_takes_touched = "touched" in params or any(
+                    p.kind is inspect.Parameter.VAR_KEYWORD
+                    for p in params.values()
                 )
             except (TypeError, ValueError):
                 pass
@@ -135,15 +140,17 @@ class IncrementalIngest:
             obs = Observation()
             metrics = [F.count(F.lit(1)).alias("rows")]
             if self._post_batch_takes_touched:
+                # cap+1 slice of ONE collect_set: length > cap doubles as
+                # the overflow signal (a second size(collect_set) would
+                # build the whole distinct set twice per batch).
                 pcol = F.col(self.partition_by)
                 metrics.append(
                     F.slice(
                         F.sort_array(F.collect_set(pcol)),
                         1,
-                        _TOUCHED_OBS_CAP,
+                        _TOUCHED_OBS_CAP + 1,
                     ).alias("touched")
                 )
-                metrics.append(F.size(F.collect_set(pcol)).alias("n_touched"))
             out = (
                 batch_df.withColumn("ingest_batch", F.lit(batch_id))
                 .observe(obs, *metrics)
@@ -157,9 +164,8 @@ class IncrementalIngest:
             out.partitionBy(*cols).parquet(self.silver_dir)
             if self.post_batch is not None:
                 if self._post_batch_takes_touched:
-                    got = obs.get
-                    touched = list(got["touched"])
-                    if got["n_touched"] > len(touched):
+                    touched = list(obs.get["touched"])
+                    if len(touched) > _TOUCHED_OBS_CAP:
                         touched = None  # overflow: let the hook recount
                     self.post_batch(batch_df, touched=touched)
                 else:

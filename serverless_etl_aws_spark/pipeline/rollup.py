@@ -25,6 +25,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _partition_predicate(col_name: str, values: list):
+    """Membership predicate that honors a NULL partition value:
+    ``isin`` never matches NULL, so a touched list containing ``None``
+    (e.g. a null event date) must add an explicit ``isNull`` arm —
+    otherwise the existing null-partition slice is silently excluded
+    from a merge while dynamic overwrite still rewrites
+    ``__HIVE_DEFAULT_PARTITION__`` underneath it."""
+    non_null = [v for v in values if v is not None]
+    pred = F.col(col_name).isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in values):
+        pred = pred | F.col(col_name).isNull()
+    return pred
+
+
 class PartitionedRollup:
     """Keep a gold aggregate table in sync with silver, one partition at
     a time.
@@ -66,7 +80,7 @@ class PartitionedRollup:
         write_tasks = max(1, len(values) // 32)
         silver = self.spark.read.parquet(self.silver_dir)
         gold = self.aggregate(
-            silver.filter(F.col(self.partition_col).isin(values))
+            silver.filter(_partition_predicate(self.partition_col, values))
         )
         (
             gold.coalesce(write_tasks)
@@ -163,7 +177,7 @@ class PartitionedRollup:
             # checkpoint is small by construction.
             existing = (
                 self.read_gold()
-                .filter(F.col(self.partition_col).isin(touched))
+                .filter(_partition_predicate(self.partition_col, touched))
                 .localCheckpoint(eager=True)
             )
             both = existing.unionByName(delta_gold)

@@ -237,10 +237,10 @@ def scan_pydatasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     source is deterministic, so the oracle replays it relationally."""
     from ..sources import RangeHashDataSource
 
-    try:
-        spark.dataSource.register(RangeHashDataSource)
-    except Exception:
-        pass  # already registered in this session
+    # register() replaces an existing registration, so repeated calls are
+    # safe — and a real failure (API missing, broken import) surfaces
+    # here with its true cause rather than as DATA_SOURCE_NOT_FOUND later
+    spark.dataSource.register(RangeHashDataSource)
     return (
         spark.read.format("range_hash")
         .option("n", 20_000)

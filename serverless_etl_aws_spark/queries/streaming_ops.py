@@ -251,10 +251,9 @@ def stream_pydatasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources import RangeStreamDataSource
 
-    try:
-        spark.dataSource.register(RangeStreamDataSource)
-    except Exception:
-        pass  # already registered in this session
+    # register() replaces an existing registration; real failures surface
+    # here with their true cause
+    spark.dataSource.register(RangeStreamDataSource)
     n = 5000
     stream = (
         spark.readStream.format("range_stream")
@@ -272,6 +271,13 @@ def stream_pydatasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         deadline = time.time() + 120
         while time.time() < deadline:
+            if not q.isActive:
+                # fail fast with the real cause instead of burning the
+                # deadline and returning a partial result
+                exc = q.exception()
+                if exc is not None:
+                    raise exc
+                break
             if spark.table(name).count() >= n:
                 break
             time.sleep(0.2)

@@ -145,7 +145,13 @@ def build_sf1() -> str:
         return int(pc.max(t[col]).as_py()) + 1
 
     max_ok = max_plus_1("orders", "o_orderkey")
-    max_ck = max_plus_1("orders", "o_custkey")
+    # stride must clear BOTH tables' custkey ranges: customers without
+    # orders can hold the customer-table max, and a stride from orders
+    # alone would collide replica 1's customer keys with replica 0's
+    max_ck = max(
+        max_plus_1("orders", "o_custkey"),
+        max_plus_1("customer", "c_custkey"),
+    )
     rep("lineitem", {"l_orderkey": max_ok})
     rep("orders", {"o_orderkey": max_ok, "o_custkey": max_ck})
     rep("customer", {"c_custkey": max_ck})

@@ -606,10 +606,7 @@ def test_pydatasource_partition_planning(spark):
     by the task that owns its id stride (part = id % parts)."""
     from serverless_etl_aws_spark.sources import RangeHashDataSource
 
-    try:
-        spark.dataSource.register(RangeHashDataSource)
-    except Exception:
-        pass
+    spark.dataSource.register(RangeHashDataSource)
     df = (
         spark.read.format("range_hash")
         .option("n", 1000).option("parts", 8).load()

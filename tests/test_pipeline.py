@@ -425,3 +425,104 @@ def test_rollup_upsert_merges_existing_and_creates_new(spark, tmp_path):
         if f.endswith(".parquet")
     }
     assert after == untouched_files
+
+
+def test_post_batch_hook_with_other_second_param_not_broken(spark, tmp_path):
+    """The touched-hand-off is opt-in BY NAME: a hook whose second
+    parameter is not called 'touched' must keep the one-arg contract
+    (arity-based detection would crash it with an unexpected kwarg)."""
+    from pyspark.sql import functions as F
+
+    from serverless_etl_aws_spark.catalog import events_reader_setup
+    from serverless_etl_aws_spark.pipeline.ingest import IncrementalIngest
+    from serverless_etl_aws_spark.streaming.windows import split_parquet_by_mod
+
+    bronze = str(tmp_path / "bronze")
+    os.makedirs(bronze)
+    split_parquet_by_mod(
+        "/root/testdata/sf0.001/events.parquet", bronze, 1,
+        order_col="event_id",
+    )
+    read_schema, normalize_ts = events_reader_setup(spark, bronze)
+    calls = []
+
+    def hook(df, log=calls.append):  # 2 params, second NOT 'touched'
+        log(df.count())
+
+    pipe = IncrementalIngest(
+        spark,
+        bronze_dir=bronze,
+        silver_dir=str(tmp_path / "silver"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema=read_schema,
+        partition_by="event_type",
+        transform=normalize_ts,
+        post_batch=hook,
+    )
+    r = pipe.run_once()  # must not raise TypeError
+    assert r.batches == 1 and calls and calls[0] > 0
+
+    # and a kwargs hook DOES receive touched
+    seen = {}
+
+    def kw_hook(df, **kwargs):
+        seen.update(kwargs)
+
+    pipe2 = IncrementalIngest(
+        spark,
+        bronze_dir=bronze,
+        silver_dir=str(tmp_path / "silver2"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        schema=read_schema,
+        partition_by="event_type",
+        transform=normalize_ts,
+        post_batch=kw_hook,
+    )
+    pipe2.run_once()
+    assert sorted(seen["touched"]) == sorted(seen["touched"])  # present
+    assert len(seen["touched"]) > 0
+
+
+def test_rollup_upsert_preserves_null_partition(spark, tmp_path):
+    """A delta touching the NULL partition must MERGE with the existing
+    null-partition gold rows, not replace them with delta-only values
+    (isin never matches NULL; the predicate needs an isNull arm)."""
+    from pyspark.sql import functions as F
+
+    from serverless_etl_aws_spark.pipeline.rollup import PartitionedRollup
+
+    gold_dir = str(tmp_path / "gold")
+    agg = lambda df: df.groupBy("day", "kind").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")
+    )
+    roll = PartitionedRollup(
+        spark,
+        silver_dir=str(tmp_path / "silver"),
+        gold_dir=gold_dir,
+        partition_col="day",
+        aggregate=agg,
+    )
+    initial = spark.createDataFrame(
+        [(None, "a", 10), (None, "a", 5), ("d1", "b", 7)],
+        "day string, kind string, v long",
+    )
+    agg(initial).write.partitionBy("day").parquet(gold_dir)
+
+    delta = agg(
+        spark.createDataFrame([(None, "a", 3)], "day string, kind string, v long")
+    )
+
+    def merge(both):
+        return both.groupBy("day", "kind").agg(
+            F.sum("n").alias("n"), F.sum("total").alias("total")
+        )
+
+    roll.upsert(delta, merge)
+    rows = {
+        (r["day"], r["kind"]): (r["n"], r["total"])
+        for r in roll.read_gold().collect()
+    }
+    assert rows == {
+        (None, "a"): (3, 18),  # merged: 2+1 rows, 15+3 — NOT (1, 3)
+        ("d1", "b"): (1, 7),   # untouched
+    }
