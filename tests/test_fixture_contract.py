@@ -127,3 +127,39 @@ def test_events_ts_unit_sniffer_agrees_with_footer():
             assert unit == "ns", (sf_dir, stored, unit)
         else:
             assert stored == f"timestamp[{unit}]", (sf_dir, stored, unit)
+
+
+#: Null-profile assumptions the oracle pairs rely on. The engine/oracle
+#: formulations are null-consistent where nulls are part of the contract
+#: (events.value is nullable by construction), but several text/date ops
+#: assume these columns are never null (e.g. trigram transforms, month
+#: cogrouping, md5 splits on doc_id). If the driver's generator starts
+#: emitting nulls here, fail ONCE loudly instead of via N hash mismatches.
+NEVER_NULL = {
+    "documents": ("doc_id", "text", "lang"),
+    "events": ("event_id", "ts", "user_id", "event_type"),
+    "orders": ("o_orderkey", "o_orderdate"),
+    "lineitem": ("l_orderkey", "l_shipdate"),
+    "embeddings": ("vec_id", "embedding"),
+}
+
+
+@pytest.mark.parametrize("sf_dir", _sf_dirs() or [None])
+def test_fixture_null_profile(sf_dir):
+    if sf_dir is None:
+        pytest.skip(f"no testdata under {TESTDATA_ROOT}")
+    drift: list[str] = []
+    for name, cols in NEVER_NULL.items():
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        tbl = pq.read_table(path, columns=list(cols))
+        for col in cols:
+            nulls = tbl[col].null_count
+            if nulls:
+                drift.append(
+                    f"fixture drift: {sf_dir}/{name}.{col} now has {nulls}"
+                    f" nulls; oracle pairs assume it is never null —"
+                    f" audit the keys touching it before trusting hashes"
+                )
+    assert not drift, "\n".join(drift)
