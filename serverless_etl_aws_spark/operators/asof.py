@@ -48,7 +48,15 @@ def asof_join(
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__tag"),
     ]
-    rhs = right.select(*rhs_cols, *[F.col(c).alias(f"__r_{c}") for c in right_cols])
+    # Equality-join semantics for NULL keys: a NULL never equals a NULL,
+    # so null-key right rows can match nothing — drop them BEFORE the
+    # union (partitionBy would otherwise group both sides' NULL keys into
+    # one partition and fill null-key left rows from null-key right rows,
+    # diverging from ASOF JOIN). Null-key LEFT rows stay and come out
+    # with NULL matches, like any unmatched left row.
+    rhs = right.filter(F.col(on).isNotNull()).select(
+        *rhs_cols, *[F.col(c).alias(f"__r_{c}") for c in right_cols]
+    )
 
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
     # Deterministic intra-key order: time, then right-before-left at equal

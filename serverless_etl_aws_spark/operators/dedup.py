@@ -49,7 +49,7 @@ def ngram_jaccard_pairs(
     base = docs.select(
         "doc_id",
         *( [F.col(block_col)] if block_col else [] ),
-        trigrams(F.col("text")).alias("grams"),
+        trigrams("text").alias("grams"),
     ).filter(F.size("grams") > 0)
     # Shuffle/join on a 64-bit hash of the shingle, not the string — ~3×
     # smaller exchange and cheaper equality at any scale (collision odds
@@ -152,7 +152,7 @@ def minhash_lsh_pairs(
     same property is what keeps bucket sizes bounded at 100 TB."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    toks = docs.select("doc_id", trigrams(F.col("text")).alias("toks")).filter(
+    toks = docs.select("doc_id", trigrams("text").alias("toks")).filter(
         F.size("toks") > 0
     )
     tf = HashingTF(

@@ -81,5 +81,15 @@ def connected_components(
         labels = updated.drop("changed")
         if n_changed == 0:
             break
+    else:
+        # Loop exhausted while labels were still moving: returning the
+        # partial labels would silently split one component into several.
+        # Fail loudly — the caller raises max_iter (diameter bound) or
+        # switches to the large-star/small-star variant for deep graphs.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({n_changed} labels still changing) — component "
+            f"diameter exceeds max_iter"
+        )
 
     return labels.select(F.col("node").alias(node_col), "component")

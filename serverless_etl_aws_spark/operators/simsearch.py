@@ -67,6 +67,10 @@ def brute_force_topk(
     probe = emb.filter(F.col("vec_id") == probe_vec_id).select(
         F.col("v").alias("pv")
     )
+    # Loud failure parity with ivf_topk: a stale/typo'd probe id would
+    # otherwise cross-join against zero rows and come back silently empty.
+    if probe.limit(1).count() == 0:
+        raise ValueError(f"probe vec_id {probe_vec_id} not found")
     scored = (
         emb.filter(F.col("vec_id") != probe_vec_id)
         .crossJoin(F.broadcast(probe))
@@ -97,9 +101,15 @@ def _train_centroids(
     (a sample of ~30-256 vectors per centroid; full-corpus distributed
     fits buy no pruning quality and cost one Spark job per Lloyd
     iteration). The collect here is capped by ``train_cap`` BY
-    CONSTRUCTION — it is a sample-train, never a corpus materialization."""
-    sample = emb.orderBy("vec_id").limit(train_cap).select("v").collect()
-    return _lloyd([r["v"] for r in sample], n_centroids, seed)
+    CONSTRUCTION — it is a sample-train, never a corpus materialization.
+
+    Returns ``(centroids, sample_rows)`` — the sample rides along so a
+    caller that also needs a vector lookup (ivf_topk's probe) reuses the
+    one collect instead of duplicating the training recipe."""
+    sample = (
+        emb.orderBy("vec_id").limit(train_cap).select("vec_id", "v").collect()
+    )
+    return _lloyd([r["v"] for r in sample], n_centroids, seed), sample
 
 
 def _lloyd(vectors, n_centroids: int, seed: int):
@@ -133,7 +143,7 @@ def train_ivf_centroids(
 ) -> DataFrame:
     """DataFrame view of :func:`_train_centroids` — tiny (cid, cv), meant
     to be broadcast when a join-shaped consumer needs it."""
-    C = _train_centroids(emb, n_centroids, seed, train_cap)
+    C, _ = _train_centroids(emb, n_centroids, seed, train_cap)
     centers = [(i, [float(x) for x in c]) for i, c in enumerate(C)]
     return emb.sparkSession.createDataFrame(
         centers, "cid int, cv array<double>"
@@ -180,7 +190,6 @@ def corpus_cache_key(path: str, label: str = "") -> str:
         # subdirectories — a top-level-only listing would produce a
         # content-free key and defeat the invalidation this exists for.
         for root, dirs, files in sorted(os.walk(path)):
-            dirs.sort()
             for m in sorted(files):
                 if m.endswith(".parquet") and not m.startswith((".", "_")):
                     st = os.stat(os.path.join(root, m))
@@ -226,19 +235,14 @@ def ivf_topk(
     import numpy as np
 
     emb = embeddings.select("vec_id", _to_double("embedding").alias("v"))
-    train_cap = 100_000
     ckey = (corpus_key, n_centroids, seed) if corpus_key else None
     pv = None
     if ckey is not None and ckey in _CENTROID_CACHE:
         C = _CENTROID_CACHE[ckey]
     else:
-        sample = (
-            emb.orderBy("vec_id")
-            .limit(train_cap)
-            .select("vec_id", "v")
-            .collect()
-        )
-        C = _lloyd([r["v"] for r in sample], n_centroids, seed)
+        # One recipe, one collect: _train_centroids owns the sampling
+        # contract and hands back the sample for the probe lookup below.
+        C, sample = _train_centroids(emb, n_centroids, seed)
         if ckey is not None:
             _CENTROID_CACHE[ckey] = C
         pv = next(

@@ -36,9 +36,12 @@ def word_ngrams(k: int, col: str = "text") -> Column:
     )
 
 
-def trigrams(toks: Column) -> Column:
-    """Distinct word-trigram shingles (short docs → empty array)."""
-    return word_ngrams(3)
+def trigrams(col: str = "text") -> Column:
+    """Distinct word-trigram shingles of ``col`` (short docs → empty
+    array). Takes a column NAME like :func:`word_ngrams` — the previous
+    signature accepted (and silently ignored) a Column, hardcoding
+    'text' for every caller."""
+    return word_ngrams(3, col)
 
 
 def fingerprint(col: str = "text") -> Column:

@@ -46,7 +46,11 @@ def _update(
         for et in pdf["event_type"]:
             if et in EVENT_TYPES:
                 type_mask |= 1 << EVENT_TYPES.index(et)
-    state.update((total_events, round(total_value, 2), type_mask))
+    # State carries the UNROUNDED sum; rounding happens only at emit.
+    # Accumulating on a rounded base drifts from the batch-equivalent
+    # total across micro-batches (two 0.004 batches: rounded-base total
+    # 0.0, true total rounds to 0.01).
+    state.update((total_events, total_value, type_mask))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],

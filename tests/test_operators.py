@@ -617,3 +617,92 @@ def test_pydatasource_partition_planning(spark):
     assert with_task.filter(F.col("task") != F.col("part")).count() == 0
     assert df.count() == 1000
     assert df.select("id").distinct().count() == 1000
+
+
+def test_trigrams_respects_column_argument(spark):
+    """trigrams(col) must shingle the NAMED column (the old signature
+    accepted a Column and silently hardcoded 'text')."""
+    from serverless_etl_aws_spark.operators.text import trigrams
+
+    df = spark.createDataFrame(
+        [(1, "a b c d", "x y z w")], "doc_id long, text string, title string"
+    )
+    got_text = df.select(trigrams("text").alias("g")).collect()[0]["g"]
+    got_title = df.select(trigrams("title").alias("g")).collect()[0]["g"]
+    assert got_text == ["a b c", "b c d"]
+    assert got_title == ["x y z", "y z w"]
+
+
+def test_asof_null_keys_do_not_match(spark):
+    """Equality semantics: a NULL key never equals a NULL key — null-key
+    left rows come out unmatched instead of filling from null-key right
+    rows."""
+    from serverless_etl_aws_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 10, 100), (1, 10, 101)], "k int, t int, lid int"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, 900), (1, 5, 901)], "k int, t int, rid int"
+    )
+    got = {
+        r["lid"]: r["m_rid"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="t",
+            right_cols=["rid"], prefix="m_",
+        ).collect()
+    }
+    assert got == {100: None, 101: 901}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A component whose diameter exceeds max_iter must fail loudly, not
+    return silently split labels."""
+    from serverless_etl_aws_spark.operators.graph import connected_components
+
+    n = 30
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=3)
+    ok = connected_components(nodes, edges, max_iter=n + 1)
+    assert ok.select("component").distinct().count() == 1
+
+
+def test_brute_force_topk_missing_probe_raises(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="not found"):
+        brute_force_topk(emb, probe_vec_id=99, k=5)
+
+
+def test_stateful_update_state_carries_unrounded_sum():
+    """The cross-batch state must hold the unrounded running sum; two
+    sub-cent batches must round to the true total, not accumulate on a
+    rounded base."""
+    import pandas as pd
+
+    from serverless_etl_aws_spark.streaming.stateful import _update
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    st = FakeState()
+    batch = pd.DataFrame({"value": [0.004], "event_type": ["click"]})
+    list(_update((7,), iter([batch]), st))
+    out = list(_update((7,), iter([batch]), st))[0]
+    assert out["total_value"].iloc[0] == 0.01  # round(0.008), not round(0.0+0.004)
