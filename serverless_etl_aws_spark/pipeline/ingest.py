@@ -38,9 +38,16 @@ from .report import RunReport
 
 
 #: Upper bound on partition values carried through the silver write's
-#: Observation. Far above any sane partition-column cardinality; past it
-#: the hook falls back to its own capped distinct (and its loud failure).
-_TOUCHED_OBS_CAP = 100_000
+#: Observation (mirrors PartitionedRollup's default cap). Past it the
+#: hook falls back to its own capped distinct (and its loud failure).
+#: Honest limitation: the slice bounds only the listener→caller payload —
+#: the collect_set itself still materializes the full distinct set in the
+#: aggregation buffers before the cap applies, so a grossly misconfigured
+#: partition column (an id, a timestamp) can pressure memory before the
+#: fallback fires. The observation is therefore opt-in (hooks that accept
+#: ``touched``), and the bounded-by-construction path remains the hook's
+#: own ``distinct().limit(cap+1)``.
+_TOUCHED_OBS_CAP = 10_000
 
 
 @dataclass
@@ -143,6 +150,10 @@ class IncrementalIngest:
                 # cap+1 slice of ONE collect_set: length > cap doubles as
                 # the overflow signal (a second size(collect_set) would
                 # build the whole distinct set twice per batch).
+                # collect_set DROPS nulls, so the NULL partition
+                # (__HIVE_DEFAULT_PARTITION__) is tracked by a separate
+                # cheap count and re-added to the touched list — without
+                # it a null-date batch would never refresh its gold slice.
                 pcol = F.col(self.partition_by)
                 metrics.append(
                     F.slice(
@@ -150,6 +161,9 @@ class IncrementalIngest:
                         1,
                         _TOUCHED_OBS_CAP + 1,
                     ).alias("touched")
+                )
+                metrics.append(
+                    F.sum(pcol.isNull().cast("long")).alias("n_null_part")
                 )
             out = (
                 batch_df.withColumn("ingest_batch", F.lit(batch_id))
@@ -164,7 +178,10 @@ class IncrementalIngest:
             out.partitionBy(*cols).parquet(self.silver_dir)
             if self.post_batch is not None:
                 if self._post_batch_takes_touched:
-                    touched = list(obs.get["touched"])
+                    got = obs.get
+                    touched = list(got["touched"])
+                    if (got["n_null_part"] or 0) > 0:
+                        touched.append(None)
                     if len(touched) > _TOUCHED_OBS_CAP:
                         touched = None  # overflow: let the hook recount
                     self.post_batch(batch_df, touched=touched)

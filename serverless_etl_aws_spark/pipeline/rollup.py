@@ -77,19 +77,34 @@ class PartitionedRollup:
         backfill (say 10k partitions) still writes in parallel."""
         if not values:
             return 0
-        write_tasks = max(1, len(values) // 32)
         silver = self.spark.read.parquet(self.silver_dir)
         gold = self.aggregate(
             silver.filter(_partition_predicate(self.partition_col, values))
         )
+        self._write_gold(gold, len(values))
+        return len(values)
+
+    def _write_gold(self, gold: DataFrame, n_partitions: int) -> None:
+        """Dynamic-overwrite a gold slice, coalesced to ~1 writer task per
+        32 touched partitions (the slice is aggregate-sized by
+        construction; without the coalesce files ≈ tasks × partitions)."""
         (
-            gold.coalesce(write_tasks)
+            gold.coalesce(max(1, n_partitions // 32))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(self.partition_col)
             .parquet(self.gold_dir)
         )
-        return len(values)
+
+    def _gold_exists(self) -> bool:
+        """Existence through the Hadoop FileSystem API: gold may live on
+        any supported scheme (file:, s3a:, hdfs:) — ``os.path.exists``
+        answers False for an object-store prefix, which would make upsert
+        silently replace built partitions with delta-only rows."""
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.gold_dir)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath))
 
     def refresh_for_batch(
         self, batch_df: DataFrame, touched: list | None = None
@@ -153,6 +168,11 @@ class PartitionedRollup:
         from-scratch recompute in the last cent.
 
         Returns the number of partitions rewritten."""
+        # Materialize the delta once (it is aggregate-sized): both the
+        # touched-partition collect and the merged write consume it, and
+        # without the checkpoint the full upstream aggregation would
+        # execute twice.
+        delta_gold = delta_gold.localCheckpoint(eager=True)
         touched_df = (
             delta_gold.select(self.partition_col)
             .distinct()
@@ -167,9 +187,7 @@ class PartitionedRollup:
                 f"{self.max_touched_partitions} distinct "
                 f"{self.partition_col!r} values"
             )
-        import os
-
-        if os.path.exists(self.gold_dir):
+        if self._gold_exists():
             # Materialize the existing slice (localCheckpoint) before the
             # write: the merged plan would otherwise read from the same
             # path the dynamic overwrite rewrites. The slice is
@@ -183,15 +201,7 @@ class PartitionedRollup:
             both = existing.unionByName(delta_gold)
         else:
             both = delta_gold
-        merged = merge(both)
-        write_tasks = max(1, len(touched) // 32)
-        (
-            merged.coalesce(write_tasks)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(self.partition_col)
-            .parquet(self.gold_dir)
-        )
+        self._write_gold(merge(both), len(touched))
         return len(touched)
 
     def read_gold(self) -> DataFrame:

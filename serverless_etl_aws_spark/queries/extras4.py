@@ -20,38 +20,32 @@ from ._util import t
 
 # Per-language keep thresholds on the first two hex chars of md5(doc_id):
 # 'en' dominates the corpus, so it is downsampled to ~25% (0x40/0x100)
-# while under-represented languages are kept in full — the standard
-# rebalancing move in multilingual corpus curation.
+# while under-represented languages are kept IN FULL (no filter at all —
+# a strictly-below 'ff' comparison would silently drop the 0xff bucket,
+# ~0.4% of every stratum) — the standard rebalancing move in multilingual
+# corpus curation.
 STRATA_THRESHOLDS = {"en": "40"}
-DEFAULT_THRESHOLD = "ff"  # keep (strictly-below comparison spares only 0xff…)
 
 
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum deterministic sampling: keep a row iff the md5 of its
-    id falls below its stratum's threshold. One codegen'd map pass — no
-    shuffle, no RNG; the sample is a pure function of (doc_id, lang)."""
+    id falls below its stratum's threshold; strata without a threshold
+    are kept whole. One codegen'd map pass — no shuffle, no RNG; the
+    sample is a pure function of (doc_id, lang)."""
     docs = t(spark, sf_dir, "documents")
-    threshold = F.coalesce(
-        *[
-            F.when(F.col("lang") == lang, F.lit(th))
-            for lang, th in STRATA_THRESHOLDS.items()
-        ],
-        F.lit(DEFAULT_THRESHOLD),
-    )
-    return (
-        docs.withColumn(
-            "__fp", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-        )
-        .filter(F.col("__fp") < threshold)
-        .select("doc_id", "lang", "source", "n_chars")
-    )
+    fp = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    keep = F.lit(True)
+    for lang, th in STRATA_THRESHOLDS.items():
+        keep = F.when(F.col("lang") == lang, fp < F.lit(th)).otherwise(keep)
+    return docs.filter(keep).select("doc_id", "lang", "source", "n_chars")
 
 
 SAMPLE_STRATIFIED_SQL = """
 SELECT doc_id, lang, source, n_chars
 FROM documents
-WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
-      < CASE WHEN lang = 'en' THEN '40' ELSE 'ff' END
+WHERE CASE WHEN lang = 'en'
+           THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+           ELSE TRUE END
 """
 
 

@@ -270,7 +270,7 @@ def stream_pydatasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         deadline = time.time() + 120
-        while time.time() < deadline:
+        while True:
             if not q.isActive:
                 # fail fast with the real cause instead of burning the
                 # deadline and returning a partial result
@@ -280,6 +280,13 @@ def stream_pydatasource(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             if spark.table(name).count() >= n:
                 break
+            if time.time() >= deadline:
+                # a partial drain must be loud — returned rows would
+                # record as an inexplicable correctness mismatch
+                raise TimeoutError(
+                    f"stream_pydatasource drained only "
+                    f"{spark.table(name).count()}/{n} rows in 120 s"
+                )
             time.sleep(0.2)
     finally:
         q.stop()

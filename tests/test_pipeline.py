@@ -479,8 +479,14 @@ def test_post_batch_hook_with_other_second_param_not_broken(spark, tmp_path):
         post_batch=kw_hook,
     )
     pipe2.run_once()
-    assert sorted(seen["touched"]) == sorted(seen["touched"])  # present
-    assert len(seen["touched"]) > 0
+    expected = sorted(
+        r[0]
+        for r in spark.read.parquet(str(tmp_path / "silver2"))
+        .select("event_type")
+        .distinct()
+        .collect()
+    )
+    assert sorted(seen["touched"]) == expected
 
 
 def test_rollup_upsert_preserves_null_partition(spark, tmp_path):
