@@ -155,6 +155,10 @@ def feature_extract(with_payloads: DataFrame) -> DataFrame:
 
 
 FRAME_SCHEMA = "doc_id long, frame_no int, frame_bytes long, frame_head string"
+# frame_head is the first 8 frame BYTES hex-encoded (lowercase): byte-exact
+# under any payload content. A decoded-text preview would split multi-byte
+# utf-8 sequences at frame boundaries and diverge from any character-
+# indexed relational recomputation.
 
 
 def frame_sample(
@@ -180,7 +184,7 @@ def frame_sample(
                             doc_id,
                             frame_no,
                             len(chunk),
-                            chunk[:8].decode("utf-8", errors="replace"),
+                            chunk[:8].hex(),
                         )
                     )
             yield pd.DataFrame(

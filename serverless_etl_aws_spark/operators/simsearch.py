@@ -50,10 +50,15 @@ def quant6(col: F.Column) -> F.Column:
     return F.floor(col * 1000000.0) / 1000000.0
 
 
+# Dimension-agnostic on purpose: a hardcoded range(1, 65) would silently
+# truncate the dot product if the driver regenerates embeddings at a
+# different dim (DuckDB treats out-of-range list indexes as NULL and
+# list_sum skips NULLs — no error, just wrong cosines). The Spark side
+# (aggregate/zip_with) is length-driven already; len(va) keeps parity.
 SQL_COSINE = (
-    "list_sum(list_transform(range(1, 65), i -> va[i] * vb[i]))"
-    " / (sqrt(list_sum(list_transform(range(1, 65), i -> va[i] * va[i])))"
-    " * sqrt(list_sum(list_transform(range(1, 65), i -> vb[i] * vb[i]))))"
+    "list_sum(list_transform(range(1, len(va)+1), i -> va[i] * vb[i]))"
+    " / (sqrt(list_sum(list_transform(range(1, len(va)+1), i -> va[i] * va[i])))"
+    " * sqrt(list_sum(list_transform(range(1, len(vb)+1), i -> vb[i] * vb[i]))))"
 )
 
 

@@ -44,16 +44,25 @@ def trigrams(col: str = "text") -> Column:
     return word_ngrams(3, col)
 
 
+#: Whitespace class pinned EXPLICITLY on both engines: Java's ``\s`` is
+#: ``[ \t\n\x0B\f\r]`` while RE2's (DuckDB) excludes vertical tab — a
+#: document containing \x0B would normalize differently and silently
+#: hash-mismatch. One literal class, same bytes, any engine.
+WS_CLASS = r"[ \t\n\r\f\x0B]"
+
+
 def fingerprint(col: str = "text") -> Column:
     """Deterministic document fingerprint: md5 of the normalized text
     (lower + trim + collapse whitespace). Same bytes → same hash in any
     engine, which is what makes this the exact-dedup key at scale."""
     return F.md5(
-        F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " ")))
+        F.lower(F.trim(F.regexp_replace(F.col(col), WS_CLASS + "+", " ")))
     )
 
 
-SQL_FINGERPRINT = r"md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"
+SQL_FINGERPRINT = (
+    r"md5(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))))"
+)
 
 
 # Language-ID: marker-word counting. Deliberately simple and fully

@@ -94,6 +94,18 @@ def sql_davg(expr: str, scale: int = 2) -> str:
     )
 
 
+def fresh_dir(path: str) -> str:
+    """Recreate ``path`` empty — the staging-dir lifecycle every
+    file-writing query key shares (one definition; previously copy-pasted
+    per module)."""
+    import shutil
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def hadoop_dir_bytes(spark: SparkSession, path: str) -> int:
     """Total bytes of the parquet data files directly under ``path``,
     listed through Hadoop's FileSystem API — the same abstraction the

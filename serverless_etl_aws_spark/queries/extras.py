@@ -7,30 +7,22 @@ into joins; `.explain` shows no per-row subquery execution).
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import Query
-from ._util import fquant, t, scratch_root
+from ._util import fquant, t, scratch_root, fresh_dir
 
 SCRATCH = scratch_root()
-
-
-def _fresh(path: str) -> str:
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.makedirs(path, exist_ok=True)
-    return path
 
 
 def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source support: deterministic write of a lineitem projection to
     CSV, schema-declared read back (header, explicit types — never
     inferSchema at scale: it reads the data twice)."""
-    out = _fresh(os.path.join(SCRATCH, "scan_csv"))
+    out = fresh_dir(os.path.join(SCRATCH, "scan_csv"))
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
     )
@@ -62,7 +54,7 @@ GROUP BY l_returnflag
 def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source support (schema-declared read; null fields are
     omitted on write and restored as NULL on read)."""
-    out = _fresh(os.path.join(SCRATCH, "scan_json"))
+    out = fresh_dir(os.path.join(SCRATCH, "scan_json"))
     ev = t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
@@ -298,7 +290,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     recurring-join scale play."""
     from ..operators.skew import bucketed_join, write_bucketed
 
-    base = _fresh(os.path.join(SCRATCH, "bucketed"))
+    base = fresh_dir(os.path.join(SCRATCH, "bucketed"))
     write_bucketed(
         t(spark, sf_dir, "orders"), "orders_b", "o_custkey", 8,
         os.path.join(base, "orders_b"),

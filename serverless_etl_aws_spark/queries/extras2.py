@@ -10,23 +10,15 @@ floor-quantization — never ``ROUND(double)``.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import Query
-from ._util import dec, fquant, t, scratch_root
+from ._util import dec, fquant, t, scratch_root, fresh_dir
 
 SCRATCH = scratch_root()
-
-
-def _fresh(path: str) -> str:
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.makedirs(path, exist_ok=True)
-    return path
 
 
 def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,7 +31,7 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_quantity",
         "l_extendedprice", "l_returnflag", "l_shipdate",
     )
-    base = _fresh(os.path.join(SCRATCH, "orc_scan"))
+    base = fresh_dir(os.path.join(SCRATCH, "orc_scan"))
     li.write.mode("overwrite").orc(base)
     return spark.read.orc(base)
 

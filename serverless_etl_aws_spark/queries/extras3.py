@@ -10,7 +10,6 @@ All float outputs follow the engine's cross-engine discipline
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -18,16 +17,9 @@ from pyspark.sql import functions as F
 from ..operators.simsearch import SQL_COSINE, cosine_expr, quant6
 from ..operators.text import SQL_FINGERPRINT, fingerprint
 from . import Query
-from ._util import dsum, hadoop_dir_bytes, sql_dsum, t, scratch_root
+from ._util import dsum, hadoop_dir_bytes, sql_dsum, t, scratch_root, fresh_dir
 
 SCRATCH = scratch_root()
-
-
-def _fresh(path: str) -> str:
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.makedirs(path, exist_ok=True)
-    return path
 
 
 # ------------------------------------------------------------- k-NN join
@@ -131,7 +123,7 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match the same aggregate over the original table. File-count
     reduction itself is asserted in tests/test_operators.py.
     """
-    base = _fresh(os.path.join(SCRATCH, "maintenance_compact"))
+    base = fresh_dir(os.path.join(SCRATCH, "maintenance_compact"))
     frag_dir = os.path.join(base, "fragmented")
     out_dir = os.path.join(base, "compacted")
     li = t(spark, sf_dir, "lineitem")

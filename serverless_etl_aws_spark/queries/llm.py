@@ -33,7 +33,12 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = terms.groupBy("lang", "term").agg(
         F.count(F.lit(1)).alias("term_count")
     )
-    totals = terms.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_tokens"))
+    # totals derive from counts — a second groupBy over `terms` would
+    # re-run the whole tokenize+explode pass for a sum the (much smaller)
+    # counts table already contains.
+    totals = counts.groupBy("lang").agg(
+        F.sum("term_count").alias("lang_tokens")
+    )
     w = Window.partitionBy("lang").orderBy(
         F.col("term_count").desc(), F.col("term")
     )
@@ -171,7 +176,7 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop = F.regexp_count(
         F.lower(F.col("text")), F.lit(r"\b(the|a|and|of|to)\b")
     ).cast("double")
-    nonalpha = F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z\s]")).cast(
+    nonalpha = F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z \t\n\r\f\x0B]")).cast(
         "double"
     )
     mean_tok_len = (n_chars - (n_tok - 1)) / n_tok
@@ -208,7 +213,7 @@ WITH m AS (
            CAST(length(text) AS DOUBLE) AS n_chars,
            CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to)\b'))
                 AS DOUBLE) AS stop,
-           CAST(len(regexp_extract_all(text, '[^A-Za-z\s]')) AS DOUBLE)
+           CAST(len(regexp_extract_all(text, '[^A-Za-z \t\n\r\f\x0B]')) AS DOUBLE)
                AS nonalpha
     FROM documents
 )
@@ -235,7 +240,7 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("ws_tokens"),
         F.regexp_count(
-            F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+            F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f\x0B]")
         ).cast("bigint").alias("bpe_ish_tokens"),
         F.length("text").cast("bigint").alias("n_chars_measured"),
     )
@@ -244,7 +249,7 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 LLM_TOKEN_COUNT_SQL = r"""
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f\x0B]'))
             AS BIGINT) AS bpe_ish_tokens,
        CAST(length(text) AS BIGINT) AS n_chars_measured
 FROM documents
@@ -626,12 +631,15 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# frame_head: BYTE-addressed via the hex string (2 hex chars per byte) —
+# a character-indexed substring(text, ...) would drift from the Spark
+# side's byte slices on the first multi-byte utf-8 character.
 MM_FRAME_SAMPLE_SQL = """
 SELECT doc_id,
        CAST(f AS INTEGER) AS frame_no,
        CAST(least(64, octet_length(encode(text)) - f * 64) AS BIGINT)
            AS frame_bytes,
-       substring(text, f * 64 + 1, 8) AS frame_head
+       lower(substring(hex(encode(text)), f * 128 + 1, 16)) AS frame_head
 FROM documents,
      LATERAL unnest(generate_series(
          0,
@@ -748,16 +756,26 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     whereas ``ln`` is libm-dependent. Ranking uses the floor-quantized score
     with a lexicographic tie-break so the winner is engine-independent.
 
-    Scale notes: tf is a map-side-combinable groupBy; df is a groupBy over
-    (term, doc) pairs; N is a one-row broadcast. No driver-side collection.
+    Scale notes: ONE tokenize+explode pass builds the tf table, which is
+    localCheckpointed and then feeds every downstream aggregate — df is
+    just the per-term row count of tf (tf has one row per (doc, term)),
+    and N is its distinct doc count, so neither re-scans or re-explodes
+    the corpus (the previous formulation re-derived the explode lineage
+    three times; same lesson as the shingle-table checkpoint in
+    operators/dedup.py). N is a one-row broadcast. No driver-side
+    collection.
     """
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    ndocs = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(ndocs))

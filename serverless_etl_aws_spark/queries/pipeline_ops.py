@@ -6,7 +6,6 @@ partitioned sink with pruned read-back (SURVEY.md §2B `ingest_incremental`,
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -15,16 +14,9 @@ from ..catalog import events_reader_setup
 from ..pipeline.ingest import IncrementalIngest
 from ..streaming.windows import split_parquet_by_mod
 from . import Query
-from ._util import dsum, sql_dsum, t, scratch_root
+from ._util import dsum, sql_dsum, t, scratch_root, fresh_dir
 
 SCRATCH = scratch_root()
-
-
-def _fresh(path: str) -> str:
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.makedirs(path, exist_ok=True)
-    return path
 
 
 def ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -33,7 +25,7 @@ def ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's tag-skip semantics (s3_operations.py:30-33) from the
     streaming file-source checkpoint. Returns one row per run.
     """
-    base = _fresh(os.path.join(SCRATCH, "ingest_incremental"))
+    base = fresh_dir(os.path.join(SCRATCH, "ingest_incremental"))
     bronze = os.path.join(base, "bronze")
     silver = os.path.join(base, "silver")
     ckpt = os.path.join(base, "_checkpoint")
@@ -80,7 +72,7 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (l_returnflag = R)]``) — and aggregates, which the oracle checks against
     the original table.
     """
-    out = _fresh(os.path.join(SCRATCH, "sink_partitioned"))
+    out = fresh_dir(os.path.join(SCRATCH, "sink_partitioned"))
     li = t(spark, sf_dir, "lineitem")
     (
         li.write.mode("append")
@@ -125,7 +117,7 @@ def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     audits".)"""
     from ..pipeline.rollup import PartitionedRollup
 
-    base = _fresh(os.path.join(SCRATCH, "rollup_incremental"))
+    base = fresh_dir(os.path.join(SCRATCH, "rollup_incremental"))
     bronze = os.path.join(base, "bronze")
     silver = os.path.join(base, "silver")
     gold = os.path.join(base, "gold")
@@ -204,7 +196,7 @@ def rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-built partitions."""
     from ..pipeline.rollup import PartitionedRollup
 
-    base = _fresh(os.path.join(SCRATCH, "rollup_upsert"))
+    base = fresh_dir(os.path.join(SCRATCH, "rollup_upsert"))
     gold = os.path.join(base, "gold")
 
     ev = t(spark, sf_dir, "events").withColumn(
@@ -271,7 +263,7 @@ def export_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     part file, double batch) hash-mismatches."""
     from ..pipeline.export import WarehouseExporter
 
-    base = _fresh(os.path.join(SCRATCH, "export_warehouse"))
+    base = fresh_dir(os.path.join(SCRATCH, "export_warehouse"))
     gold = t(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("order_count"),
         dsum("o_totalprice").alias("sum_totalprice"),

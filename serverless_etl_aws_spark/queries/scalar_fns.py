@@ -105,13 +105,21 @@ FROM lineitem
 
 
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON field extraction from the events.props string column."""
+    """JSON field extraction from the events.props string column.
+
+    The extracted value is accepted only when it is an INTEGRAL string,
+    checked identically on both engines: a bare cross-engine cast would
+    diverge the moment the generator emits a decimal or junk value —
+    Spark's non-ANSI cast returns NULL on '50.5', DuckDB CAST rounds it
+    to 51 (and hard-errors on non-numeric), verified empirically."""
     ev = t(spark, sf_dir, "events")
+    k_str = F.get_json_object(F.col("props"), "$.k")
+    prop_k = F.when(k_str.rlike(r"^-?[0-9]+$"), k_str.cast("int"))
     return (
         ev.select(
             "event_id",
             "event_type",
-            F.get_json_object(F.col("props"), "$.k").cast("int").alias("prop_k"),
+            prop_k.alias("prop_k"),
         )
         .filter(F.col("prop_k") > 50)
     )
@@ -121,7 +129,8 @@ FN_JSON_SQL = """
 SELECT event_id, event_type,
        CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
 FROM events
-WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+WHERE regexp_full_match(json_extract_string(props, '$.k'), '-?[0-9]+')
+  AND CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
 """
 
 

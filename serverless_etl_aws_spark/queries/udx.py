@@ -24,8 +24,19 @@ from ._util import t
 
 @pandas_udf(StringType())
 def normalize_text(s: pd.Series) -> pd.Series:
-    """lower + trim + collapse internal whitespace (vectorized)."""
-    return s.str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
+    """collapse whitespace + trim + lower (vectorized).
+
+    The whitespace class is pinned explicitly and the operations run in
+    the oracle's order (collapse → trim spaces → lower): Python's ``\\s``
+    is Unicode-aware (NBSP, ideographic space) while DuckDB's RE2 class is
+    ASCII-only, and ``str.strip()`` strips Unicode whitespace while SQL
+    ``trim`` strips only ' ' — either difference silently diverges the
+    hashes on non-ASCII input."""
+    return (
+        s.str.replace(r"[ \t\n\r\f\x0B]+", " ", regex=True)
+        .str.strip(" ")
+        .str.lower()
+    )
 
 
 def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,7 +48,8 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 UDF_SCALAR_SQL = r"""
 SELECT doc_id,
-       lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_text
+       lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')))
+           AS norm_text
 FROM documents
 """
 
