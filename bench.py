@@ -74,6 +74,32 @@ def main() -> None:
             spark._jvm.System.gc()
         return elapsed
 
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+
+    def flush_detail() -> None:
+        # Rewritten after EVERY key (atomic rename): a mid-suite crash or
+        # OOM kill must not silently leave the previous round's numbers
+        # in place masquerading as this run's artifact.
+        payload = {
+            "sf": sf,
+            "warm_total": round(
+                sum(v for v in timings.values() if v >= 0), 3
+            ),
+            "cold_total": round(
+                sum(d["cold"] for d in detail.values() if d["cold"] >= 0), 3
+            ),
+            "n_keys": len(registry),
+            "n_measured": len(detail),
+            "n_failed": sum(1 for v in timings.values() if v < 0),
+            "queries": detail,
+        }
+        tmp = detail_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        os.replace(tmp, detail_path)
+
     for key in sorted(registry):
         q = registry[key]
         # Cold and warm run under SEPARATE try blocks so a warm-only
@@ -86,6 +112,7 @@ def main() -> None:
             timings[key] = -1.0
             detail[key] = {"cold": -1.0, "warm": -1.0}
             print(f"# {key} FAILED (cold): {exc}", file=sys.stderr)
+            flush_detail()
             continue
         try:
             warm = run_once(q)
@@ -95,27 +122,13 @@ def main() -> None:
             timings[key] = -1.0
             detail[key] = {"cold": cold, "warm": -1.0}
             print(f"# {key} FAILED (warm, cold={cold}s): {exc}", file=sys.stderr)
+        flush_detail()
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as f:
-        json.dump(
-            {
-                "sf": sf,
-                "warm_total": total,
-                "cold_total": round(
-                    sum(d["cold"] for d in detail.values() if d["cold"] >= 0),
-                    3,
-                ),
-                "n_keys": len(registry),
-                "queries": detail,
-            },
-            f,
-            indent=1,
-            sort_keys=True,
-        )
+    flush_detail()
+    # n_failed is surfaced in the headline line: a crashing key SHRINKS
+    # the total (its runtime drops out of the sum), which would otherwise
+    # read as a perf win — the failure count makes that explicit.
     print(
         json.dumps(
             {
@@ -125,6 +138,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_keys": len(registry),
+                "n_failed": sum(1 for v in timings.values() if v < 0),
             }
         )
     )

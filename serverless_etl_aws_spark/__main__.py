@@ -34,6 +34,13 @@ def main(argv: list[str] | None = None) -> int:
 
     args = parser.parse_args(argv)
 
+    if args.cmd == "tables":
+        # pure-Python constant — don't boot a JVM to print ten names
+        from . import schemas
+
+        print("\n".join(sorted(schemas.TABLES)))
+        return 0
+
     from .engine import Engine
 
     eng = Engine(zone_root=getattr(args, "zone", "."))
@@ -50,9 +57,6 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "sql":
         eng.sql(args.query).show(args.limit, truncate=False)
-        return 0
-    if args.cmd == "tables":
-        print("\n".join(eng.tables))
         return 0
     return 1
 

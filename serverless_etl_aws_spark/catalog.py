@@ -53,23 +53,33 @@ def events_ts_unit(path: str, column: str = "ts") -> str:
     treated as epoch nanoseconds — the original contract's encoding, still
     used by test scaffolding that fabricates ns-long event files.
 
-    ``path`` may be a single parquet file or a directory of them (footer of
-    the first member is authoritative — mixed-unit directories are not a
-    supported layout).
+    ``path`` may be a single parquet file or a directory of them, nested
+    (Hive-partitioned) included — the footer of the first member in
+    walk order is authoritative; mixed-unit directories are not a
+    supported layout. Non-local paths (``s3a://`` …) can't be footer-read
+    driver-side with pyarrow; they fall back to the declared µs contract
+    (``schemas.EVENTS``) — the current fixture encoding — since the unit
+    sniff exists to absorb LOCAL fixture drift between rounds.
     """
     import pyarrow.parquet as pq
     from pyarrow import types as patypes
 
+    if "://" in path and not path.startswith("file://"):
+        return "us"
     p = path
     if os.path.isdir(path):
-        members = sorted(
-            f
-            for f in os.listdir(path)
-            if f.endswith(".parquet") and not f.startswith((".", "_"))
-        )
-        if not members:
+        p = None
+        for root, dirs, files in sorted(os.walk(path)):
+            members = sorted(
+                f
+                for f in files
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+            if members:
+                p = os.path.join(root, members[0])
+                break
+        if p is None:
             raise FileNotFoundError(f"no parquet files under {path!r}")
-        p = os.path.join(path, members[0])
     t = pq.read_schema(p).field(column).type
     if patypes.is_timestamp(t):
         return t.unit
@@ -106,10 +116,44 @@ def events_reader_setup(spark: SparkSession, path: str):
     return schemas.EVENTS, (lambda df: df)
 
 
+#: Footer column-name checks already performed this process, keyed by
+#: (path, mtime_ns) so an in-place fixture regeneration re-checks.
+_FOOTER_CHECKED: set = set()
+
+
+def _check_footer_names(path: str, schema) -> None:
+    """Loud load-time drift check: ``spark.read.schema(...)`` silently
+    NULL-fills a column the file no longer has (dropped/renamed), which
+    turns schema drift into wrong-but-plausible query results. Comparing
+    the footer's column NAMES against the declared schema catches that at
+    load with the drifted column named. Local paths only (pyarrow has no
+    s3a handler driver-side) and single-file tables only — the fixtures'
+    layout; declared-evolution reads (scan_merge_schema) go through their
+    own explicit contract, not this loader."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return  # non-local or missing: let the Spark read surface it
+    key = (path, st.st_mtime_ns)
+    if key in _FOOTER_CHECKED or not os.path.isfile(path):
+        return
+    import pyarrow.parquet as pq
+
+    footer_names = set(pq.read_schema(path).names)
+    missing = [f.name for f in schema.fields if f.name not in footer_names]
+    if missing:
+        raise ValueError(
+            f"fixture drift: {path} no longer has column(s) {missing} "
+            f"declared in schemas.py — a silent read would NULL-fill them"
+        )
+    _FOOTER_CHECKED.add(key)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table with its declared schema.
 
-    The declared schema is applied on read (not inferred), then column order
+    The declared schema is applied on read (not inferred) after a loud
+    footer name check (see :func:`_check_footer_names`), then column order
     is pinned. ``events.ts`` goes through :func:`events_reader_setup`, which
     sniffs the stored timestamp unit from the parquet footer and branches —
     the fixtures have switched units between rounds, so the footer is the
@@ -118,6 +162,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in schemas.TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(schemas.TABLES)}")
     schema = schemas.TABLES[name]
+    _check_footer_names(table_path(sf_dir, name), schema)
     if name == "events":
         path = table_path(sf_dir, name)
         read_schema, normalize = events_reader_setup(spark, path)

@@ -22,11 +22,21 @@ from .catalog import table_path
 
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    """Register fixture views the way the driver does (plain read_parquet)."""
+    """Register fixture views the way the driver does (plain read_parquet).
+
+    Directory-layout tables (Spark-written ``name.parquet/`` dirs, which
+    ``catalog.load_table`` reads fine) get a recursive glob; quotes in the
+    path are SQL-escaped so an odd fixture dir can't break the DDL."""
+    import os
+
     con = duckdb.connect()
     for name in schemas.TABLES:
+        path = table_path(sf_dir, name)
+        if os.path.isdir(path):
+            path = os.path.join(path, "**", "*.parquet")
+        path_sql = path.replace("'", "''")
         con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path_sql}')"
         )
     return con
 
@@ -72,9 +82,13 @@ class CompareResult:
 def compare(
     key: str, spark_df: DataFrame, sql: str | None, sf_dir: str
 ) -> CompareResult:
-    spdf = spark_df.toPandas()
     if sql is None:
-        return CompareResult(key, len(spdf), None, None, None, "rows-only")
+        # rows-only: count distributed — toPandas() would materialize the
+        # whole result on the driver just to take len()
+        return CompareResult(
+            key, spark_df.count(), None, None, None, "rows-only"
+        )
+    spdf = spark_df.toPandas()
     con = duckdb_connect(sf_dir)
     try:
         odf = con.sql(sql).df()
@@ -99,7 +113,12 @@ def compare(
             break
         mask = ~a.isna()
         av, bv = a[mask], b[mask]
-        if pd.api.types.is_float_dtype(a.dtype):
+        # numeric path if EITHER side is float: DuckDB HUGEINT lands in
+        # pandas as float64, and '100' vs '100.0' via the string branch
+        # would false-mismatch numerically equal columns
+        if pd.api.types.is_float_dtype(a.dtype) or pd.api.types.is_float_dtype(
+            b.dtype
+        ):
             if not np.array_equal(
                 av.values.astype("float64"), bv.values.astype("float64")
             ):
@@ -119,6 +138,13 @@ def run_all(
     from .queries import build_registry
 
     registry = build_registry()
+    if keys:
+        unknown = sorted(set(keys) - set(registry))
+        if unknown:
+            raise KeyError(
+                f"run_all: unknown keys {unknown} — a typo here would "
+                f"otherwise return a vacuously-green empty result list"
+            )
     results = []
     for key, q in registry.items():
         if keys and key not in keys:

@@ -58,11 +58,21 @@ class Engine:
         self,
         bronze_dir: str,
         silver_dir: str,
-        checkpoint_dir: str | None = None,
+        state_dir: str | None = None,
         watermark_path: str | None = None,
     ) -> TaxiBronzeToSilver:
-        """The reference's bronze→silver pipeline, ready to run."""
-        state_root = checkpoint_dir or os.path.join(silver_dir, "_state")
+        """The reference's bronze→silver pipeline, ready to run.
+
+        ``state_dir`` is a STATE ROOT, not the raw checkpoint location:
+        the streaming checkpoint goes to ``<state_dir>/checkpoint`` and
+        the watermark file to ``<state_dir>/watermark.json`` (unless
+        ``watermark_path`` overrides it). To reuse an existing raw
+        checkpoint path, construct :class:`TaxiJobConfig` directly —
+        pointing ``state_dir`` at an old checkpoint would start a fresh
+        file-source log and re-ingest everything. (The parameter was
+        renamed from ``checkpoint_dir``, which promised exactly that
+        wrong thing.)"""
+        state_root = state_dir or os.path.join(silver_dir, "_state")
         return TaxiBronzeToSilver(
             self.spark,
             TaxiJobConfig(
