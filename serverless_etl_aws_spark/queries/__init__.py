@@ -73,6 +73,7 @@ def build_registry() -> dict[str, Query]:
         extras2,
         extras3,
         extras4,
+        extras5,
         joins,
         llm,
         pipeline_ops,
@@ -99,6 +100,7 @@ def build_registry() -> dict[str, Query]:
         extras2,
         extras3,
         extras4,
+        extras5,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

@@ -258,3 +258,62 @@ def test_merge_schema_scan_keeps_pushdown(spark, sf_dir):
     assert "PushedFilters:" in plan
     pushed = plan.split("PushedFilters:")[1].split("\n")[0]
     assert "o_totalprice" in pushed, plan
+
+
+def test_zorder_layout_enables_file_pruning(spark, sf_dir):
+    """The Z-order rewrite's whole point is that parquet footer min/max
+    stats skip most files for a 2-D box predicate. Verify from the actual
+    written footers: the fraction of files whose (l_orderkey, l_partkey)
+    zones overlap the verification box must be well under 100% — a
+    single-column sort or random layout would overlap on nearly every
+    file for the second dimension."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from serverless_etl_aws_spark.queries.extras5 import (
+        SCRATCH,
+        maintenance_zorder,
+    )
+
+    maintenance_zorder(spark, sf_dir).collect()
+    files = sorted(
+        glob.glob(os.path.join(SCRATCH, "maintenance_zorder", "*.parquet"))
+    )
+    assert len(files) >= 8, files
+
+    ok_lo = ok_hi = pk_lo = pk_hi = None
+    zones = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        o0 = p0 = None
+        o1 = p1 = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                name = c.path_in_schema
+                if name == "l_orderkey":
+                    o0 = c.statistics.min if o0 is None else min(o0, c.statistics.min)
+                    o1 = c.statistics.max if o1 is None else max(o1, c.statistics.max)
+                elif name == "l_partkey":
+                    p0 = c.statistics.min if p0 is None else min(p0, c.statistics.min)
+                    p1 = c.statistics.max if p1 is None else max(p1, c.statistics.max)
+        zones.append((o0, o1, p0, p1))
+        ok_lo = o0 if ok_lo is None else min(ok_lo, o0)
+        ok_hi = o1 if ok_hi is None else max(ok_hi, o1)
+        pk_lo = p0 if pk_lo is None else min(pk_lo, p0)
+        pk_hi = p1 if pk_hi is None else max(pk_hi, p1)
+
+    # The verification box from maintenance_zorder: lower-left quadrant.
+    ok_mid = (ok_lo + ok_hi) // 2
+    pk_mid = (pk_lo + pk_hi) // 2
+    overlapping = sum(
+        1
+        for (o0, o1, p0, p1) in zones
+        if o0 <= ok_mid and p0 <= pk_mid  # zone intersects the box
+    )
+    # A quarter-space box against a Z-ordered layout should prune at
+    # least ~40% of files; random/1-D layouts overlap ~100%.
+    assert overlapping <= 0.6 * len(files), (overlapping, len(files), zones)
