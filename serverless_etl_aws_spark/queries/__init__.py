@@ -74,6 +74,7 @@ def build_registry() -> dict[str, Query]:
         extras3,
         extras4,
         extras5,
+        extras6,
         joins,
         llm,
         pipeline_ops,
@@ -101,6 +102,7 @@ def build_registry() -> dict[str, Query]:
         extras3,
         extras4,
         extras5,
+        extras6,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

@@ -706,3 +706,39 @@ def test_stateful_update_state_carries_unrounded_sum():
     list(_update((7,), iter([batch]), st))
     out = list(_update((7,), iter([batch]), st))[0]
     assert out["total_value"].iloc[0] == 0.01  # round(0.008), not round(0.0+0.004)
+
+
+def test_pq_recall_fixture(spark, sf_dir):
+    """Registry settings (m=16, ksub=64, refine=8) must hold recall@10
+    >= 0.8 vs brute force on the fixture embeddings — near-uniform
+    random vectors are ANN's worst case (the coarser 8x16 codebook
+    measured only 0.2 at sf0.1), so both the codebook resolution and
+    the exact re-rank over 80 ADC candidates are load-bearing; measured
+    1.0 at sf0.1 with these settings."""
+    from serverless_etl_aws_spark.catalog import load_table
+    from serverless_etl_aws_spark.operators.simsearch import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bf = {r["vec_id"] for r in brute_force_topk(emb, 0, 10).collect()}
+    pq = {r["vec_id"] for r in pq_topk(emb, 0, 10, m=16, ksub=64, refine=8).collect()}
+    assert len(bf & pq) / len(bf) >= 0.8
+
+
+def test_pq_exact_rerank_scores_match_brute_force(spark, sf_dir):
+    """For every candidate PQ returns that brute force also returns, the
+    exact-cosine score must agree to the quant6 floor — the re-rank is
+    exact arithmetic, only the candidate CHOICE is approximate."""
+    from serverless_etl_aws_spark.catalog import load_table
+    from serverless_etl_aws_spark.operators.simsearch import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bf = {r["vec_id"]: r["cosine"] for r in brute_force_topk(emb, 0, 10).collect()}
+    for r in pq_topk(emb, 0, 10).collect():
+        if r["vec_id"] in bf:
+            assert abs(r["cosine"] - bf[r["vec_id"]]) <= 2e-6, r
