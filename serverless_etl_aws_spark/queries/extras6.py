@@ -140,3 +140,91 @@ QUERIES: dict[str, Query] = {
         llm_sim_search_pq, None, "PQ ANN with ADC scoring + exact re-rank"
     ),
 }
+
+
+def dim_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension build: turn the events change log
+    into per-user version history — each change opens a version row with
+    ``[valid_from, valid_to)`` and the open-ended row is flagged current.
+    The gold-dimension shape every warehouse maintains next to its facts
+    (the reference's declared-but-unbuilt gold layer stops at additive
+    rollups; this is the non-additive half).
+
+    Scale: one shuffle on the dimension key, then pure window functions
+    — lead() for the closing timestamp, row_number() for the version
+    ordinal. No self-join (the textbook anti-pattern for SCD2 at scale).
+    The ordering includes event_id so same-timestamp changes version
+    deterministically."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).alias("version"),
+        F.col("value").alias("attr_value"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(F.lead("ts").over(w), "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_to"
+        ),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+DIM_SCD2_SQL = """
+SELECT user_id,
+       row_number() OVER w AS version,
+       value AS attr_value,
+       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction with the JVM ``parse_url`` built-in
+    (host / path / one query parameter) — provenance-tracking metadata
+    every web-corpus pipeline normalizes before host-level dedup or
+    authority scoring (graph_pagerank). One codegen'd map pass; the
+    oracle recomputes the same components with regexes, so the two
+    parsers must agree byte-for-byte."""
+    docs = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?ref="), F.col("lang"),
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+    )
+
+
+FN_URL_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+           || '?ref=' || lang AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+       regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, 'ref=([^&]*)', 1) AS ref_param
+FROM u
+"""
+
+
+QUERIES.update(
+    {
+        "dim_scd2": Query(
+            dim_scd2, DIM_SCD2_SQL, "type-2 SCD history via windows, no self-join"
+        ),
+        "fn_url": Query(fn_url, FN_URL_SQL, "parse_url host/path/query extraction"),
+    }
+)

@@ -94,6 +94,9 @@ SF1_DIR = "/root/repo/.scratch/sf1.0"
 SF1_KEYS = [
     "agg_group", "join_multiway", "llm_dedup_ngram",
     "llm_sim_search_ivf", "stream_session",
+    # round-4 additions: the new clustering/graph/ANN/spine keys
+    "maintenance_zorder", "graph_pagerank", "llm_sim_search_pq",
+    "ts_resample", "agg_stats",
 ]
 
 
