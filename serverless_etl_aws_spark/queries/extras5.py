@@ -209,7 +209,11 @@ def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        spine.join(daily, ["event_type", "d"], "left")
+        # The daily aggregate is O(days × types) — broadcast it so the
+        # spine join never shuffles (left-outer with broadcast build on
+        # the right side is supported; AQE would usually find this, the
+        # hint pins it).
+        spine.join(F.broadcast(daily), ["event_type", "d"], "left")
         .select(
             "event_type",
             F.date_format("d", "yyyy-MM-dd").alias("day"),

@@ -742,3 +742,35 @@ def test_pq_exact_rerank_scores_match_brute_force(spark, sf_dir):
     for r in pq_topk(emb, 0, 10).collect():
         if r["vec_id"] in bf:
             assert abs(r["cosine"] - bf[r["vec_id"]]) <= 2e-6, r
+
+
+def test_pagerank_hand_computed_graph(spark):
+    """Semantics lock: 3-node weighted graph, ranks after 3 iterations
+    must match a pure-Python evaluation of the same quantized update
+    (floor(pr*w/wout*1e14) summed as ints). Catches both formula drift
+    and quantization drift."""
+    import math
+
+    from serverless_etl_aws_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    # 0→1 (w2), 0→2 (w1), 1→2 (w1), 2→0 (w1)
+    edges = spark.createDataFrame(
+        [(0, 1, 2.0), (0, 2, 1.0), (1, 2, 1.0), (2, 0, 1.0)],
+        "src long, dst long, w double",
+    )
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(nodes, edges, iters=3, damping=0.85).collect()
+    }
+
+    wout = {0: 3.0, 1: 1.0, 2: 1.0}
+    ew = {(0, 1): 2.0, (0, 2): 1.0, (1, 2): 1.0, (2, 0): 1.0}
+    pr = {n: 1.0 / 3.0 for n in range(3)}
+    for _ in range(3):
+        s = {n: 0 for n in range(3)}
+        for (a, b), w in ew.items():
+            s[b] += int(math.floor(pr[a] * (w / wout[a]) * 1e14))
+        pr = {n: 0.15 / 3.0 + 0.85 * (float(s[n]) / 1e14) for n in range(3)}
+    for n in range(3):
+        assert got[n] == pr[n], (n, got[n], pr[n])

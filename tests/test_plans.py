@@ -317,3 +317,14 @@ def test_zorder_layout_enables_file_pruning(spark, sf_dir):
     # A quarter-space box against a Z-ordered layout should prune at
     # least ~40% of files; random/1-D layouts overlap ~100%.
     assert overlapping <= 0.6 * len(files), (overlapping, len(files), zones)
+
+
+def test_ts_resample_spine_join_broadcasts(spark, sf_dir):
+    """The calendar-spine left join must build on the broadcast daily
+    aggregate (O(days x types)), never shuffle the spine against it as
+    a sort-merge join."""
+    from serverless_etl_aws_spark.queries.extras5 import ts_resample
+
+    plan = plan_of(ts_resample(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
