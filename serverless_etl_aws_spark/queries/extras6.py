@@ -10,7 +10,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import Query
-from ._util import fquant, t
+from ._util import dsum, fquant, fresh_dir, scratch_root, t
+
+SCRATCH = scratch_root()
 
 PR_ITERS = 3
 PR_DAMPING = 0.85
@@ -226,5 +228,63 @@ QUERIES.update(
             dim_scd2, DIM_SCD2_SQL, "type-2 SCD history via windows, no self-join"
         ),
         "fn_url": Query(fn_url, FN_URL_SQL, "parse_url host/path/query extraction"),
+    }
+)
+
+
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a partitioned fact table joined to a
+    dimension whose selective filter is only knowable at RUNTIME (the
+    category is computed on dim rows, so no static predicate exists on
+    the fact's partition column) — Catalyst injects a
+    ``dynamicpruningexpression`` into the fact scan's PartitionFilters,
+    reusing the broadcast dim as the filter. THE mechanism that makes a
+    dim-filtered fact query read 2 of N partitions instead of 100 TB;
+    tests/test_plans.py asserts the pruning subquery is really in the
+    scan. The stage-out writes events partitioned by event_type to give
+    the scan real partition directories to prune."""
+    ev = t(spark, sf_dir, "events")
+    base = fresh_dir(os.path.join(SCRATCH, "join_dpp"))
+    ev.write.partitionBy("event_type").parquet(base, mode="overwrite")
+    fact = spark.read.parquet(base)
+
+    dim = (
+        ev.select("event_type").distinct()
+        .withColumn(
+            "category",
+            F.when(
+                F.col("event_type").isin("purchase", "click"), "engagement"
+            ).otherwise("passive"),
+        )
+    )
+    return (
+        fact.join(
+            F.broadcast(dim.filter(F.col("category") == "engagement")),
+            "event_type",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+JOIN_DPP_SQL = """
+SELECT event_type,
+       COUNT(*) AS event_count,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+FROM events
+WHERE event_type IN ('purchase', 'click')
+GROUP BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "join_dpp": Query(
+            join_dpp, JOIN_DPP_SQL,
+            "runtime partition pruning via broadcast dim reuse",
+        ),
     }
 )

@@ -328,3 +328,15 @@ def test_ts_resample_spine_join_broadcasts(spark, sf_dir):
     plan = plan_of(ts_resample(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """join_dpp's contract IS the plan: the partitioned fact scan must
+    carry a dynamicpruningexpression in its PartitionFilters (runtime
+    reuse of the broadcast dim as a partition filter). Without it the
+    key still returns correct rows - by reading every partition."""
+    from serverless_etl_aws_spark.queries.extras6 import join_dpp
+
+    df = join_dpp(spark, sf_dir)
+    plan = formatted(df)
+    assert "dynamicpruning" in plan.lower(), plan
