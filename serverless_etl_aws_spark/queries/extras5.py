@@ -144,7 +144,13 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     cume_dist is a ratio of two counts — an exact integer division in
     double, identical across engines. One shuffle on the partition key."""
     orders = t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    # asc_nulls_last pins Spark to DuckDB's default null ordering — the
+    # fixture has no null o_totalprice today, but fixtures regenerate
+    # between rounds and a silent NULLS FIRST/LAST flip would reorder
+    # every cume_dist value.
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc_nulls_last("o_totalprice"), F.asc_nulls_last("o_orderkey")
+    )
     return (
         orders.select(
             "o_orderkey",
@@ -279,10 +285,17 @@ def maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(base)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    import re
+
     days = sorted(
         st.getPath().getName().split("=", 1)[1]
         for st in fs.listStatus(jpath)
-        if st.isDirectory() and st.getPath().getName().startswith("day=")
+        # The regex excludes a __HIVE_DEFAULT_PARTITION__ dir (null ts
+        # would produce one on a future fixture regeneration, and '_'
+        # sorts after digits, so it would land at days[-1] and break the
+        # cutoff parse); null-day rows are simply never vacuumed.
+        if st.isDirectory()
+        and re.fullmatch(r"day=\d{4}-\d{2}-\d{2}", st.getPath().getName())
     )
     # Lexicographic compare is correct for zero-padded yyyy-MM-dd (the
     # same ordering trick the reference's month gate relies on).
@@ -297,8 +310,16 @@ def maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             fs.delete(jvm.org.apache.hadoop.fs.Path(base, f"day={d}"), True)
 
     kept = spark.read.parquet(base)
-    return kept.groupBy("day").agg(
-        F.count(F.lit(1)).alias("event_count"), dsum("value").alias("sum_value")
+    # Null-day rows (if a future fixture carries null ts) are retained on
+    # disk but excluded from the report, mirroring the oracle's NULL
+    # comparison semantics (NULL >= cutoff filters the row).
+    return (
+        kept.filter(F.col("day").isNotNull())
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            dsum("value").alias("sum_value"),
+        )
     )
 
 

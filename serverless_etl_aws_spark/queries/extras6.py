@@ -160,7 +160,11 @@ def dim_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # asc_nulls_last matches DuckDB's default ordering should a future
+    # fixture carry null ts (Spark's asc default is NULLS FIRST).
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
+    )
     return ev.select(
         "user_id",
         F.row_number().over(w).alias("version"),
