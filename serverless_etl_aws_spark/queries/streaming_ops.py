@@ -12,6 +12,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.windows import (
+    split_parquet_by_mod,
     late_data_counts,
     run_stream_to_memory,
     session_counts,
@@ -300,6 +301,127 @@ SELECT i AS id FROM range(0, 5000) t(i)
 """
 
 
+N_CDC_BUCKETS = 16
+
+
+def stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: treat events as a keyed change stream (event_type
+    'error' = DELETE tombstone, anything else = UPSERT of ``value``) and
+    maintain a keyed current-state table across two AvailableNow
+    micro-batches via ``foreachBatch`` merge — the row-level sibling of
+    rollup_upsert (which merges aggregates).
+
+    Correctness under out-of-order arrival: the staged batches split by
+    event_id, NOT by time, so batch 2 carries changes both older and
+    newer than batch 1's. The merge therefore resolves by VERSION
+    (ts, event_id) — latest-wins between current state and incoming —
+    and deletes persist as tombstones so a late-arriving older upsert
+    cannot resurrect a deleted key. Final state is then identical to
+    replaying the log in order (the oracle: last change per key, deletes
+    applied), whatever the batch boundaries were — the property a real
+    CDC consumer (Debezium→lake merge) must have.
+
+    Scale shape: state is hash-bucketed (user_id % 16) and each batch
+    rewrites ONLY touched buckets via dynamic partition overwrite; the
+    in-batch reduction is one window, the merge one window over
+    (current ∪ incoming) restricted to those buckets. State never passes
+    through the driver; the touched-bucket listing is ≤ N_CDC_BUCKETS
+    scalars."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..catalog import events_reader_setup
+    from ._util import fresh_dir
+
+    base = fresh_dir(_os.path.join(SCRATCH, "stream_cdc"))
+    bronze = _os.path.join(base, "bronze")
+    table = _os.path.join(base, "state")
+    _os.makedirs(bronze)
+    split_parquet_by_mod(
+        _os.path.join(sf_dir, "events.parquet"), bronze, 2,
+        order_col="event_id",
+    )
+    read_schema, normalize = events_reader_setup(spark, bronze)
+
+    ver = (F.desc_nulls_last("ts"), F.desc_nulls_last("event_id"))
+
+    def apply_batch(batch_df, batch_id):
+        changes = (
+            normalize(batch_df)
+            .select(
+                "user_id",
+                F.when(F.col("event_type") == "error", F.lit("d"))
+                .otherwise(F.lit("u")).alias("op"),
+                "value", "ts", "event_id",
+                (F.col("user_id") % N_CDC_BUCKETS).alias("bucket"),
+            )
+        )
+        w = Window.partitionBy("user_id").orderBy(*ver)
+        incoming = (
+            changes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn")
+        )
+        touched = [
+            r["bucket"]
+            for r in incoming.select("bucket").distinct().collect()
+        ]  # bounded: <= N_CDC_BUCKETS scalars
+        spark_ = batch_df.sparkSession
+        if _os.path.isdir(table):  # explicit: a read error must surface
+            current = spark_.read.parquet(table).filter(
+                F.col("bucket").isin(touched)
+            )
+            merged_src = current.unionByName(incoming)
+        else:  # first batch: no state yet
+            merged_src = incoming
+        merged = (
+            merged_src.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn")
+        )
+        (
+            merged.write.partitionBy("bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(table)
+        )
+
+    stream = (
+        spark.readStream.schema(read_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bronze)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", _os.path.join(base, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    state = spark.read.parquet(table)
+    return state.filter(F.col("op") != "d").select(
+        "user_id",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("updated_at"),
+    )
+
+
+STREAM_CDC_SQL = """
+WITH last AS (
+  SELECT user_id, event_type, value, ts,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+  FROM events
+)
+SELECT user_id, value,
+       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS updated_at
+FROM last
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stream_pydatasource": Query(
         stream_pydatasource, STREAM_PYDS_SQL,
@@ -319,4 +441,6 @@ QUERIES: dict[str, Query] = {
                           "streaming exact dedup (append mode)"),
     "stream_join": Query(stream_join, STREAM_JOIN_SQL,
                          "stream-static broadcast enrichment join"),
+    "stream_cdc": Query(stream_cdc, STREAM_CDC_SQL,
+                        "version-resolved CDC apply with tombstones"),
 }
