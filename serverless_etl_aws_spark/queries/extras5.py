@@ -492,3 +492,46 @@ QUERIES: dict[str, Query] = {
         scan_binaryfile, SCAN_BINARYFILE_SQL, "binaryFile payload ingestion"
     ),
 }
+
+
+BUCKET_WIDTH = 25_000.0
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals — the profiling pass every
+    ingest runs before choosing partition/cluster bounds. Bucketing is
+    ``floor(x / width)`` (no half-boundary ambiguity across engines, per
+    the _util float discipline); one partial-aggregated shuffle of
+    O(buckets) rows regardless of table size."""
+    orders = t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(BUCKET_WIDTH)).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .withColumn("bucket_lo", F.col("bucket") * BUCKET_WIDTH)
+    )
+
+
+AGG_HISTOGRAM_SQL = f"""
+SELECT CAST(floor(o_totalprice / {BUCKET_WIDTH}) AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       CAST(floor(o_totalprice / {BUCKET_WIDTH}) AS BIGINT) * {BUCKET_WIDTH}
+         AS bucket_lo
+FROM orders
+GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {
+        "agg_histogram": Query(
+            agg_histogram, AGG_HISTOGRAM_SQL, "fixed-width profiling histogram"
+        ),
+    }
+)

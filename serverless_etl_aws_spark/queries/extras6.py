@@ -292,3 +292,82 @@ QUERIES.update(
         ),
     }
 )
+
+
+KM_K = 8
+KM_ITERS = 2
+KM_DIM = 64
+
+
+def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed KMeans on the embeddings table — the iterative
+    ML-training loop (assign → update) as Catalyst plans, hash-checked
+    against a fully-unrolled SQL oracle (operators/ml.py documents the
+    exactness contract: fold distances, lowest-cid tie-break,
+    integer-quantized centroid sums). k=8, 2 Lloyd iterations, init =
+    the k lowest vec_ids; output is every vector's final assignment —
+    the corpus-bucketing primitive SemDeDup-style pipelines run before
+    per-bucket dedup."""
+    from ..operators.ml import kmeans_assign
+
+    emb = t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "CAST(embedding AS array<double>) AS v"
+    )
+    return kmeans_assign(emb, k=KM_K, iters=KM_ITERS)
+
+
+def _km_assign_sql(i: int, cents: str, final: bool = False) -> str:
+    d2 = (
+        f"list_sum(list_transform(range(1, {KM_DIM + 1}),"
+        f" i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))"
+    )
+    cols = (
+        "vec_id, cid, floor(d2 * 1000000.0) / 1000000.0 AS d2_q"
+        if final
+        else "vec_id, cid, v"
+    )
+    return f"""
+a{i} AS (
+  SELECT {cols} FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM (
+      SELECT e.vec_id, c.cid, e.v, {d2} AS d2
+      FROM e CROSS JOIN {cents} c
+    )
+  ) WHERE rn = 1
+)"""
+
+
+def _km_update_sql(i: int) -> str:
+    return f"""
+m{i} AS (
+  SELECT a.cid, t.i AS pos,
+         SUM(CAST(floor(a.v[t.i] * 1e9) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM a{i} a CROSS JOIN range(1, {KM_DIM + 1}) t(i)
+  GROUP BY 1, 2
+), c{i} AS (
+  SELECT cid, list((CAST(s AS DOUBLE) / 1e9) / n ORDER BY pos) AS cv
+  FROM m{i}
+  GROUP BY cid
+)"""
+
+
+ML_KMEANS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c0 AS (
+  SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < {KM_K}
+),{_km_assign_sql(1, "c0")},{_km_update_sql(1)},{_km_assign_sql(2, "c1")},{_km_update_sql(2)},{_km_assign_sql(3, "c2", final=True)}
+SELECT vec_id, cid, d2_q FROM a3
+"""
+
+
+QUERIES.update(
+    {
+        "ml_kmeans": Query(
+            ml_kmeans, ML_KMEANS_SQL,
+            "distributed KMeans, exact cross-engine Lloyd iterations",
+        ),
+    }
+)
