@@ -371,3 +371,63 @@ QUERIES.update(
         ),
     }
 )
+
+
+BPE_TOP = 20
+
+
+def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge round over the corpus: frequency of every ADJACENT
+    token pair — the counting primitive a tokenizer-training pipeline
+    (BPE/WordPiece) iterates at corpus scale. One lateral position
+    explode (zero-shuffle, rows × avg_len fan-out like llm_doc_chunk)
+    into one partial-aggregated count shuffle of O(vocab²-observed)
+    groups; top-k via TakeOrderedAndProject with a total order (count
+    desc, pair asc) so the cut is deterministic across engines."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pairs = (
+        # The size >= 2 guard is load-bearing: Spark's sequence(1, 0)
+        # DESCENDS ([1, 0]) for a single-token doc, and element_at(_, 0)
+        # errors — whereas DuckDB's range(1, 1) is just empty. Filtering
+        # first gives both engines the drop-the-row semantics.
+        docs.filter(F.size(toks) >= 2)
+        .select(
+            toks.alias("toks"),
+            F.explode(F.sequence(F.lit(1), F.size(toks) - 1)).alias("i"),
+        )
+        .select(
+            F.concat(
+                F.element_at("toks", F.col("i")),
+                F.lit(" "),
+                F.element_at("toks", F.col("i") + 1),
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(BPE_TOP)
+    )
+
+
+LLM_BPE_PAIRS_SQL = f"""
+SELECT tokens[t.i] || ' ' || tokens[t.i + 1] AS pair,
+       COUNT(*) AS n
+FROM (SELECT string_split(text, ' ') AS tokens FROM documents) d
+CROSS JOIN LATERAL unnest(range(1, len(tokens))) AS t(i)
+GROUP BY 1
+ORDER BY n DESC, pair
+LIMIT {BPE_TOP}
+"""
+
+
+QUERIES.update(
+    {
+        "llm_bpe_pairs": Query(
+            llm_bpe_pairs, LLM_BPE_PAIRS_SQL,
+            "BPE merge-candidate counting (adjacent token pairs, top-20)",
+        ),
+    }
+)
