@@ -431,3 +431,71 @@ QUERIES.update(
         ),
     }
 )
+
+
+def fn_binary_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec round-trips (base64 / hex / md5-of-utf8) — the
+    encode/decode surface an ingestion layer needs for opaque payload
+    columns. All JVM expressions, one codegen'd map pass; the oracle
+    must agree byte-for-byte on every encoding."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    head = F.substring("text", 1, 24)
+    return docs.select(
+        "doc_id",
+        F.base64(head.cast("binary")).alias("b64"),
+        F.lower(F.hex(head.cast("binary"))).alias("hx"),
+        F.length(F.unbase64(F.base64(head.cast("binary")))).alias(
+            "roundtrip_len"
+        ),
+    )
+
+
+FN_BINARY_CODEC_SQL = """
+SELECT doc_id,
+       to_base64(encode(substring(text, 1, 24))) AS b64,
+       lower(hex(encode(substring(text, 1, 24)))) AS hx,
+       octet_length(from_base64(to_base64(encode(substring(text, 1, 24)))))
+         AS roundtrip_len
+FROM documents
+WHERE doc_id % 50 = 0
+"""
+
+
+def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all over the events JSON props — every digit run,
+    joined to one string so the oracle compares scalars (array renderings
+    differ between pandas and DuckDB, values must not). JVM regex vs RE2:
+    the pattern sticks to shared semantics (character classes, +)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
+    return ev.select(
+        "event_id",
+        F.array_join(
+            F.regexp_extract_all("props", F.lit(r"(\d+)"), 1), ","
+        ).alias("digit_runs"),
+        F.size(F.regexp_extract_all("props", F.lit(r"(\d+)"), 1)).alias(
+            "n_runs"
+        ),
+    )
+
+
+FN_REGEXP_EXTRACT_ALL_SQL = r"""
+SELECT event_id,
+       array_to_string(regexp_extract_all(props, '(\d+)', 1), ',')
+         AS digit_runs,
+       len(regexp_extract_all(props, '(\d+)', 1)) AS n_runs
+FROM events
+WHERE event_id % 100 = 0
+"""
+
+
+QUERIES.update(
+    {
+        "fn_binary_codec": Query(
+            fn_binary_codec, FN_BINARY_CODEC_SQL, "base64/hex codec round-trips"
+        ),
+        "fn_regexp_extract_all": Query(
+            fn_regexp_extract_all, FN_REGEXP_EXTRACT_ALL_SQL,
+            "regexp_extract_all digit runs, array-joined for parity",
+        ),
+    }
+)
