@@ -47,8 +47,10 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "v",
 ) -> DataFrame:
-    """Fit ``k`` centroids with ``iters`` Lloyd iterations (init: the k
-    vectors with the lowest ids) and return every row's final assignment
+    """Fit ``k`` centroids with ``iters`` Lloyd iterations (init: the
+    vectors with ``id < k`` — deterministic, and exact for callers whose
+    ids are dense from 0; a sparse-id corpus should pass a remapped view)
+    and return every row's final assignment
     ``(id, cid, d2_q)`` with the squared distance floor-quantized at 1e-6.
 
     Per iteration: assignment is vectors ⋈ broadcast(centroids) + one

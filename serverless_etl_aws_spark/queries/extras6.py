@@ -1,6 +1,9 @@
-"""Round-4 graph + ANN batch: deterministic weighted PageRank (authority
-scoring for corpus curation) and product-quantization similarity search
-(the byte-compressed ANN scale path)."""
+"""Round-4 graph/ML/warehouse batch: deterministic weighted PageRank,
+product-quantization ANN, type-2 SCD history, URL parsing, dynamic
+partition pruning, distributed KMeans, BPE pair counting, and codec/regex
+function coverage. The PageRank/KMeans exactness recipes (integer-
+quantized order-insensitive sums + unrolled SQL oracles) are documented
+in operators/graph.py and operators/ml.py."""
 
 from __future__ import annotations
 

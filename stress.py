@@ -97,6 +97,9 @@ SF1_KEYS = [
     # round-4 additions: the new clustering/graph/ANN/spine keys
     "maintenance_zorder", "graph_pagerank", "llm_sim_search_pq",
     "ts_resample", "agg_stats",
+    # round-4 second wave: CDC apply, full-data KMeans, BPE counting,
+    # and the swapped pure-JVM MinHash backend
+    "stream_cdc", "ml_kmeans", "llm_bpe_pairs", "llm_dedup_minhash",
 ]
 
 

@@ -799,3 +799,37 @@ def test_minhash_backends_agree(spark, sf_dir):
     jv = {(r["doc_a"], r["doc_b"]) for r in
           minhash_banded_pairs(docs, dist_threshold=0.5).collect()}
     assert ml == jv, (len(ml - jv), len(jv - ml))
+
+
+def test_kmeans_separated_bundles_pure_assignment(spark):
+    """On 8 well-separated Gaussian bundles the distributed KMeans must
+    assign every vector to its bundle (purity 1.0 after 2 iterations) —
+    the quality check the oracle-parity test cannot express, since both
+    engines could agree on a WRONG clustering."""
+    import numpy as np
+
+    from serverless_etl_aws_spark.operators.ml import kmeans_assign
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 16)) * 20.0
+    rows = []
+    vid = 0
+    # ids 0..7 = one seed point per bundle, so the lowest-id init starts
+    # with one centroid in each bundle (KMeans, not KMeans++, is exact
+    # only given a sane init - which a corpus-bucketing caller provides
+    # the same way).
+    for b in range(8):
+        rows.append((vid, (centers[b]).tolist(), b)); vid += 1
+    for b in range(8):
+        for _ in range(40):
+            rows.append(
+                (vid, (centers[b] + rng.normal(size=16) * 0.5).tolist(), b)
+            )
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>, bundle int")
+    got = kmeans_assign(df, k=8, iters=2)
+    joined = got.join(df.select("vec_id", "bundle"), "vec_id").collect()
+    # cid b was initialized from bundle b's seed point, so purity means
+    # cid == bundle everywhere.
+    impure = [r for r in joined if r["cid"] != r["bundle"]]
+    assert not impure, impure[:5]
