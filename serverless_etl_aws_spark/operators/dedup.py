@@ -35,6 +35,22 @@ from pyspark.sql.types import LongType
 from .text import trigrams
 
 
+def _join_set_sizes(inter: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Attach both documents' shingle-set sizes to per-pair intersection
+    counts — the shared tail of every exact-Jaccard verify (ngram pair
+    generation and banded-MinHash candidate verification both end here;
+    keep the join and the inter/(na+nb-inter) discipline in ONE place)."""
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def _jaccard_col() -> F.Column:
+    """inter / (na + nb - inter) — exact set Jaccard from the columns
+    _join_set_sizes produces."""
+    return F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -118,20 +134,12 @@ def ngram_jaccard_pairs(
     inter = pairs.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("inter")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _join_set_sizes(inter, sizes)
         .withColumn(
             "jaccard",
             # floor-quantize: no half-boundary divergence across engines
-            F.floor(
-                F.col("inter")
-                / (F.col("na") + F.col("nb") - F.col("inter"))
-                * 10000.0
-            )
-            / 10000.0,
+            F.floor(_jaccard_col() * 10000.0) / 10000.0,
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -432,19 +440,13 @@ def minhash_banded_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _join_set_sizes(inter, sig.select("doc_id", "n_grams"))
         .withColumn(
             "jaccard_dist",
-            F.round(
-                F.lit(1.0)
-                - F.col("inter")
-                / (F.col("na") + F.col("nb") - F.col("inter")),
-                4,
-            ),
+            # round (not floor): MLlib's approxSimilarityJoin contract,
+            # which this backend swap preserves verbatim
+            F.round(F.lit(1.0) - _jaccard_col(), 4),
         )
         .filter(F.col("jaccard_dist") <= dist_threshold)
         .select("doc_a", "doc_b", "jaccard_dist")

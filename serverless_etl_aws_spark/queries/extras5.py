@@ -301,13 +301,20 @@ def maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same ordering trick the reference's month gate relies on).
     import datetime
 
-    cutoff = (
-        datetime.date.fromisoformat(days[-1])
-        - datetime.timedelta(days=RETENTION_DAYS)
-    ).isoformat()
-    for d in days:
-        if d < cutoff:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(base, f"day={d}"), True)
+    # No dated partitions (all-NULL ts, or an empty table) => there is
+    # no retention anchor and nothing to vacuum; the read-back below
+    # then yields the oracle's empty result via the day IS NOT NULL
+    # filter rather than an IndexError here.
+    if days:
+        cutoff = (
+            datetime.date.fromisoformat(days[-1])
+            - datetime.timedelta(days=RETENTION_DAYS)
+        ).isoformat()
+        for d in days:
+            if d < cutoff:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(base, f"day={d}"), True
+                )
 
     kept = spark.read.parquet(base)
     # Null-day rows (if a future fixture carries null ts) are retained on
@@ -445,7 +452,11 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes one file per sampled doc; at 100 TB the source would
     already BE files on the object store.)"""
     docs = t(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % BINARY_SAMPLE_MOD == 0
+        (F.col("doc_id") % BINARY_SAMPLE_MOD == 0)
+        # A NULL payload has no file to stage; the oracle mirrors the
+        # exclusion (md5(NULL) on one side vs a crash on the other was
+        # the alternative).
+        & F.col("text").isNotNull()
     )
     base = fresh_dir(os.path.join(SCRATCH, "scan_binaryfile"))
     for row in docs.select("doc_id", "text").collect():

@@ -299,7 +299,6 @@ QUERIES.update(
 
 KM_K = 8
 KM_ITERS = 2
-KM_DIM = 64
 
 
 def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,9 +319,12 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _km_assign_sql(i: int, cents: str, final: bool = False) -> str:
+    # range derived from len(e.v), not the KM_DIM constant — a fixture
+    # regenerated at another dimension must not silently truncate the
+    # fold (the SQL_COSINE lesson in operators/simsearch.py).
     d2 = (
-        f"list_sum(list_transform(range(1, {KM_DIM + 1}),"
-        f" i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))"
+        "list_sum(list_transform(range(1, len(e.v) + 1),"
+        " i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))"
     )
     cols = (
         "vec_id, cid, floor(d2 * 1000000.0) / 1000000.0 AS d2_q"
@@ -347,7 +349,7 @@ m{i} AS (
   SELECT a.cid, t.i AS pos,
          SUM(CAST(floor(a.v[t.i] * 1e9) AS BIGINT)) AS s,
          COUNT(*) AS n
-  FROM a{i} a CROSS JOIN range(1, {KM_DIM + 1}) t(i)
+  FROM a{i} a CROSS JOIN LATERAL unnest(range(1, len(a.v) + 1)) AS t(i)
   GROUP BY 1, 2
 ), c{i} AS (
   SELECT cid, list((CAST(s AS DOUBLE) / 1e9) / n ORDER BY pos) AS cv

@@ -327,20 +327,18 @@ def stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (current ∪ incoming) restricted to those buckets. State never passes
     through the driver; the touched-bucket listing is ≤ N_CDC_BUCKETS
     scalars."""
-    import os as _os
-
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     from ..catalog import events_reader_setup
     from ._util import fresh_dir
 
-    base = fresh_dir(_os.path.join(SCRATCH, "stream_cdc"))
-    bronze = _os.path.join(base, "bronze")
-    table = _os.path.join(base, "state")
-    _os.makedirs(bronze)
+    base = fresh_dir(os.path.join(SCRATCH, "stream_cdc"))
+    bronze = os.path.join(base, "bronze")
+    table = os.path.join(base, "state")
+    os.makedirs(bronze)
     split_parquet_by_mod(
-        _os.path.join(sf_dir, "events.parquet"), bronze, 2,
+        os.path.join(sf_dir, "events.parquet"), bronze, 2,
         order_col="event_id",
     )
     read_schema, normalize = events_reader_setup(spark, bronze)
@@ -350,6 +348,10 @@ def stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     def apply_batch(batch_df, batch_id):
         changes = (
             normalize(batch_df)
+            # A change record without an op is malformed — skip it, and
+            # the oracle mirrors with event_type IS NOT NULL (mapping
+            # NULL to upsert here would diverge: SQL's <> drops the row).
+            .filter(F.col("event_type").isNotNull())
             .select(
                 "user_id",
                 F.when(F.col("event_type") == "error", F.lit("d"))
@@ -368,7 +370,7 @@ def stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in incoming.select("bucket").distinct().collect()
         ]  # bounded: <= N_CDC_BUCKETS scalars
         spark_ = batch_df.sparkSession
-        if _os.path.isdir(table):  # explicit: a read error must surface
+        if os.path.isdir(table):  # explicit: a read error must surface
             current = spark_.read.parquet(table).filter(
                 F.col("bucket").isin(touched)
             )
@@ -378,6 +380,14 @@ def stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = (
             merged_src.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1).drop("rn")
+            # Materialize BEFORE the overwrite: the plan reads the very
+            # directory the write is about to replace, so without this
+            # barrier the lazy scan and the dynamic overwrite race. (A
+            # production deployment would write through a table format's
+            # commit protocol or a temp-dir swap for crash atomicity;
+            # the checkpointed re-run of an AvailableNow batch replays
+            # idempotently here because the merge is version-resolved.)
+            .localCheckpoint(eager=True)
         )
         (
             merged.write.partitionBy("bucket")
@@ -393,7 +403,7 @@ def stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", _os.path.join(base, "_checkpoint"))
+        .option("checkpointLocation", os.path.join(base, "_checkpoint"))
         .trigger(availableNow=True)
         .start()
     )
@@ -414,6 +424,7 @@ WITH last AS (
            PARTITION BY user_id
            ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
   FROM events
+  WHERE event_type IS NOT NULL
 )
 SELECT user_id, value,
        strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS updated_at
