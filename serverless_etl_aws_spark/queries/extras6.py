@@ -504,3 +504,92 @@ QUERIES.update(
         ),
     }
 )
+
+
+def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pass as ONE declarative plan — quality
+    gate → exact dedup (canonical = lowest doc_id per fingerprint) →
+    language rebalancing → train/val/test split — i.e. the composition a
+    real corpus run executes, here as a single Catalyst plan so the
+    optimizer sees (and fuses) the whole thing: the quality filter and
+    fingerprint computation ride the same scan, the dedup is one
+    window over the fingerprint, and the split/rebalance are map-side
+    expressions on the survivors. Output: per (lang, split) survivor
+    counts plus summed chars — the corpus card a curation run publishes.
+
+    At 100 TB the single-plan shape matters: a step-per-job pipeline
+    (filter job → dedup job → split job) re-reads the corpus three
+    times; this reads it once."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    quality_ok = (
+        F.col("text").isNotNull()
+        & (F.size(toks) >= 16)
+        & (F.col("n_chars") >= 64)
+    )
+    fp = F.md5("text")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    hash2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    survivors = (
+        docs.filter(quality_ok)
+        .withColumn("fp", fp)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)  # canonical doc per exact-dup group
+        # per-language rebalance: downsample dominant 'en' to ~25%
+        .filter(
+            F.when(F.col("lang") == "en", hash2 < F.lit("40")).otherwise(
+                F.lit(True)
+            )
+        )
+        .withColumn(
+            "split",
+            F.when(hash2 < F.lit("0d"), "val")
+            .when(hash2 < F.lit("1a"), "test")
+            .otherwise("train"),
+        )
+    )
+    return survivors.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+LLM_CURATION_PIPELINE_SQL = """
+WITH survivors AS (
+  SELECT doc_id, lang, n_chars,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM (
+      SELECT doc_id, lang, n_chars, md5(text) AS fp
+      FROM documents
+      WHERE text IS NOT NULL
+        AND len(string_split(text, ' ')) >= 16
+        AND n_chars >= 64
+    )
+  )
+  WHERE rn = 1
+), rebalanced AS (
+  SELECT *,
+         CASE WHEN h2 < '0d' THEN 'val'
+              WHEN h2 < '1a' THEN 'test'
+              ELSE 'train' END AS split
+  FROM survivors
+  WHERE CASE WHEN lang = 'en' THEN h2 < '40' ELSE TRUE END
+)
+SELECT lang, split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM rebalanced
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update(
+    {
+        "llm_curation_pipeline": Query(
+            llm_curation_pipeline, LLM_CURATION_PIPELINE_SQL,
+            "quality gate -> exact dedup -> rebalance -> split, one plan",
+        ),
+    }
+)
