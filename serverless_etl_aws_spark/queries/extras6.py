@@ -579,7 +579,8 @@ WITH survivors AS (
   FROM survivors
   WHERE CASE WHEN lang = 'en' THEN h2 < '40' ELSE TRUE END
 )
-SELECT lang, split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT lang, split, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM rebalanced
 GROUP BY 1, 2
 """
