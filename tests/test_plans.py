@@ -340,3 +340,13 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir):
     df = join_dpp(spark, sf_dir)
     plan = formatted(df)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_curation_pipeline_reads_corpus_once(spark, sf_dir):
+    """llm_curation_pipeline's selling point is the fused plan: quality
+    gate, fingerprint dedup, rebalance and split must ride ONE scan of
+    the documents table (a job-per-step pipeline reads it three times)."""
+    from serverless_etl_aws_spark.queries.extras6 import llm_curation_pipeline
+
+    plan = plan_of(llm_curation_pipeline(spark, sf_dir))
+    assert plan.count("documents.parquet") == 1, plan
