@@ -336,6 +336,66 @@ SELECT doc_a, doc_b, jaccard FROM scored_pairs WHERE jaccard >= 0.8
 """
 
 
+EDITDIST_BLOCK_JACCARD = 0.5
+EDITDIST_MAX_REL = 0.4
+
+
+def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs: n-gram Jaccard blocking (threshold
+    0.5 — the same capped shingle join as llm_dedup_ngram, just looser)
+    followed by an exact Levenshtein verify on the candidate pairs,
+    keeping pairs whose relative edit distance (lev / longer length) is
+    ≤ 0.4. The character-level complement of the token-level dedup
+    family: it catches small in-place edits (typo fixes, template
+    fills) that shift many shingles at once.
+
+    Scale: Levenshtein is O(|a|·|b|) per pair — the blocking step is
+    what makes it affordable (candidates only, never all pairs), and
+    the verify is one broadcast-free join of the candidate list back to
+    the two text columns. Determinism: both engines implement classic
+    character-Levenshtein (identical integers) and the relative ratio
+    is one IEEE division of identical ints, floor-quantized."""
+    docs = t(spark, sf_dir, "documents")
+    cand = ngram_jaccard_pairs(
+        docs, threshold=EDITDIST_BLOCK_JACCARD, block_col="lang",
+        max_shingle_df=NGRAM_MAX_SHINGLE_DF,
+    ).select("doc_a", "doc_b")
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    lev = F.levenshtein("text_a", "text_b")
+    rel = lev / F.greatest(F.length("text_a"), F.length("text_b"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.alias("lev"),
+            (F.floor(rel * 10000.0) / 10000.0).alias("rel_dist"),
+        )
+        .filter(F.col("rel_dist") <= EDITDIST_MAX_REL)
+    )
+
+
+LLM_DEDUP_EDITDIST_SQL = f"""
+WITH {_NGRAM_PAIRS_CTES},
+cand AS (
+  SELECT doc_a, doc_b FROM scored_pairs WHERE jaccard >= {EDITDIST_BLOCK_JACCARD}
+)
+SELECT c.doc_a, c.doc_b,
+       levenshtein(da.text, db.text) AS lev,
+       floor(levenshtein(da.text, db.text) * 1.0
+             / greatest(length(da.text), length(db.text)) * 10000.0)
+         / 10000.0 AS rel_dist
+FROM cand c
+JOIN documents da ON da.doc_id = c.doc_a
+JOIN documents db ON db.doc_id = c.doc_b
+WHERE floor(levenshtein(da.text, db.text) * 1.0
+            / greatest(length(da.text), length(db.text)) * 10000.0)
+        / 10000.0 <= {EDITDIST_MAX_REL}
+"""
+
+
 def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (rows-only: LSH is approximate by
     design). Round 4 swapped the MLlib ``approxSimilarityJoin`` backend
@@ -988,6 +1048,10 @@ QUERIES: dict[str, Query] = {
                                "near-dup connected components"),
     "llm_tfidf": Query(llm_tfidf, LLM_TFIDF_SQL,
                        "top TF-IDF term per document"),
+    "llm_dedup_editdist": Query(
+        llm_dedup_editdist, LLM_DEDUP_EDITDIST_SQL,
+        "edit-distance dedup: ngram blocking + Levenshtein verify",
+    ),
     "llm_dedup_minhash": Query(llm_dedup_minhash, None,
                                "MinHash-LSH pairs (rows-only)"),
     "llm_dedup_simhash": Query(llm_dedup_simhash, None,
