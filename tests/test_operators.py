@@ -833,3 +833,39 @@ def test_kmeans_separated_bundles_pure_assignment(spark):
     # cid == bundle everywhere.
     impure = [r for r in joined if r["cid"] != r["bundle"]]
     assert not impure, impure[:5]
+
+
+def test_editdist_dedup_catches_small_edits(spark, tmp_path):
+    """A one-token in-place edit must survive blocking AND the
+    Levenshtein verify; an unrelated doc must appear in no pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    edited = base.replace("tok20", "tokXX")
+    unrelated = " ".join(f"zzz{i}" for i in range(40))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([base, edited, unrelated], pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["s"] * 3, pa.string()),
+            "n_chars": pa.array([len(base), len(edited), len(unrelated)], pa.int64()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        import shutil
+
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", str(d / f"{t}.parquet"))
+
+    from serverless_etl_aws_spark.queries.llm import llm_dedup_editdist
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["rel_dist"]
+             for r in llm_dedup_editdist(spark, str(d)).collect()}
+    assert (1, 2) in pairs, pairs
+    assert pairs[(1, 2)] < 0.05
+    assert all(3 not in p for p in pairs)
