@@ -30,7 +30,11 @@ META_SCHEMA = (
 def synthesize_payloads(docs: DataFrame) -> DataFrame:
     """Build a deterministic binary 'image' column from document text
     (stand-in for real stored media; schema is what matters)."""
-    return docs.select(
+    # A NULL text has no media to synthesize: concat(NULL) would emit a
+    # NULL payload that every downstream decoder must special-case.
+    # Dropping the row here mirrors "no object stored for this id", and
+    # every mm oracle carries the same text IS NOT NULL predicate.
+    return docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.expr(
             "concat(encode('IMG1', 'utf-8'), "

@@ -98,7 +98,13 @@ def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     each) so they're bit-identical across engines; floor-quantized anyway
     per the float discipline."""
     o = t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    # asc_nulls_last: Spark's asc default is NULLS FIRST, DuckDB's is
+    # NULLS LAST — a fixture regenerated with NULL prices would shift
+    # every rank in one engine only (caught by the round-4 null-injected
+    # parity sweep).
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc_nulls_last("o_totalprice")
+    )
     return o.select(
         "o_orderkey",
         "o_orderpriority",

@@ -480,7 +480,7 @@ SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
        md5(text) AS content_md5
 FROM documents
-WHERE doc_id % {BINARY_SAMPLE_MOD} = 0
+WHERE doc_id % {BINARY_SAMPLE_MOD} = 0 AND text IS NOT NULL
 """
 
 

@@ -691,6 +691,7 @@ SELECT doc_id,
                  / (doc_id % 64 + 1)) AS INTEGER) AS height,
        CAST(octet_length(encode(text)) + 8 AS BIGINT) AS n_bytes
 FROM documents
+WHERE text IS NOT NULL
 """
 
 
@@ -718,6 +719,7 @@ FROM documents,
          0,
          CAST(ceil(octet_length(encode(text)) / 64.0) AS INTEGER) - 1,
          4)) AS t(f)
+WHERE text IS NOT NULL
 """
 
 
@@ -797,6 +799,7 @@ SELECT doc_id,
             AS INTEGER) AS height,
        CAST(octet_length(encode(text)) + 8 AS BIGINT) AS n_bytes
 FROM documents
+WHERE text IS NOT NULL
 """
 
 
@@ -818,6 +821,7 @@ SELECT doc_id,
        CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
             AS BIGINT) AS n_upper
 FROM documents
+WHERE text IS NOT NULL
 """
 
 

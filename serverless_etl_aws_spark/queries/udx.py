@@ -65,16 +65,29 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
 
     def weighted(pdf: pd.DataFrame) -> pd.DataFrame:
-        price_c = (pdf["l_extendedprice"] * 100).round().astype("int64")
-        qty_c = (pdf["l_quantity"] * 100).round().astype("int64")
         import math
 
-        num = int((price_c * qty_c).sum())
-        den = int(qty_c.sum())
-        # floor-quantize (not round): bit-identical doubles in both
-        # engines, and floor has no half-boundary divergence
-        wavg = math.floor(num / den / 100.0 * 100.0) / 100.0
-        tqty = math.floor(den / 100.0 * 100.0) / 100.0
+        # NULL discipline mirrors SQL SUM exactly: the numerator skips a
+        # row when EITHER factor is NULL (the product is NULL), the
+        # denominator only when the quantity is NULL; an all-NULL sum is
+        # NULL, not 0. (A plain .astype("int64") crashed on the first
+        # fixture that carried NULL measures.)
+        price_c = (pdf["l_extendedprice"] * 100).round()
+        qty_c = (pdf["l_quantity"] * 100).round()
+        pair = price_c.notna() & qty_c.notna()
+        qmask = qty_c.notna()
+        num = (
+            int((price_c[pair].astype("int64") * qty_c[pair].astype("int64")).sum())
+            if pair.any() else None
+        )
+        den = int(qty_c[qmask].astype("int64").sum()) if qmask.any() else None
+        wavg = (
+            math.floor(num / den / 100.0 * 100.0) / 100.0
+            if num is not None and den else None
+        )
+        tqty = (
+            math.floor(den / 100.0 * 100.0) / 100.0 if den is not None else None
+        )
         return pd.DataFrame(
             {
                 "l_returnflag": [pdf["l_returnflag"].iloc[0]],

@@ -1,0 +1,74 @@
+"""Null-drift parity sweep — the round-5 fixture-regeneration insurance.
+
+The driver regenerates fixtures between rounds, and round 2 proved a
+silent generator change can break many keys at once. This module rebuilds
+that scenario on demand: it copies sf0.001 with ~3% NULLs injected into
+the measure/categorical/text columns (primary keys and ts stay intact —
+ts feeds the unit sniffer and calendar spines) and asserts every registry
+key still hash-matches its DuckDB oracle on the SAME perturbed data.
+
+Round-4 findings that motivated this (all fixed): applyInPandas integer
+casts crashing on NaN (udaf_grouped), NULL payload synthesis crashing
+four mm_ decoders, Spark NULLS FIRST vs DuckDB NULLS LAST shifting every
+percent_rank, and two oracles missing the Spark side's NULL filters.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from serverless_etl_aws_spark.compare import compare
+from serverless_etl_aws_spark.queries import build_registry
+
+REGISTRY = build_registry()
+
+SRC = "/root/testdata/sf0.001"
+
+NULLABLE = {
+    "documents": ["text", "lang", "source"],
+    "events": ["event_type", "value", "props"],
+    "orders": ["o_totalprice", "o_orderpriority"],
+    "lineitem": ["l_quantity", "l_discount", "l_returnflag", "l_shipdate"],
+}
+COPY = ["region", "nation", "customer", "supplier", "part", "embeddings"]
+
+
+@pytest.fixture(scope="session")
+def null_sf_dir(tmp_path_factory) -> str:
+    dst = str(tmp_path_factory.mktemp("nullfix"))
+    rng = np.random.default_rng(3)
+    for name, cols in NULLABLE.items():
+        tbl = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
+        n = len(tbl)
+        for col in cols:
+            idx = tbl.schema.get_field_index(col)
+            mask = rng.random(n) < 0.03
+            arr = tbl[col].to_pylist()
+            for i in np.flatnonzero(mask):
+                arr[i] = None
+            tbl = tbl.set_column(
+                idx, col, pa.array(arr, type=tbl.schema.field(col).type)
+            )
+        pq.write_table(tbl, os.path.join(dst, f"{name}.parquet"))
+    for name in COPY:
+        shutil.copy(
+            os.path.join(SRC, f"{name}.parquet"),
+            os.path.join(dst, f"{name}.parquet"),
+        )
+    return dst
+
+
+@pytest.mark.parametrize("key", sorted(REGISTRY))
+def test_null_drift_parity(spark, null_sf_dir, key):
+    q = REGISTRY[key]
+    result = compare(key, q.fn(spark, null_sf_dir), q.sql, null_sf_dir)
+    assert result.ok, (
+        f"{key}: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )
