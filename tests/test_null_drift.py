@@ -72,3 +72,40 @@ def test_null_drift_parity(spark, null_sf_dir, key):
         f"{key}: {result.detail} "
         f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
     )
+
+
+@pytest.fixture(scope="session")
+def ns_sf_dir(tmp_path_factory) -> str:
+    """sf0.001 with events.ts re-encoded at nanosecond unit — the exact
+    drift class that broke six keys in round 2 (the generator switched
+    units between rounds; catalog.events_reader_setup footer-sniffs)."""
+    dst = str(tmp_path_factory.mktemp("nsfix"))
+    tbl = pq.read_table(os.path.join(SRC, "events.parquet"))
+    idx = tbl.schema.get_field_index("ts")
+    tbl = tbl.set_column(idx, "ts", tbl["ts"].cast(pa.timestamp("ns")))
+    pq.write_table(tbl, os.path.join(dst, "events.parquet"))
+    for name in [*NULLABLE, *COPY]:
+        if name != "events":
+            shutil.copy(
+                os.path.join(SRC, f"{name}.parquet"),
+                os.path.join(dst, f"{name}.parquet"),
+            )
+    return dst
+
+
+EVENTS_KEYS = sorted(
+    key
+    for key, q in REGISTRY.items()
+    if "FROM events" in (q.sql or "")
+    or key in ("stream_stateful", "ingest_incremental")
+)
+
+
+@pytest.mark.parametrize("key", EVENTS_KEYS)
+def test_ts_unit_drift_parity(spark, ns_sf_dir, key):
+    q = REGISTRY[key]
+    result = compare(key, q.fn(spark, ns_sf_dir), q.sql, ns_sf_dir)
+    assert result.ok, (
+        f"{key}: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )
