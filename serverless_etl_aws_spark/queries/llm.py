@@ -178,8 +178,16 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     n_tok = F.size(F.split(F.col("text"), " ")).cast("double")
     n_chars = F.length("text").cast("double")
-    stop = F.regexp_count(
-        F.lower(F.col("text")), F.lit(r"\b(the|a|and|of|to)\b")
+    # Token-exact stopword counting, NOT a \b regex: RE2's \b is
+    # ASCII-only while Java's is unicode-aware, so "a" inside "ação"
+    # is a word boundary to DuckDB and none to Spark (found by the
+    # round-4 unicode drift sweep). Counting split tokens is identical
+    # on both engines under any content.
+    stop = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), " "),
+            lambda tok: tok.isin("the", "a", "and", "of", "to"),
+        )
     ).cast("double")
     nonalpha = F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z \t\n\r\f\x0B]")).cast(
         "double"
@@ -216,7 +224,8 @@ WITH m AS (
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
            CAST(length(text) AS DOUBLE) AS n_chars,
-           CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to)\b'))
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                               t -> t IN ('the','a','and','of','to')))
                 AS DOUBLE) AS stop,
            CAST(len(regexp_extract_all(text, '[^A-Za-z \t\n\r\f\x0B]')) AS DOUBLE)
                AS nonalpha
@@ -362,8 +371,18 @@ def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_a", "doc_b")
     ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
-    lev = F.levenshtein("text_a", "text_b")
-    rel = lev / F.greatest(F.length("text_a"), F.length("text_b"))
+    # Levenshtein over the HEX of the utf-8 bytes, not the raw strings:
+    # Spark edits UTF-16 code units while DuckDB edits bytes, so any
+    # astral character (emoji) makes the raw distances disagree (found
+    # by the round-4 unicode drift sweep). Hex strings are pure ASCII —
+    # one unit in every engine — so the distance is engine-independent
+    # under arbitrary content; it measures byte-level edits at 2 units
+    # per byte, and the ratio normalizes by the hex length accordingly.
+    def hx(c):
+        return F.hex(F.col(c).cast("binary"))
+
+    lev = F.levenshtein(hx("text_a"), hx("text_b"))
+    rel = lev / F.greatest(F.length(hx("text_a")), F.length(hx("text_b")))
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
@@ -383,15 +402,15 @@ cand AS (
   SELECT doc_a, doc_b FROM scored_pairs WHERE jaccard >= {EDITDIST_BLOCK_JACCARD}
 )
 SELECT c.doc_a, c.doc_b,
-       levenshtein(da.text, db.text) AS lev,
-       floor(levenshtein(da.text, db.text) * 1.0
-             / greatest(length(da.text), length(db.text)) * 10000.0)
+       levenshtein(upper(hex(encode(da.text))), upper(hex(encode(db.text)))) AS lev,
+       floor(levenshtein(upper(hex(encode(da.text))), upper(hex(encode(db.text)))) * 1.0
+             / greatest(length(hex(encode(da.text))), length(hex(encode(db.text)))) * 10000.0)
          / 10000.0 AS rel_dist
 FROM cand c
 JOIN documents da ON da.doc_id = c.doc_a
 JOIN documents db ON db.doc_id = c.doc_b
-WHERE floor(levenshtein(da.text, db.text) * 1.0
-            / greatest(length(da.text), length(db.text)) * 10000.0)
+WHERE floor(levenshtein(upper(hex(encode(da.text))), upper(hex(encode(db.text)))) * 1.0
+            / greatest(length(hex(encode(da.text))), length(hex(encode(db.text)))) * 10000.0)
         / 10000.0 <= {EDITDIST_MAX_REL}
 """
 

@@ -109,3 +109,56 @@ def test_ts_unit_drift_parity(spark, ns_sf_dir, key):
         f"{key}: {result.detail} "
         f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
     )
+
+
+@pytest.fixture(scope="session")
+def unicode_sf_dir(tmp_path_factory) -> str:
+    """sf0.001 with ~20% of documents carrying multi-byte tokens (accented
+    latin, CJK, an astral emoji). Byte-vs-char and UTF-16-vs-codepoint
+    divergences live here: round 4 caught RE2's ASCII-only \\b disagreeing
+    with Java's unicode \\b (stopword counts) and Levenshtein editing
+    UTF-16 units vs bytes."""
+    dst = str(tmp_path_factory.mktemp("unifix"))
+    rng = np.random.default_rng(5)
+    extra = ["héllo", "日本語テキスト", "emoji🙂tok", "ÜBER", "naïve", "ação"]
+    tbl = pq.read_table(os.path.join(SRC, "documents.parquet"))
+    texts = tbl["text"].to_pylist()
+    for i in range(len(texts)):
+        if texts[i] is not None and rng.random() < 0.2:
+            toks = texts[i].split(" ")
+            toks[int(rng.integers(0, len(toks)))] = extra[
+                int(rng.integers(0, len(extra)))
+            ]
+            texts[i] = " ".join(toks)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("text"), "text", pa.array(texts, pa.string())
+    )
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("n_chars"),
+        "n_chars",
+        pa.array([len(t) if t is not None else None for t in texts], pa.int64()),
+    )
+    pq.write_table(tbl, os.path.join(dst, "documents.parquet"))
+    for name in ["events", "orders", "lineitem", *COPY]:
+        shutil.copy(
+            os.path.join(SRC, f"{name}.parquet"),
+            os.path.join(dst, f"{name}.parquet"),
+        )
+    return dst
+
+
+TEXT_KEYS = sorted(
+    key
+    for key, q in REGISTRY.items()
+    if "documents" in (q.sql or "") or key.startswith(("llm_", "mm_"))
+)
+
+
+@pytest.mark.parametrize("key", TEXT_KEYS)
+def test_unicode_drift_parity(spark, unicode_sf_dir, key):
+    q = REGISTRY[key]
+    result = compare(key, q.fn(spark, unicode_sf_dir), q.sql, unicode_sf_dir)
+    assert result.ok, (
+        f"{key}: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )
