@@ -347,6 +347,7 @@ SELECT doc_a, doc_b, jaccard FROM scored_pairs WHERE jaccard >= 0.8
 
 EDITDIST_BLOCK_JACCARD = 0.5
 EDITDIST_MAX_REL = 0.4
+EDITDIST_PREFIX_BYTES = 1024  # lev is O(L^2)/pair; cap the compared prefix
 
 
 def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,8 +379,14 @@ def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one unit in every engine — so the distance is engine-independent
     # under arbitrary content; it measures byte-level edits at 2 units
     # per byte, and the ratio normalizes by the hex length accordingly.
+    # The compared prefix is capped (EDITDIST_PREFIX_BYTES): Levenshtein
+    # is O(L^2) per pair, so unbounded doc growth would make the verify
+    # the pipeline's bottleneck; the Jaccard blocking already guarantees
+    # global similarity and the prefix confirms character-level identity.
     def hx(c):
-        return F.hex(F.col(c).cast("binary"))
+        return F.substring(
+            F.hex(F.col(c).cast("binary")), 1, EDITDIST_PREFIX_BYTES * 2
+        )
 
     lev = F.levenshtein(hx("text_a"), hx("text_b"))
     rel = lev / F.greatest(F.length(hx("text_a")), F.length(hx("text_b")))
@@ -402,15 +409,15 @@ cand AS (
   SELECT doc_a, doc_b FROM scored_pairs WHERE jaccard >= {EDITDIST_BLOCK_JACCARD}
 )
 SELECT c.doc_a, c.doc_b,
-       levenshtein(upper(hex(encode(da.text))), upper(hex(encode(db.text)))) AS lev,
-       floor(levenshtein(upper(hex(encode(da.text))), upper(hex(encode(db.text)))) * 1.0
-             / greatest(length(hex(encode(da.text))), length(hex(encode(db.text)))) * 10000.0)
+       levenshtein(substring(upper(hex(encode(da.text))), 1, {EDITDIST_PREFIX_BYTES * 2}), substring(upper(hex(encode(db.text))), 1, {EDITDIST_PREFIX_BYTES * 2})) AS lev,
+       floor(levenshtein(substring(upper(hex(encode(da.text))), 1, {EDITDIST_PREFIX_BYTES * 2}), substring(upper(hex(encode(db.text))), 1, {EDITDIST_PREFIX_BYTES * 2})) * 1.0
+             / greatest(length(substring(hex(encode(da.text)), 1, {EDITDIST_PREFIX_BYTES * 2})), length(substring(hex(encode(db.text)), 1, {EDITDIST_PREFIX_BYTES * 2}))) * 10000.0)
          / 10000.0 AS rel_dist
 FROM cand c
 JOIN documents da ON da.doc_id = c.doc_a
 JOIN documents db ON db.doc_id = c.doc_b
-WHERE floor(levenshtein(upper(hex(encode(da.text))), upper(hex(encode(db.text)))) * 1.0
-            / greatest(length(hex(encode(da.text))), length(hex(encode(db.text)))) * 10000.0)
+WHERE floor(levenshtein(substring(upper(hex(encode(da.text))), 1, {EDITDIST_PREFIX_BYTES * 2}), substring(upper(hex(encode(db.text))), 1, {EDITDIST_PREFIX_BYTES * 2})) * 1.0
+            / greatest(length(substring(hex(encode(da.text)), 1, {EDITDIST_PREFIX_BYTES * 2})), length(substring(hex(encode(db.text)), 1, {EDITDIST_PREFIX_BYTES * 2}))) * 10000.0)
         / 10000.0 <= {EDITDIST_MAX_REL}
 """
 
