@@ -594,3 +594,83 @@ QUERIES.update(
         ),
     }
 )
+
+
+MIX_CAP = 5.0
+
+
+def llm_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture reweighting: compute the per-language sampling
+    weight that moves the token distribution toward uniform across
+    languages (the data-mixing step before training — upweight
+    under-represented slices, downweight dominant ones), with the
+    upsampling factor capped at MIX_CAP so rare slices are not repeated
+    into memorization.
+
+    weight_lang = min(cap, target_share / actual_share) where
+    actual_share = lang_tokens / total_tokens and target_share = 1/K.
+    One aggregation pass over the corpus; every ratio is a division of
+    exact integer token counts (whitespace tokens), so the doubles are
+    bit-identical across engines and the floor-quantized weights hash-
+    match. Output also carries the effective post-weight share, the
+    number the mixing loop iterates on."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("lang_tokens"),
+    )
+    totals = per_lang.agg(
+        F.sum("lang_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).cast("double").alias("k_langs"),
+    )
+    j = per_lang.crossJoin(F.broadcast(totals))
+    actual = F.col("lang_tokens").cast("double") / F.col("total_tokens").cast("double")
+    target = F.lit(1.0) / F.col("k_langs")
+    weight = F.least(F.lit(MIX_CAP), target / actual)
+    eff = actual * weight
+    return j.select(
+        "lang",
+        "n_docs",
+        "lang_tokens",
+        fquant(weight, 6).alias("mix_weight"),
+        fquant(eff, 6).alias("effective_share"),
+    )
+
+
+LLM_MIX_WEIGHTS_SQL = f"""
+WITH per_lang AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS lang_tokens
+  FROM documents
+  WHERE text IS NOT NULL
+  GROUP BY lang
+), totals AS (
+  SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) AS DOUBLE) AS k_langs
+  FROM per_lang
+)
+SELECT p.lang, p.n_docs, CAST(p.lang_tokens AS BIGINT) AS lang_tokens,
+       floor(least({MIX_CAP},
+                   (1.0 / t.k_langs)
+                   / (CAST(p.lang_tokens AS DOUBLE)
+                      / CAST(t.total_tokens AS DOUBLE))) * 1000000.0)
+         / 1000000.0 AS mix_weight,
+       floor((CAST(p.lang_tokens AS DOUBLE) / CAST(t.total_tokens AS DOUBLE))
+             * least({MIX_CAP},
+                     (1.0 / t.k_langs)
+                     / (CAST(p.lang_tokens AS DOUBLE)
+                        / CAST(t.total_tokens AS DOUBLE))) * 1000000.0)
+         / 1000000.0 AS effective_share
+FROM per_lang p CROSS JOIN totals t
+"""
+
+
+QUERIES.update(
+    {
+        "llm_mix_weights": Query(
+            llm_mix_weights, LLM_MIX_WEIGHTS_SQL,
+            "capped uniform-target language mixture reweighting",
+        ),
+    }
+)
