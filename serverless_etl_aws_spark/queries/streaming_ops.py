@@ -433,6 +433,69 @@ WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join — the marquee Structured Streaming
+    topology the stream-static key cannot express: two live streams
+    (views and purchases, here two readStream sources over the staged
+    landing dir) joined on key + an event-time range (purchase within 30
+    minutes after the view), both sides watermarked so the join state is
+    bounded: Spark retains each side only until the other side's
+    watermark passes the range bound, which is THE property that lets a
+    100 TB/day dual-stream join run with finite memory. Inner matches
+    emit as soon as both rows are present (append mode); with pinned
+    AvailableNow batches the emitted set equals the batch join, so the
+    DuckDB oracle checks it row-for-row (event_ids make rows unique)."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import events_reader_setup
+    from ._util import fresh_dir
+
+    scratch = os.path.join(SCRATCH, "stream_stream_join")
+    src = stage_events_dir(spark, sf_dir, fresh_dir(scratch), n_files=1)
+    read_schema, normalize = events_reader_setup(spark, src)
+
+    def side(event_type, prefix):
+        st = normalize(
+            spark.readStream.schema(read_schema).parquet(src)
+        ).filter(F.col("event_type") == event_type)
+        return st.select(
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("event_id").alias(f"{prefix}_event"),
+            F.col("ts").alias(f"{prefix}_ts"),
+        ).withWatermark(f"{prefix}_ts", "30 minutes")
+
+    views = side("view", "v")
+    buys = side("purchase", "p")
+    joined = views.join(
+        buys,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "v_event",
+        "p_event",
+        F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+    return run_stream_to_memory(joined, output_mode="append")
+
+
+STREAM_STREAM_JOIN_SQL = """
+SELECT v.user_id,
+       v.event_id AS v_event,
+       p.event_id AS p_event,
+       strftime(CAST(v.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS view_ts,
+       strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stream_pydatasource": Query(
         stream_pydatasource, STREAM_PYDS_SQL,
@@ -454,4 +517,8 @@ QUERIES: dict[str, Query] = {
                          "stream-static broadcast enrichment join"),
     "stream_cdc": Query(stream_cdc, STREAM_CDC_SQL,
                         "version-resolved CDC apply with tombstones"),
+    "stream_stream_join": Query(
+        stream_stream_join, STREAM_STREAM_JOIN_SQL,
+        "watermarked stream-stream interval join (bounded state)",
+    ),
 }
