@@ -396,7 +396,12 @@ def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            lev.alias("lev"),
+            # named prefix_lev, not lev: the distance (and the ratio's
+            # denominator) covers only the capped prefix — two docs
+            # identical for the first KiB score 0.0 even if their tails
+            # diverge, which blocking mitigates but cannot exclude; a
+            # consumer needing full-text identity must re-verify.
+            lev.alias("prefix_lev"),
             (F.floor(rel * 10000.0) / 10000.0).alias("rel_dist"),
         )
         .filter(F.col("rel_dist") <= EDITDIST_MAX_REL)
@@ -408,17 +413,25 @@ WITH {_NGRAM_PAIRS_CTES},
 cand AS (
   SELECT doc_a, doc_b FROM scored_pairs WHERE jaccard >= {EDITDIST_BLOCK_JACCARD}
 )
-SELECT c.doc_a, c.doc_b,
-       levenshtein(substring(upper(hex(encode(da.text))), 1, {EDITDIST_PREFIX_BYTES * 2}), substring(upper(hex(encode(db.text))), 1, {EDITDIST_PREFIX_BYTES * 2})) AS lev,
-       floor(levenshtein(substring(upper(hex(encode(da.text))), 1, {EDITDIST_PREFIX_BYTES * 2}), substring(upper(hex(encode(db.text))), 1, {EDITDIST_PREFIX_BYTES * 2})) * 1.0
-             / greatest(length(substring(hex(encode(da.text)), 1, {EDITDIST_PREFIX_BYTES * 2})), length(substring(hex(encode(db.text)), 1, {EDITDIST_PREFIX_BYTES * 2}))) * 10000.0)
-         / 10000.0 AS rel_dist
-FROM cand c
-JOIN documents da ON da.doc_id = c.doc_a
-JOIN documents db ON db.doc_id = c.doc_b
-WHERE floor(levenshtein(substring(upper(hex(encode(da.text))), 1, {EDITDIST_PREFIX_BYTES * 2}), substring(upper(hex(encode(db.text))), 1, {EDITDIST_PREFIX_BYTES * 2})) * 1.0
-            / greatest(length(substring(hex(encode(da.text)), 1, {EDITDIST_PREFIX_BYTES * 2})), length(substring(hex(encode(db.text)), 1, {EDITDIST_PREFIX_BYTES * 2}))) * 10000.0)
-        / 10000.0 <= {EDITDIST_MAX_REL}
+SELECT doc_a, doc_b, prefix_lev,
+       floor(prefix_lev * 1.0 / den * 10000.0) / 10000.0 AS rel_dist
+FROM (
+  -- compute the O(L^2) distance ONCE per pair; DuckDB does not promise
+  -- CSE between projection and filter
+  SELECT c.doc_a, c.doc_b,
+         levenshtein(
+           substring(upper(hex(encode(da.text))), 1, {EDITDIST_PREFIX_BYTES * 2}),
+           substring(upper(hex(encode(db.text))), 1, {EDITDIST_PREFIX_BYTES * 2})
+         ) AS prefix_lev,
+         greatest(
+           length(substring(hex(encode(da.text)), 1, {EDITDIST_PREFIX_BYTES * 2})),
+           length(substring(hex(encode(db.text)), 1, {EDITDIST_PREFIX_BYTES * 2}))
+         ) AS den
+  FROM cand c
+  JOIN documents da ON da.doc_id = c.doc_a
+  JOIN documents db ON db.doc_id = c.doc_b
+)
+WHERE floor(prefix_lev * 1.0 / den * 10000.0) / 10000.0 <= {EDITDIST_MAX_REL}
 """
 
 

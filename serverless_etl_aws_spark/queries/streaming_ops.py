@@ -447,17 +447,19 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle checks it row-for-row (event_ids make rows unique)."""
     from pyspark.sql import functions as F
 
-    from ..catalog import events_reader_setup
-    from ._util import fresh_dir
+    from ..streaming.windows import _events_stream
 
+    # Stage once, then open TWO independent sources over the same landing
+    # dir through the shared _events_stream helper (schema'd readStream +
+    # ts-unit normalization live in one place; a future drift class
+    # handled there covers this key automatically).
     scratch = os.path.join(SCRATCH, "stream_stream_join")
-    src = stage_events_dir(spark, sf_dir, fresh_dir(scratch), n_files=1)
-    read_schema, normalize = events_reader_setup(spark, src)
+    src = stage_events_dir(spark, sf_dir, scratch, n_files=1)
 
     def side(event_type, prefix):
-        st = normalize(
-            spark.readStream.schema(read_schema).parquet(src)
-        ).filter(F.col("event_type") == event_type)
+        st = _events_stream(spark, src).filter(
+            F.col("event_type") == event_type
+        )
         return st.select(
             F.col("user_id").alias(f"{prefix}_user"),
             F.col("event_id").alias(f"{prefix}_event"),

@@ -97,7 +97,9 @@ EVENTS_KEYS = sorted(
     key
     for key, q in REGISTRY.items()
     if "FROM events" in (q.sql or "")
-    or key in ("stream_stateful", "ingest_incremental")
+    # rows-only keys (sql=None) that read events — listed explicitly
+    # because the SQL scan above cannot see them
+    or key in ("stream_stateful", "ingest_incremental", "agg_approx_distinct")
 )
 
 
