@@ -194,7 +194,10 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean_tok_len = (n_chars - (n_tok - 1)) / n_tok
     stop_ratio = stop / n_tok
-    nonalpha_ratio = nonalpha / n_chars
+    # try_divide: an empty doc has n_chars = 0, and ANSI Spark errors on
+    # 0/0 where the oracle's NULLIF divisor yields NULL (empty-string
+    # drift sweep); NULL then propagates into the score on both engines.
+    nonalpha_ratio = F.try_divide(nonalpha, n_chars)
     score = (
         F.least(n_tok / 100.0, F.lit(1.0)) * 0.4
         + F.least(mean_tok_len / 8.0, F.lit(1.0)) * 0.2
@@ -236,11 +239,11 @@ SELECT doc_id,
        floor((n_chars - (n_tok - 1)) / n_tok * 10000.0) / 10000.0
            AS mean_token_len,
        floor(stop / n_tok * 10000.0) / 10000.0 AS stopword_ratio,
-       floor(nonalpha / n_chars * 10000.0) / 10000.0 AS nonalpha_ratio,
+       floor(nonalpha / NULLIF(n_chars, 0) * 10000.0) / 10000.0 AS nonalpha_ratio,
        floor((least(n_tok / 100.0, 1.0) * 0.4
               + least(((n_chars - (n_tok - 1)) / n_tok) / 8.0, 1.0) * 0.2
               + (stop / n_tok) * 0.2
-              + (1.0 - nonalpha / n_chars) * 0.2) * 10000.0) / 10000.0
+              + (1.0 - nonalpha / NULLIF(n_chars, 0)) * 0.2) * 10000.0) / 10000.0
            AS quality_score
 FROM m
 """

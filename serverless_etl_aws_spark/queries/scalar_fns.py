@@ -125,12 +125,15 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NULLIF(props, ''): DuckDB's json_extract_string hard-errors on an
+# empty (non-NULL) string where Spark's get_json_object returns NULL —
+# found by the round-4 empty-string drift sweep.
 FN_JSON_SQL = """
 SELECT event_id, event_type,
-       CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+       CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INTEGER) AS prop_k
 FROM events
-WHERE regexp_full_match(json_extract_string(props, '$.k'), '-?[0-9]+')
-  AND CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+WHERE regexp_full_match(json_extract_string(NULLIF(props, ''), '$.k'), '-?[0-9]+')
+  AND CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INTEGER) > 50
 """
 
 

@@ -164,3 +164,60 @@ def test_unicode_drift_parity(spark, unicode_sf_dir, key):
         f"{key}: {result.detail} "
         f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
     )
+
+
+@pytest.fixture(scope="session")
+def empty_sf_dir(tmp_path_factory) -> str:
+    """sf0.001 with empty / single-token / whitespace-only document texts
+    and empty (non-NULL) event props. Empty strings are a distinct drift
+    class from NULLs: round 4 caught ANSI Spark erroring on 0-char
+    division (llm_quality_score) and DuckDB's json_extract hard-erroring
+    on '' where get_json_object returns NULL (fn_json)."""
+    dst = str(tmp_path_factory.mktemp("emptyfix"))
+    rng = np.random.default_rng(9)
+    tbl = pq.read_table(os.path.join(SRC, "documents.parquet"))
+    texts = tbl["text"].to_pylist()
+    for i in range(len(texts)):
+        r = rng.random()
+        if r < 0.02:
+            texts[i] = ""
+        elif r < 0.04:
+            texts[i] = "single"
+        elif r < 0.05:
+            texts[i] = "  "
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("text"), "text", pa.array(texts, pa.string())
+    )
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("n_chars"),
+        "n_chars",
+        pa.array([len(t) if t is not None else None for t in texts], pa.int64()),
+    )
+    pq.write_table(tbl, os.path.join(dst, "documents.parquet"))
+    ev = pq.read_table(os.path.join(SRC, "events.parquet"))
+    props = ev["props"].to_pylist()
+    for i in np.flatnonzero(rng.random(len(ev)) < 0.03):
+        props[i] = ""
+    ev = ev.set_column(
+        ev.schema.get_field_index("props"), "props", pa.array(props, pa.string())
+    )
+    pq.write_table(ev, os.path.join(dst, "events.parquet"))
+    for name in ["orders", "lineitem", *COPY]:
+        shutil.copy(
+            os.path.join(SRC, f"{name}.parquet"),
+            os.path.join(dst, f"{name}.parquet"),
+        )
+    return dst
+
+
+EMPTY_KEYS = sorted(set(TEXT_KEYS) | {"fn_json", "fn_regexp_extract_all"})
+
+
+@pytest.mark.parametrize("key", EMPTY_KEYS)
+def test_empty_string_drift_parity(spark, empty_sf_dir, key):
+    q = REGISTRY[key]
+    result = compare(key, q.fn(spark, empty_sf_dir), q.sql, empty_sf_dir)
+    assert result.ok, (
+        f"{key}: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )
