@@ -100,6 +100,9 @@ SF1_KEYS = [
     # round-4 second wave: CDC apply, full-data KMeans, BPE counting,
     # and the swapped pure-JVM MinHash backend
     "stream_cdc", "ml_kmeans", "llm_bpe_pairs", "llm_dedup_minhash",
+    # round-4 third wave: dual-stream join, edit-distance dedup, the
+    # fused curation pipeline
+    "stream_stream_join", "llm_dedup_editdist", "llm_curation_pipeline",
 ]
 
 
