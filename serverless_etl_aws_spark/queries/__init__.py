@@ -75,6 +75,7 @@ def build_registry() -> dict[str, Query]:
         extras4,
         extras5,
         extras6,
+        extras7,
         joins,
         llm,
         pipeline_ops,
@@ -103,6 +104,7 @@ def build_registry() -> dict[str, Query]:
         extras4,
         extras5,
         extras6,
+        extras7,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:
