@@ -76,6 +76,7 @@ def build_registry() -> dict[str, Query]:
         extras5,
         extras6,
         extras7,
+        extras8,
         joins,
         llm,
         pipeline_ops,
@@ -105,6 +106,7 @@ def build_registry() -> dict[str, Query]:
         extras5,
         extras6,
         extras7,
+        extras8,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

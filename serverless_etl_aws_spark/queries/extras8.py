@@ -1,0 +1,197 @@
+"""Round-4 fifth wave: interval-overlap join (bin-bucketed, the
+genomics/temporal-join formulation) and rolling z-score anomaly
+detection (exact windowed sufficient statistics, IEEE-deterministic
+sqrt).
+
+Parity discipline per queries/_util.py; sqrt is safe cross-engine
+because IEEE 754 requires correctly-rounded square root, unlike the
+transcendentals (log/exp) which the engine deliberately avoids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import Query
+from ._util import dec, dsum, fquant, t
+
+# Interval-overlap bin width (days). Chosen at the scale of the interval
+# lengths (7/14 days) so each interval covers <= ~4 bins — the explode
+# fan-out stays O(1) per row while bins keep join buckets small.
+BIN_DAYS = 7
+
+EPOCH = "1970-01-01"
+
+
+def _day(col: F.Column) -> F.Column:
+    return F.datediff(col, F.lit(EPOCH).cast("date"))
+
+
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: order activity windows [o_orderdate,
+    +14d] × shipment windows [l_shipdate, +7d], emitting each
+    overlapping pair once with its overlap length.
+
+    Scale shape — the standard bin-bucketed formulation (used by
+    genomic range joins and temporal databases): each interval explodes
+    into the fixed-width bins it covers (O(1) per row at this width), the
+    join runs as an EQUI-join on the bin, and a pair is emitted only in
+    the bin that contains the overlap start — exact dedup without a
+    DISTINCT shuffle. A naive theta-join (start <= end AND ...) is a
+    broadcast-nested-loop over the whole fact table and is the plan this
+    formulation exists to avoid; the oracle states exactly that
+    theta-join declaratively."""
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .select(
+            "o_orderkey",
+            _day(F.to_date("o_orderdate")).alias("a_start"),
+            (_day(F.to_date("o_orderdate")) + 14).alias("a_end"),
+        )
+    )
+    ship = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 11 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            _day(F.to_date("l_shipdate")).alias("b_start"),
+            (_day(F.to_date("l_shipdate")) + 7).alias("b_end"),
+        )
+    )
+    a = orders.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("a_start") / BIN_DAYS),
+                F.floor(F.col("a_end") / BIN_DAYS),
+            )
+        ),
+    )
+    b = ship.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("b_start") / BIN_DAYS),
+                F.floor(F.col("b_end") / BIN_DAYS),
+            )
+        ),
+    )
+    ov_start = F.greatest("a_start", "b_start")
+    ov_end = F.least("a_end", "b_end")
+    return (
+        a.join(b, "bin")
+        .filter(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+            # emit only in the overlap-start bin => exactly-once without
+            # a distinct
+            & (F.col("bin") == F.floor(ov_start / BIN_DAYS))
+        )
+        .select(
+            "o_orderkey",
+            "l_orderkey",
+            "l_linenumber",
+            (ov_end - ov_start + 1).cast("int").alias("overlap_days"),
+        )
+    )
+
+
+JOIN_INTERVAL_OVERLAP_SQL = """
+WITH a AS (
+  SELECT o_orderkey,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS a_start,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 14
+             AS a_end
+  FROM orders WHERE o_orderkey % 13 = 0
+), b AS (
+  SELECT l_orderkey, l_linenumber,
+         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+             AS b_start,
+         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) + 7
+             AS b_end
+  FROM lineitem WHERE l_partkey % 11 = 0
+)
+SELECT a.o_orderkey, b.l_orderkey, b.l_linenumber,
+       CAST(least(a_end, b_end) - greatest(a_start, b_start) + 1 AS INT)
+           AS overlap_days
+FROM a JOIN b ON a.a_start <= b.b_end AND b.b_start <= a.a_end
+"""
+
+
+def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly score: per event type, each day's value is
+    z-scored against the previous 7 days (inclusive) — the standard
+    metric-monitoring primitive.
+
+    Exactness: windowed Σv and Σv² accumulate as decimals (order-
+    insensitive); mean/variance/z are then single IEEE double
+    expressions, and sqrt is correctly-rounded by IEEE 754 in both
+    engines — unlike log/exp, which this engine's keys deliberately
+    avoid. One aggregation shuffle + one intra-partition window."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("d")
+    ).agg(dsum("value").alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w).cast("double")
+    s1 = F.sum(dec("v")).over(w).cast("double")
+    s2 = F.sum(dec("v") * dec("v")).over(w).cast("double")
+    mean = s1 / n
+    # catastrophic cancellation can leave a tiny negative variance on a
+    # constant window; clamp at 0 (DuckDB hard-errors on sqrt(<0),
+    # Spark would yield NaN — both wrong)
+    var = F.greatest((s2 - s1 * s1 / n) / n, F.lit(0.0))
+    z = (F.col("v") - mean) / F.nullif(F.sqrt(var), F.lit(0.0))
+    return daily.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "v",
+        fquant(mean, 4).alias("rolling_mean"),
+        fquant(z, 4).alias("zscore"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
+
+
+TS_ROLLING_ZSCORE_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS v
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), win AS (
+  SELECT event_type, d, v,
+         CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(18,4))) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(CAST(v AS DECIMAL(18,4)) * CAST(v AS DECIMAL(18,4)))
+              OVER w AS DOUBLE) AS s2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       strftime(d, '%Y-%m-%d') AS day,
+       v,
+       floor(s1 / n * 10000.0) / 10000.0 AS rolling_mean,
+       floor((v - s1 / n) / NULLIF(sqrt(greatest((s2 - s1 * s1 / n) / n, 0.0)), 0.0)
+             * 10000.0) / 10000.0 AS zscore,
+       abs((v - s1 / n) / NULLIF(sqrt(greatest((s2 - s1 * s1 / n) / n, 0.0)), 0.0)) > 2.0
+           AS is_anomaly
+FROM win
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "join_interval_overlap": Query(
+        join_interval_overlap, JOIN_INTERVAL_OVERLAP_SQL,
+        "bin-bucketed interval-overlap join, exactly-once per pair"),
+    "ts_rolling_zscore": Query(
+        ts_rolling_zscore, TS_ROLLING_ZSCORE_SQL,
+        "trailing-window z-score anomaly detection"),
+}

@@ -350,3 +350,72 @@ def test_curation_pipeline_reads_corpus_once(spark, sf_dir):
 
     plan = plan_of(llm_curation_pipeline(spark, sf_dir))
     assert plan.count("documents.parquet") == 1, plan
+
+
+def test_triangles_reuse_edge_list_no_repeat_fact_join(spark, sf_dir):
+    """graph_triangles' three-way self-join must run on the checkpointed
+    edge list (RDD scans), never re-derive the 4-way fact join per side —
+    at 100 TB that would triple the most expensive stage."""
+    from serverless_etl_aws_spark.queries.extras7 import graph_triangles
+
+    plan = plan_of(graph_triangles(spark, sf_dir))
+    assert "FileScan" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 3, plan
+
+
+def test_linreg_aggregates_partially(spark, sf_dir):
+    """ml_linreg's sufficient statistics must ride map-side partial
+    aggregation (partial + final HashAggregate pairs) so shuffle volume
+    is O(groups), not O(rows)."""
+    from serverless_etl_aws_spark.queries.extras7 import ml_linreg
+
+    plan = plan_of(ml_linreg(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_winnow_single_scan_intra_doc_windows(spark, sf_dir):
+    """llm_winnow_fingerprint must read documents exactly once and keep
+    the window work partitioned by doc_id — no cross-document shuffle
+    beyond the doc_id hash partitioning."""
+    from serverless_etl_aws_spark.queries.extras7 import llm_winnow_fingerprint
+
+    plan = plan_of(llm_winnow_fingerprint(spark, sf_dir))
+    assert plan.count("FileScan") == 1, plan
+    assert "hashpartitioning(doc_id" in plan, plan
+
+
+def test_interpolate_spine_join_broadcasts(spark, sf_dir):
+    """ts_interpolate shares ts_resample's contract: the daily aggregate
+    broadcasts into the spine join; the neighbor windows then run without
+    re-shuffling."""
+    from serverless_etl_aws_spark.queries.extras7 import ts_interpolate
+
+    plan = plan_of(ts_interpolate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_interval_overlap_is_equi_join_not_nested_loop(spark, sf_dir):
+    """join_interval_overlap exists to replace the theta-join plan: the
+    bin-bucketed formulation must join on the bin as an equi-join —
+    a BroadcastNestedLoopJoin/CartesianProduct here means the rewrite
+    regressed to the O(n*m) comparison it was built to avoid."""
+    from serverless_etl_aws_spark.queries.extras8 import join_interval_overlap
+
+    plan = plan_of(join_interval_overlap(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_rolling_zscore_two_exchanges_max(spark, sf_dir):
+    """ts_rolling_zscore is one aggregation shuffle plus one window
+    re-partition at most; the windowed sufficient statistics must not
+    introduce further exchanges."""
+    from serverless_etl_aws_spark.queries.extras8 import ts_rolling_zscore
+
+    plan = plan_of(ts_rolling_zscore(spark, sf_dir))
+    assert plan.count("Exchange") <= 2, plan
