@@ -10,11 +10,15 @@ transcendentals (log/exp) which the engine deliberately avoids.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import Query
-from ._util import dec, dsum, fquant, t
+from ._util import dec, dsum, fquant, fresh_dir, scratch_root, t
+
+SCRATCH = scratch_root()
 
 # Interval-overlap bin width (days). Chosen at the scale of the interval
 # lengths (7/14 days) so each interval covers <= ~4 bins — the explode
@@ -187,7 +191,55 @@ FROM win
 """
 
 
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source roundtrip (Spark 4 native XML, no external package):
+    write an orders projection as <order> row elements, read it back with
+    a DECLARED schema (inference on XML is two passes over the data —
+    never at scale), and re-aggregate. The oracle recomputes from the
+    base table, so any element-mapping or type-coercion defect in the
+    roundtrip shows up as a hash mismatch."""
+    out = fresh_dir(os.path.join(SCRATCH, "scan_xml"))
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    (
+        orders.write.mode("overwrite")
+        .option("rootTag", "orders")
+        .option("rowTag", "order")
+        .format("xml")
+        .save(out)
+    )
+    back = (
+        spark.read.schema(
+            "o_orderkey long, o_orderstatus string, o_totalprice double"
+        )
+        .option("rowTag", "order")
+        .format("xml")
+        .load(out)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+SCAN_XML_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "scan_xml": Query(scan_xml, SCAN_XML_SQL,
+                      "XML source roundtrip (Spark 4 native)"),
     "join_interval_overlap": Query(
         join_interval_overlap, JOIN_INTERVAL_OVERLAP_SQL,
         "bin-bucketed interval-overlap join, exactly-once per pair"),
