@@ -87,6 +87,37 @@ def brute_force_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
 
+def two_stage_topk(scored: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Distributed top-k per key WITHOUT shuffling every scored row into a
+    window: stage 1 keeps a per-(key, input-partition) top-k via
+    ``array_sort + slice`` over grouped structs (state ≤ partition rows,
+    output ≤ k per group); stage 2 merges the ≤ k·P partials per key.
+    Only k·P candidate structs per key ever cross an exchange — a single
+    ``row_number`` window would shuffle the full scored set instead.
+
+    ``scored`` must have columns (key_col, vec_id, cosine). Struct sort is
+    ascending field-by-field, so (-cosine, vec_id) ascending == cosine
+    descending with a deterministic vec_id tie-break."""
+    cand = F.struct(
+        (-F.col("cosine")).alias("nc"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("cosine").alias("cosine"),
+    )
+    partial = (
+        scored.withColumn("part", F.spark_partition_id())
+        .groupBy(key_col, "part")
+        .agg(F.slice(F.array_sort(F.collect_list(cand)), 1, k).alias("top"))
+    )
+    merged = partial.groupBy(key_col).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("top"))), 1, k
+        ).alias("top")
+    )
+    return merged.select(key_col, F.explode("top").alias("e")).select(
+        key_col, "e.vec_id", "e.cosine"
+    )
+
+
 def _train_centroids(
     emb: DataFrame,
     n_centroids: int = 16,

@@ -63,30 +63,9 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             quant6(cosine_expr("v", "pv")).alias("cosine"),
         )
     )
-    # struct sorts ascending field-by-field: (-cosine, vec_id) ascending
-    # == cosine descending with vec_id tie-break.
-    cand = F.struct(
-        (-F.col("cosine")).alias("nc"),
-        F.col("vec_id").alias("vec_id"),
-        F.col("cosine").alias("cosine"),
-    )
-    partial = (
-        scored.withColumn("part", F.spark_partition_id())
-        .groupBy("pid", "part")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list(cand)), 1, KNN_K
-            ).alias("top")
-        )
-    )
-    merged = partial.groupBy("pid").agg(
-        F.slice(
-            F.array_sort(F.flatten(F.collect_list("top"))), 1, KNN_K
-        ).alias("top")
-    )
-    return merged.select(
-        "pid", F.explode("top").alias("e")
-    ).select("pid", "e.vec_id", "e.cosine")
+    from ..operators.simsearch import two_stage_topk
+
+    return two_stage_topk(scored, "pid", KNN_K)
 
 
 LLM_KNN_JOIN_SQL = f"""

@@ -237,9 +237,72 @@ GROUP BY o_orderstatus
 """
 
 
+HN_K = 5
+HN_N_PROBES = 5
+
+
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each probe
+    vector, the top-K most-similar corpus vectors with a DIFFERENT label
+    — the "looks similar, is not" pairs a retrieval/embedding trainer
+    feeds as negatives.
+
+    Scale shape shared with llm_knn_join (extras3.py): probes broadcast,
+    one map-side JVM cosine pass over the corpus with the label-mismatch
+    filter applied BEFORE any aggregation, then the two-stage partial
+    top-k (operators/simsearch.py::two_stage_topk) so only k·P candidate
+    structs per probe cross an exchange. NULL labels (drift sweeps) drop
+    out of the mismatch predicate identically in both engines."""
+    from ..operators.simsearch import cosine_expr, quant6, two_stage_topk
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    probes = emb.filter(F.col("vec_id") < HN_N_PROBES).select(
+        F.col("vec_id").alias("pid"),
+        F.col("label").alias("plabel"),
+        F.col("v").alias("pv"),
+    )
+    scored = (
+        emb.filter(F.col("vec_id") >= HN_N_PROBES)
+        .join(F.broadcast(probes))
+        .filter(F.col("label") != F.col("plabel"))
+        .select("pid", "vec_id", quant6(cosine_expr("v", "pv")).alias("cosine"))
+    )
+    return two_stage_topk(scored, "pid", HN_K)
+
+
+def _hn_sql() -> str:
+    from ..operators.simsearch import SQL_COSINE
+
+    cos = SQL_COSINE.replace("va", "c.emb").replace("vb", "p.emb")
+    return f"""
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), cand AS (
+    SELECT p.vec_id AS pid, c.vec_id,
+           floor(({cos}) * 1000000.0) / 1000000.0 AS cosine
+    FROM e c CROSS JOIN e p
+    WHERE p.vec_id < {HN_N_PROBES} AND c.vec_id >= {HN_N_PROBES}
+      AND c.label <> p.label
+), ranked AS (
+    SELECT pid, vec_id, cosine,
+           row_number() OVER (PARTITION BY pid
+                              ORDER BY cosine DESC, vec_id) AS rn
+    FROM cand
+)
+SELECT pid, vec_id, cosine FROM ranked WHERE rn <= {HN_K}
+"""
+
+
 QUERIES: dict[str, Query] = {
     "scan_xml": Query(scan_xml, SCAN_XML_SQL,
                       "XML source roundtrip (Spark 4 native)"),
+    "llm_hard_negatives": Query(
+        llm_hard_negatives, _hn_sql(),
+        "label-aware hard-negative mining (contrastive training pairs)"),
     "join_interval_overlap": Query(
         join_interval_overlap, JOIN_INTERVAL_OVERLAP_SQL,
         "bin-bucketed interval-overlap join, exactly-once per pair"),

@@ -103,6 +103,10 @@ SF1_KEYS = [
     # round-4 third wave: dual-stream join, edit-distance dedup, the
     # fused curation pipeline
     "stream_stream_join", "llm_dedup_editdist", "llm_curation_pipeline",
+    # round-4 fourth/fifth wave: triangle counting, winnowing
+    # fingerprints, interval-overlap join, multiset intersect, OLS
+    "graph_triangles", "llm_winnow_fingerprint", "join_interval_overlap",
+    "set_intersect_all", "ml_linreg",
 ]
 
 
@@ -198,14 +202,17 @@ def build_sf1() -> str:
     return SF1_DIR
 
 
-def run_sf1(spark) -> None:
-    """Warm-protocol timing of the headline keys at sf0.1 vs sf1.0."""
+def run_sf1(spark, only: list[str] | None = None) -> None:
+    """Warm-protocol timing of the headline keys at sf0.1 vs sf1.0.
+    ``only`` (extra argv after ``sf1``) restricts to a key subset so a
+    new wave can be measured without re-timing the recorded history."""
     registry = build_registry()
     sf1 = build_sf1()
+    keys = [k for k in SF1_KEYS if not only or k in only]
 
     def timed(sf_dir):
         times = {}
-        for key in SF1_KEYS:
+        for key in keys:
             registry[key].fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()  # cold: staging + first-touch
@@ -224,7 +231,7 @@ def run_sf1(spark) -> None:
             "sf1.0_sec": big[k],
             "ratio_at_10x_data": round(big[k] / max(base[k], 1e-9), 1),
         }
-        for k in SF1_KEYS
+        for k in keys
     }
     print(json.dumps({"mode": "sf1", "queries": report}, indent=2))
 
@@ -270,7 +277,7 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "sf1":
         spark = get_spark(app_name="stress-sf1", master=f"local[{cpus}]")
         spark.sparkContext.setLogLevel("ERROR")
-        run_sf1(spark)
+        run_sf1(spark, only=sys.argv[2:] or None)
         spark.stop()
         return
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 8
