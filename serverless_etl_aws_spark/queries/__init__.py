@@ -77,6 +77,7 @@ def build_registry() -> dict[str, Query]:
         extras6,
         extras7,
         extras8,
+        extras9,
         joins,
         llm,
         pipeline_ops,
@@ -107,6 +108,7 @@ def build_registry() -> dict[str, Query]:
         extras6,
         extras7,
         extras8,
+        extras9,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

@@ -1,0 +1,192 @@
+"""Round-4 sixth wave: higher-order array functions, time-interval RANGE
+window frames, and T5-style span corruption (pretraining-objective data
+prep).
+
+Parity discipline per queries/_util.py. The higher-order fold uses
+Spark's sequential-left-fold ``aggregate``, whose evaluation order
+matches DuckDB's ``list_sum(list_transform(...))`` — the same contract
+operators/simsearch.py::SQL_COSINE relies on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import Query
+from ._util import t
+
+
+# --------------------------------------------------------- fn_higher_order
+
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column: transform,
+    filter, exists, forall, sequential-fold aggregate, zip_with — the
+    lambda-expression surface that keeps array work JVM-side (codegen'd)
+    instead of exploding rows or crossing into Python."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    return emb.select(
+        "vec_id",
+        F.expr("size(filter(v, x -> x > 0D))").cast("int").alias("n_pos"),
+        F.expr("exists(v, x -> abs(x) > 0.2D)").alias("has_big"),
+        F.expr("forall(v, x -> abs(x) < 1.0D)").alias("all_small"),
+        F.floor(
+            F.expr("aggregate(v, 0D, (acc, x) -> acc + x * x)") * 1e6
+        ).alias("sumsq_q6"),
+        F.floor(
+            F.expr(
+                "aggregate(zip_with(v, reverse(v), (x, y) -> x * y),"
+                " 0D, (acc, x) -> acc + x)"
+            )
+            * 1e6
+        ).alias("palindot_q6"),
+    )
+
+
+FN_HIGHER_ORDER_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT vec_id,
+       CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_pos,
+       len(list_filter(v, x -> abs(x) > 0.2)) > 0 AS has_big,
+       len(list_filter(v, x -> NOT abs(x) < 1.0)) = 0 AS all_small,
+       CAST(floor(list_sum(list_transform(v, x -> x * x)) * 1e6)
+            AS BIGINT) AS sumsq_q6,
+       CAST(floor(list_sum(list_transform(range(1, len(v) + 1),
+                  i -> v[i] * v[len(v) - i + 1])) * 1e6)
+            AS BIGINT) AS palindot_q6
+FROM e
+"""
+
+
+# ---------------------------------------------------- win_frame_range_time
+
+def win_frame_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval RANGE frame: per order priority, the exact
+    decimal sum and count of orders whose o_orderdate falls in the
+    trailing 7 days of each row — value-based time frames, not row
+    counts (peers with the same date share one frame in both engines).
+
+    Declared in SQL because the DataFrame API's rangeBetween is numeric-
+    only; Spark SQL and DuckDB both speak RANGE BETWEEN INTERVAL."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_wfrt")
+    return spark.sql("""
+        SELECT o_orderkey, o_orderpriority,
+               CAST(o_orderdate AS DATE) AS od,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w
+                    AS DOUBLE) AS trailing_sum,
+               CAST(COUNT(*) OVER w AS BIGINT) AS trailing_n
+        FROM orders_wfrt
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY CAST(o_orderdate AS DATE)
+                     RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                           AND CURRENT ROW)
+    """).withColumn("od", F.date_format("od", "yyyy-MM-dd"))
+
+
+WIN_FRAME_RANGE_TIME_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS od,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+           AS trailing_sum,
+       CAST(COUNT(*) OVER w AS BIGINT) AS trailing_n
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY CAST(o_orderdate AS DATE)
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------- llm_span_corruption
+
+SPAN_PERIOD = 10  # every 10 tokens...
+SPAN_LEN = 3  # ...the last 3 become one masked span
+
+
+def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption: deterministic spans (the last SPAN_LEN
+    tokens of every SPAN_PERIOD-token block) are replaced by one
+    <extra_id_N> sentinel in the corrupted text; the targets string
+    carries sentinel-prefixed original spans — the (input, target) pair a
+    denoising pretrain objective consumes.
+
+    Deterministic by construction (position arithmetic, no RNG — the
+    fixture can't move under it). One explode + one grouped re-assembly
+    per side, order pinned by token position."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    in_span = (F.col("pos") % SPAN_PERIOD) >= (SPAN_PERIOD - SPAN_LEN)
+    span_start = (F.col("pos") % SPAN_PERIOD) == (SPAN_PERIOD - SPAN_LEN)
+    span_id = F.floor(F.col("pos") / SPAN_PERIOD).cast("int")
+    sentinel = F.concat(F.lit("<extra_id_"), span_id, F.lit(">"))
+    corrupted_tok = F.when(span_start, sentinel).when(
+        in_span, F.lit(None)
+    ).otherwise(F.col("tok"))
+    target_tok = F.when(
+        span_start, F.concat(sentinel, F.lit(" "), F.col("tok"))
+    ).when(in_span, F.col("tok"))
+    parts = toks.select(
+        "doc_id",
+        "pos",
+        corrupted_tok.alias("ctok"),
+        target_tok.alias("ttok"),
+    )
+    assemble = lambda col: F.array_join(  # noqa: E731
+        F.expr(
+            f"transform(array_sort(collect_list(struct(pos, {col}))),"
+            f" s -> s.{col})"
+        ),
+        " ",
+    )
+    return parts.groupBy("doc_id").agg(
+        assemble("ctok").alias("corrupted"),
+        assemble("ttok").alias("targets"),
+    )
+
+
+LLM_SPAN_CORRUPTION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, i.i - 1 AS pos, tk[i.i] AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        FROM documents WHERE text IS NOT NULL) d
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) i
+), parts AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos % {SPAN_PERIOD} = {SPAN_PERIOD - SPAN_LEN}
+              THEN '<extra_id_' || CAST(pos // {SPAN_PERIOD} AS INT) || '>'
+              WHEN pos % {SPAN_PERIOD} >= {SPAN_PERIOD - SPAN_LEN}
+              THEN NULL
+              ELSE tok END AS ctok,
+         CASE WHEN pos % {SPAN_PERIOD} = {SPAN_PERIOD - SPAN_LEN}
+              THEN '<extra_id_' || CAST(pos // {SPAN_PERIOD} AS INT) || '> '
+                   || tok
+              WHEN pos % {SPAN_PERIOD} >= {SPAN_PERIOD - SPAN_LEN}
+              THEN tok END AS ttok
+  FROM toks
+)
+SELECT doc_id,
+       COALESCE(string_agg(ctok, ' ' ORDER BY pos), '') AS corrupted,
+       COALESCE(string_agg(ttok, ' ' ORDER BY pos), '') AS targets
+FROM parts
+GROUP BY doc_id
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "fn_higher_order": Query(
+        fn_higher_order, FN_HIGHER_ORDER_SQL,
+        "transform/filter/exists/forall/aggregate/zip_with lambdas"),
+    "win_frame_range_time": Query(
+        win_frame_range_time, WIN_FRAME_RANGE_TIME_SQL,
+        "calendar-interval RANGE window frame"),
+    "llm_span_corruption": Query(
+        llm_span_corruption, LLM_SPAN_CORRUPTION_SQL,
+        "T5-style deterministic span corruption (input/target pairs)"),
+}
