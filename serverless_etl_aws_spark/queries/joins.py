@@ -266,6 +266,56 @@ ASOF LEFT JOIN (
 """
 
 
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness tolerance: a match older than 30
+    minutes is treated as no match — the variant feature-store lookups
+    and sensor alignment actually need (a reading from last week is not
+    a valid "latest value"). Same one-shuffle union+window plan as
+    join_asof; the tolerance is a post-match filter, not a plan change.
+    Comparison is at microsecond precision (unix_micros) to match the
+    oracle's full-resolution timestamp arithmetic."""
+    ev = t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+        .withColumn("pts", F.col("ts"))
+    )
+    out = asof_join(
+        left=ev.select("event_id", "user_id", "ts"),
+        right=purchases.select("user_id", "ts", "purchase_id", "pts"),
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_cols=["purchase_id", "pts"],
+        prefix="m_",
+    )
+    fresh = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("m_pts"))
+    ) <= 30 * 60 * 1_000_000
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.when(fresh, F.col("m_purchase_id")).alias("matched_purchase_id"),
+    )
+
+
+JOIN_ASOF_TOLERANCE_SQL = """
+SELECT e.event_id, e.user_id,
+       strftime(CAST(e.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       CASE WHEN CAST(e.ts AS TIMESTAMP) - p.ts <= INTERVAL 30 MINUTE
+            THEN p.purchase_id END AS matched_purchase_id
+FROM events e
+ASOF LEFT JOIN (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+           MAX(event_id) AS purchase_id
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, CAST(ts AS TIMESTAMP)
+) p ON e.user_id = p.user_id AND CAST(e.ts AS TIMESTAMP) >= p.ts
+"""
+
+
 QUERIES: dict[str, Query] = {
     "join_inner": Query(join_inner, JOIN_INNER_SQL, "equi inner join"),
     "join_broadcast": Query(join_broadcast, JOIN_BROADCAST_SQL, "broadcast dim join"),
@@ -275,4 +325,7 @@ QUERIES: dict[str, Query] = {
     "join_anti": Query(join_anti, JOIN_ANTI_SQL, "left anti / NOT EXISTS"),
     "join_range": Query(join_range, JOIN_RANGE_SQL, "bucketed range join"),
     "join_asof": Query(join_asof, JOIN_ASOF_SQL, "as-of join (union+window)"),
+    "join_asof_tolerance": Query(
+        join_asof_tolerance, JOIN_ASOF_TOLERANCE_SQL,
+        "as-of join with 30-min max-staleness tolerance"),
 }
