@@ -10,7 +10,7 @@ operators/simsearch.py::SQL_COSINE relies on.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import Query
@@ -190,3 +190,165 @@ QUERIES: dict[str, Query] = {
         llm_span_corruption, LLM_SPAN_CORRUPTION_SQL,
         "T5-style deterministic span corruption (input/target pairs)"),
 }
+
+
+# -------------------------------------------------------- llm_bpe_train
+
+BPE_ITERS = 3
+
+
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training, 3 exact iterations: count adjacent
+    token pairs, pick the most frequent (deterministic (count DESC, a, b)
+    tie-break), apply leftmost-greedy non-overlapping merges, repeat —
+    the tokenizer-training loop, run on the cluster instead of a single
+    machine (the same exact-iteration recipe as ml_kmeans: the oracle
+    unrolls identical iterations as SQL CTEs).
+
+    Leftmost-greedy marking is window-parallel, not sequential: overlaps
+    are only possible when a == b (runs of the same symbol), and within a
+    run of consecutive pair-hits the merges land at even offsets — so
+    islands of consecutive hits + an even-offset test reproduce the
+    sequential scan exactly. Per iteration: one doc-partition window
+    pass, one (a,b) count shuffle, one bounded O(1) driver collect (the
+    argmax pair — same justification as the IVF training sample), and a
+    localCheckpoint to truncate lineage. Output: per-iteration learned
+    pair, its (overlap-counted) frequency, applied merge count, and
+    corpus tokens remaining."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    seq = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).localCheckpoint(eager=False)
+
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    w_run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rows = []
+    for it in range(1, BPE_ITERS + 1):
+        paired = seq.withColumn("nxt", F.lead("tok").over(w_doc))
+        top = (
+            paired.filter(F.col("nxt").isNotNull())
+            .groupBy("tok", "nxt")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), "tok", "nxt")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0]["tok"], top[0]["nxt"], top[0]["c"]
+        ip = (F.col("tok") == F.lit(a)) & (F.col("nxt") == F.lit(b))
+        marked = (
+            paired.withColumn("ip", ip)
+            .withColumn(
+                "grp",
+                F.col("pos")
+                - F.sum(F.col("ip").cast("int")).over(w_run),
+            )
+        )
+        w_isl = Window.partitionBy("doc_id", "grp").orderBy("pos").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        marked = marked.withColumn(
+            "ms",
+            F.col("ip")
+            & (((F.sum(F.col("ip").cast("int")).over(w_isl)) - 1) % 2 == 0),
+        ).localCheckpoint(eager=False)
+        n_merges = marked.agg(
+            F.sum(F.col("ms").cast("long")).alias("m")
+        ).collect()[0]["m"] or 0
+        rebuilt = (
+            marked.withColumn(
+                "pm", F.lag("ms").over(w_doc)
+            )
+            .filter(~F.coalesce(F.col("pm"), F.lit(False)))
+            .select(
+                "doc_id",
+                (F.row_number().over(w_doc) - 1).alias("pos"),
+                F.when(
+                    F.col("ms"), F.concat("tok", F.lit(" "), "nxt")
+                ).otherwise(F.col("tok")).alias("tok"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        tokens_after = rebuilt.count()
+        rows.append((it, a, b, int(c), int(n_merges), int(tokens_after)))
+        seq = rebuilt
+
+    return spark.createDataFrame(
+        rows,
+        "it int, pair_a string, pair_b string, pair_count long,"
+        " merges long, tokens_after long",
+    )
+
+
+def _bpe_iter_sql(i: int) -> str:
+    """One unrolled BPE iteration over sequence CTE s{i-1} → s{i}:
+    pair counts → deterministic argmax → island/even-offset greedy
+    marking → rebuild. Mirrors llm_bpe_train's loop body exactly."""
+    p = i - 1
+    return f"""
+w{i} AS (
+  SELECT doc_id, pos, tok,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM s{p}
+), t{i} AS (
+  SELECT tok AS a, nxt AS b, COUNT(*) AS c
+  FROM w{i} WHERE nxt IS NOT NULL
+  GROUP BY tok, nxt
+  ORDER BY c DESC, a, b
+  LIMIT 1
+), m{i} AS (
+  SELECT w.doc_id, w.pos, w.tok, w.nxt, t.a, t.b, t.c,
+         (w.tok = t.a AND w.nxt = t.b) AS ip
+  FROM w{i} w CROSS JOIN t{i} t
+), g{i} AS (
+  SELECT *,
+         pos - SUM(CASE WHEN ip THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS grp
+  FROM m{i}
+), k{i} AS (
+  SELECT *,
+         ip AND ((SUM(CASE WHEN ip THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id, grp ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) - 1) % 2 = 0) AS ms
+  FROM g{i}
+), l{i} AS (
+  SELECT *, lag(ms) OVER (PARTITION BY doc_id ORDER BY pos) AS pm
+  FROM k{i}
+), s{i} AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+         CASE WHEN ms THEN tok || ' ' || nxt ELSE tok END AS tok
+  FROM l{i} WHERE NOT COALESCE(pm, FALSE)
+), r{i} AS (
+  SELECT {i} AS it,
+         (SELECT a FROM t{i}) AS pair_a,
+         (SELECT b FROM t{i}) AS pair_b,
+         (SELECT CAST(c AS BIGINT) FROM t{i}) AS pair_count,
+         (SELECT CAST(COUNT(CASE WHEN ms THEN 1 END) AS BIGINT)
+          FROM k{i}) AS merges,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s{i}) AS tokens_after
+)"""
+
+
+LLM_BPE_TRAIN_SQL = (
+    """
+WITH s0 AS (
+  SELECT doc_id, i.i - 1 AS pos, tk[i.i] AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        FROM documents WHERE text IS NOT NULL) d
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) i
+)"""
+    + "".join("," + _bpe_iter_sql(i) for i in range(1, BPE_ITERS + 1))
+    + """
+SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+"""
+)
+
+
+QUERIES["llm_bpe_train"] = Query(
+    llm_bpe_train, LLM_BPE_TRAIN_SQL,
+    "3 exact distributed BPE merge iterations (unrolled SQL oracle)")
