@@ -186,7 +186,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 GRAPH_TRIANGLES_SQL = """
-WITH e0 AS (
+WITH e0 AS MATERIALIZED (
   SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
          greatest(c.c_nationkey, s.s_nationkey) AS b
   FROM lineitem l

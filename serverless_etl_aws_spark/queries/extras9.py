@@ -289,11 +289,11 @@ def _bpe_iter_sql(i: int) -> str:
     marking → rebuild. Mirrors llm_bpe_train's loop body exactly."""
     p = i - 1
     return f"""
-w{i} AS (
+w{i} AS MATERIALIZED (
   SELECT doc_id, pos, tok,
          lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
   FROM s{p}
-), t{i} AS (
+), t{i} AS MATERIALIZED (
   SELECT tok AS a, nxt AS b, COUNT(*) AS c
   FROM w{i} WHERE nxt IS NOT NULL
   GROUP BY tok, nxt
@@ -309,7 +309,7 @@ w{i} AS (
                    OVER (PARTITION BY doc_id ORDER BY pos
                          ROWS UNBOUNDED PRECEDING) AS grp
   FROM m{i}
-), k{i} AS (
+), k{i} AS MATERIALIZED (
   SELECT *,
          ip AND ((SUM(CASE WHEN ip THEN 1 ELSE 0 END)
                       OVER (PARTITION BY doc_id, grp ORDER BY pos
@@ -318,7 +318,7 @@ w{i} AS (
 ), l{i} AS (
   SELECT *, lag(ms) OVER (PARTITION BY doc_id ORDER BY pos) AS pm
   FROM k{i}
-), s{i} AS (
+), s{i} AS MATERIALIZED (
   SELECT doc_id,
          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
          CASE WHEN ms THEN tok || ' ' || nxt ELSE tok END AS tok
