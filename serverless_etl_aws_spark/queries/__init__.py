@@ -49,9 +49,11 @@ CONTRACT_2B: tuple[str, ...] = (
 # pipeline + multimodal). The driver's correctness audit covers the first
 # 50 registry keys only, so slots 48-50 (the first three entries here) are
 # the sole driver-audit slots for extensions — rotate them each round to
-# convert locally-verified keys into hard driver signal. Round 3 audited
-# llm_dedup_ngram / llm_dedup_cluster / llm_dedup_simhash (all green);
-# round 4 rotates in the next three graded keys.
+# convert locally-verified keys into hard driver signal. Audit history:
+# round 3: llm_dedup_ngram / llm_dedup_cluster / llm_dedup_simhash (green);
+# round 4: llm_dedup_embedding / llm_decontaminate / llm_knn_join.
+# Round 5 should rotate in llm_fingerprint / llm_lang_id /
+# llm_quality_score (next unaudited graded text-analysis keys).
 PRIORITY_EXT: tuple[str, ...] = (
     "llm_dedup_embedding", "llm_decontaminate", "llm_knn_join",
     "llm_dedup_ngram", "llm_dedup_cluster", "llm_dedup_simhash",
