@@ -225,6 +225,11 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     rows = []
+    # each applied merge removes exactly one token, so the per-iteration
+    # corpus size is prev - merges — no count() action on the rebuilt
+    # sequence needed (the oracle still COUNTs its rebuilt CTE, so a
+    # rebuild defect would still hash-mismatch)
+    n_tokens = seq.count()
     for it in range(1, BPE_ITERS + 1):
         paired = seq.withColumn("nxt", F.lead("tok").over(w_doc))
         top = (
@@ -272,8 +277,8 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-        tokens_after = rebuilt.count()
-        rows.append((it, a, b, int(c), int(n_merges), int(tokens_after)))
+        n_tokens -= int(n_merges)
+        rows.append((it, a, b, int(c), int(n_merges), int(n_tokens)))
         seq = rebuilt
 
     return spark.createDataFrame(
