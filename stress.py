@@ -107,6 +107,10 @@ SF1_KEYS = [
     # fingerprints, interval-overlap join, multiset intersect, OLS
     "graph_triangles", "llm_winnow_fingerprint", "join_interval_overlap",
     "set_intersect_all", "ml_linreg",
+    # round-4 sixth wave: BPE training, span corruption, hard negatives,
+    # tolerance as-of, rolling z-score, interval RANGE frames
+    "llm_bpe_train", "llm_span_corruption", "llm_hard_negatives",
+    "join_asof_tolerance", "ts_rolling_zscore", "win_frame_range_time",
 ]
 
 
