@@ -80,6 +80,7 @@ def build_registry() -> dict[str, Query]:
         extras7,
         extras8,
         extras9,
+        extras10,
         joins,
         llm,
         pipeline_ops,
@@ -111,6 +112,7 @@ def build_registry() -> dict[str, Query]:
         extras7,
         extras8,
         extras9,
+        extras10,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:
