@@ -111,6 +111,8 @@ SF1_KEYS = [
     # tolerance as-of, rolling z-score, interval RANGE frames
     "llm_bpe_train", "llm_span_corruption", "llm_hard_negatives",
     "join_asof_tolerance", "ts_rolling_zscore", "win_frame_range_time",
+    # round-4 seventh wave
+    "graph_label_propagation", "dim_snapshot_diff", "agg_multi_distinct",
 ]
 
 
