@@ -466,11 +466,17 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`spark.write.text`), read them back with the text source, and
     re-aggregate — the whole-line ingestion path raw web-corpus shards
     arrive through before any schema exists. NULL lines are excluded on
-    write (the text sink cannot represent NULL) and the oracle mirrors
-    that filter."""
+    write (the text sink cannot represent NULL), and so are values
+    containing line separators — a name with an embedded newline would
+    silently round-trip as two records; the oracle mirrors both
+    filters."""
     out = fresh_dir(os.path.join(SCRATCH, "scan_text"))
     cust = t(spark, sf_dir, "customer")
-    cust.filter(F.col("c_name").isNotNull()).select(
+    cust.filter(
+        F.col("c_name").isNotNull()
+        & ~F.col("c_name").contains("\n")
+        & ~F.col("c_name").contains("\r")
+    ).select(
         F.col("c_name").alias("value")
     ).write.mode("overwrite").text(out)
     back = spark.read.text(out)
@@ -491,6 +497,8 @@ SELECT COUNT(*) AS n_lines,
        CAST(SUM(length(c_name)) AS BIGINT) AS total_chars
 FROM customer
 WHERE c_name IS NOT NULL
+  AND position(chr(10) IN c_name) = 0
+  AND position(chr(13) IN c_name) = 0
 """
 
 
