@@ -261,7 +261,42 @@ ORDER BY l_returnflag
 """
 
 
+def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic beyond fn_date's basics: month-end-clamping
+    add_months (both engines clamp Jan 31 + 1mo to Feb end), last_day,
+    quarter, ISO weekday (Spark's 1=Sunday dayofweek is normalized to
+    ISO 1=Monday to match DuckDB's isodow), and ISO week-of-year
+    (year-boundary weeks 52/53/1 agree because both implement ISO
+    8601)."""
+    orders = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3mo"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.quarter(d).cast("int").alias("q"),
+        (((F.dayofweek(d) + 5) % 7) + 1).cast("int").alias("iso_dow"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+    )
+
+
+FN_DATE_ARITH_SQL = """
+SELECT o_orderkey,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d')
+           AS plus_3mo,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+           AS month_end,
+       CAST(quarter(o_orderdate) AS INT) AS q,
+       CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+       CAST(weekofyear(o_orderdate) AS INT) AS iso_week
+FROM orders
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "fn_date_arith": Query(
+        fn_date_arith, FN_DATE_ARITH_SQL,
+        "add_months/last_day/quarter/ISO dow/ISO week"),
     "graph_label_propagation": Query(
         graph_label_propagation, GRAPH_LPA_SQL,
         "weighted label propagation, integer-exact 3 iterations"),
