@@ -140,3 +140,29 @@ def scratch_root() -> str:
         )
         base = os.path.join(repo, ".scratch")
     return os.path.join(base, f"pid{os.getpid()}")
+
+
+def nation_trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One (customer-nation, supplier-nation) row per lineitem — the
+    shared fact-join reduction behind the graph keys (graph_pagerank /
+    graph_triangles / graph_label_propagation). The 100 TB point all
+    three make: dimensions broadcast, and the fact table collapses to a
+    tiny pair stream BEFORE any graph work touches it. Callers
+    aggregate the raw pairs into their own edge form (weighted /
+    canonical-undirected / symmetrized)."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("c_nationkey", "s_nationkey")
+    )

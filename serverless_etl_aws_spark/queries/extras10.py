@@ -10,7 +10,7 @@ equality needs no quantization at all.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import Query
@@ -20,18 +20,13 @@ LPA_ITERS = 3
 
 
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected weighted nation trade graph (same fact-join reduction
-    as graph_pagerank/graph_triangles), emitted in both directions."""
-    li = t(spark, sf_dir, "lineitem")
-    orders = t(spark, sf_dir, "orders")
-    cust = t(spark, sf_dir, "customer")
-    supp = t(spark, sf_dir, "supplier")
+    """Undirected weighted nation trade graph (the shared
+    ``nation_trade_pairs`` fact-join reduction), emitted in both
+    directions."""
+    from ._util import nation_trade_pairs
+
     directed = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
-              F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
-              F.col("l_suppkey") == F.col("s_suppkey"))
+        nation_trade_pairs(spark, sf_dir)
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .groupBy(
             F.col("c_nationkey").alias("src"),

@@ -35,19 +35,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see its docstring); the oracle unrolls the same three iterations as
     SQL CTEs."""
     from ..operators.graph import pagerank
+    from ._util import nation_trade_pairs
 
-    cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
-    supp = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation")
-
     edges = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
-              F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
-              F.col("l_suppkey") == F.col("s_suppkey"))
+        nation_trade_pairs(spark, sf_dir)
         .groupBy(
             F.col("c_nationkey").alias("src"),
             F.col("s_nationkey").alias("dst"),

@@ -153,17 +153,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation that enumerates each triangle exactly once. The edge
     list is localCheckpointed so the 4-way fact join runs once, not
     three times."""
-    li = t(spark, sf_dir, "lineitem")
-    orders = t(spark, sf_dir, "orders")
-    cust = t(spark, sf_dir, "customer")
-    supp = t(spark, sf_dir, "supplier")
+    from ._util import nation_trade_pairs
 
     pairs = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
-              F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
-              F.col("l_suppkey") == F.col("s_suppkey"))
+        nation_trade_pairs(spark, sf_dir)
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .select(
             F.least("c_nationkey", "s_nationkey").alias("a"),
@@ -326,8 +319,9 @@ def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         grams.withColumn("n", F.count(F.lit(1)).over(w_cnt))
         .withColumn("wmin", F.min("h").over(w_win))
-        # only full windows: a window starting at pos fits iff
-        # pos <= n - (W - 1) (pos is 0-based from posexplode)
+        # only full windows: with 0-based pos over n grams, a window
+        # starting at pos spans [pos, pos + W - 1] and fits iff
+        # pos <= n - W
         .filter(F.col("pos") <= F.col("n") - WINNOW_W)
         .select("doc_id", F.col("wmin").alias("fp"))
         .distinct()

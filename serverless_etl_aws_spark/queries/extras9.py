@@ -348,8 +348,14 @@ WITH s0 AS (
   CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) i
 )"""
     + "".join("," + _bpe_iter_sql(i) for i in range(1, BPE_ITERS + 1))
+    # pair_a IS NULL marks an iteration whose pair vocabulary was empty
+    # (t{i} returned no row) — the Spark loop BREAKs there, so the
+    # oracle must drop those rows too or a degenerate corpus (all docs
+    # single-token) emits 3 oracle rows vs Spark's fewer
     + """
-SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+SELECT * FROM r1 WHERE pair_a IS NOT NULL
+UNION ALL SELECT * FROM r2 WHERE pair_a IS NOT NULL
+UNION ALL SELECT * FROM r3 WHERE pair_a IS NOT NULL
 """
 )
 

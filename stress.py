@@ -213,6 +213,12 @@ def run_sf1(spark, only: list[str] | None = None) -> None:
     ``only`` (extra argv after ``sf1``) restricts to a key subset so a
     new wave can be measured without re-timing the recorded history."""
     registry = build_registry()
+    if only:
+        unknown = sorted(set(only) - set(SF1_KEYS))
+        if unknown:
+            raise SystemExit(
+                f"not in SF1_KEYS (add them there first): {unknown}"
+            )
     sf1 = build_sf1()
     keys = [k for k in SF1_KEYS if not only or k in only]
 
