@@ -107,3 +107,31 @@ def test_bpe_parallel_merge_equals_sequential_on_runs(docs, bpe_spark):
         e9.t = orig_t
     expected, _ = sequential_bpe([list(d) for d in docs], BPE_ITERS)
     assert got == expected
+
+
+def test_bpe_pair_exhaustion_matches_oracle(spark):
+    """Degenerate corpus whose pair vocabulary exhausts before BPE_ITERS:
+    the Spark loop breaks, and the oracle must drop the empty iterations
+    too (a review caught 1 Spark row vs 3 oracle rows here)."""
+    import duckdb
+
+    import serverless_etl_aws_spark.queries.extras9 as e9
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    orig = e9.t
+    try:
+        e9.t = lambda s, sf, name: df
+        got = [
+            (r.it, r.pair_a, r.pair_b, r.pair_count, r.merges,
+             r.tokens_after)
+            for r in e9.llm_bpe_train(spark, "ignored").collect()
+        ]
+    finally:
+        e9.t = orig
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT 1::BIGINT AS doc_id, 'a b' AS text"
+    )
+    oracle = con.execute(e9.LLM_BPE_TRAIN_SQL).fetchall()
+    assert got == [(1, "a", "b", 1, 1, 1)]
+    assert [tuple(r) for r in oracle] == got
