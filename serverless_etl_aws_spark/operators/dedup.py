@@ -287,7 +287,15 @@ def embedding_cosine_pairs(
         )
         .withColumn(
             "cosine",
-            quant6(_dot("va", "vb") / (F.col("__na") * F.col("__nb"))),
+            # try_divide: a zero-norm vector pair scores NULL instead of
+            # throwing under ANSI Spark; NULL >= threshold is false on
+            # both engines, so the pair just drops (oracle's x/0 = NULL
+            # in DuckDB behaves identically)
+            quant6(
+                F.try_divide(
+                    _dot("va", "vb"), F.col("__na") * F.col("__nb")
+                )
+            ),
         )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", block_col, "cosine")

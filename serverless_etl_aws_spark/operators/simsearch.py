@@ -37,10 +37,14 @@ def _to_double(col: str) -> F.Column:
 
 
 def cosine_expr(a: str, b: str) -> F.Column:
+    """NULL on a zero-norm operand (try_divide): ANSI Spark would throw
+    DIVIDE_BY_ZERO on an all-zero embedding while DuckDB's x/0 yields
+    NULL — try_divide matches the oracle, and every consumer filters or
+    thresholds NULL cosines identically on both sides."""
     dot = _dot(a, b)
     na = F.sqrt(_dot(a, a))
     nb = F.sqrt(_dot(b, b))
-    return dot / (na * nb)
+    return F.try_divide(dot, na * nb)
 
 
 def quant6(col: F.Column) -> F.Column:
@@ -83,6 +87,10 @@ def brute_force_topk(
             "vec_id",
             quant6(cosine_expr("v", "pv")).alias("cosine"),
         )
+        # zero-norm vectors score NULL (cosine_expr) — drop them HERE,
+        # mirrored by the oracle's IS NOT NULL wrapper, instead of
+        # trusting both engines' null-ordering defaults to agree
+        .filter(F.col("cosine").isNotNull())
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 

@@ -50,18 +50,42 @@ def trigrams(col: str = "text") -> Column:
 #: hash-mismatch. One literal class, same bytes, any engine.
 WS_CLASS = r"[ \t\n\r\f\x0B]"
 
+#: ASCII-only lowercasing, pinned on both engines. ``lower()`` is NOT
+#: portable: Spark applies Java's full case mapping (lower('İ') =
+#: 'i̇', two codepoints; word-final 'Σ' → 'ς') while DuckDB applies
+#: utf8proc's simple mapping (lower('İ') = 'i') — any lower()-derived
+#: hash, token count, or membership test diverges on such characters.
+#: ``translate`` is per-codepoint in both engines and leaves non-ASCII
+#: untouched, which is exactly the normalization an ASCII marker/
+#: stopword comparison needs.
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(c: Column) -> Column:
+    return F.translate(c, _ASCII_UPPER, _ASCII_LOWER)
+
+
+def sql_ascii_lower(expr: str) -> str:
+    return f"translate({expr}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+
 
 def fingerprint(col: str = "text") -> Column:
     """Deterministic document fingerprint: md5 of the normalized text
-    (lower + trim + collapse whitespace). Same bytes → same hash in any
-    engine, which is what makes this the exact-dedup key at scale."""
+    (ASCII-lower + trim + collapse whitespace). Same bytes → same hash in
+    any engine, which is what makes this the exact-dedup key at scale.
+    ASCII-only lowering on purpose: full-Unicode lower() differs between
+    engines (see ascii_lower) and a locale-sensitive fingerprint is the
+    wrong dedup key anyway."""
     return F.md5(
-        F.lower(F.trim(F.regexp_replace(F.col(col), WS_CLASS + "+", " ")))
+        ascii_lower(F.trim(F.regexp_replace(F.col(col), WS_CLASS + "+", " ")))
     )
 
 
 SQL_FINGERPRINT = (
-    r"md5(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))))"
+    r"md5(" + sql_ascii_lower(
+        r"trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))"
+    ) + r")"
 )
 
 
@@ -79,10 +103,28 @@ LANG_ORDER = ["en", "es", "de", "fr", "zh"]  # tie-break priority
 
 
 def lang_score(lang: str, col: str = "text") -> Column:
-    pat = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
-    return F.regexp_count(F.lower(F.col(col)), F.lit(pat))
+    """Marker hits counted by token equality, NOT a ``\\b`` regex:
+    Java's ``\\b`` is Unicode-aware while RE2's is ASCII-only, so a
+    marker abutting a non-ASCII letter ('the' in 'theé') is a hit for
+    DuckDB and none for Spark — the same divergence class
+    llm_quality_score's stopword counting already dodges. Split-token
+    membership over ASCII-lowered text is identical on both engines
+    under any content."""
+    markers = LANG_MARKERS[lang]
+    return F.size(
+        F.filter(
+            F.split(ascii_lower(F.col(col)), " "),
+            lambda tok: tok.isin(*markers),
+        )
+    )
 
 
 def sql_lang_score(lang: str) -> str:
-    pat = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
-    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+    in_list = ",".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        "len(list_filter(string_split("
+        + sql_ascii_lower("text")
+        + ", ' '), t -> t IN ("
+        + in_list
+        + ")))"
+    )

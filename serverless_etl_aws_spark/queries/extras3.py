@@ -62,6 +62,9 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             quant6(cosine_expr("v", "pv")).alias("cosine"),
         )
+        # zero-norm vectors score NULL; drop before the partial top-k
+        # (a NULL-first struct sort would otherwise rank them best)
+        .filter(F.col("cosine").isNotNull())
     )
     from ..operators.simsearch import two_stage_topk
 
@@ -81,7 +84,7 @@ WITH e AS (
     SELECT pid, vec_id, cosine,
            row_number() OVER (PARTITION BY pid
                               ORDER BY cosine DESC, vec_id) AS rn
-    FROM cand
+    FROM cand WHERE cosine IS NOT NULL
 )
 SELECT pid, vec_id, cosine FROM ranked WHERE rn <= {KNN_K}
 """

@@ -54,8 +54,18 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
     sd, sdd = F.col("sd"), F.col("sdd")
-    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-    var_disc = (n * sdd - sd * sd) / (n * n)
+    # Degenerate-group guards (found by an adversarial review):
+    # - a constant-x or constant-y group makes the variance product 0
+    #   exactly — ANSI Spark throws DIVIDE_BY_ZERO on x/0 while DuckDB
+    #   returns NULL, so divide through try_divide/NULLIF on both sides;
+    # - last-ulp cancellation can leave the product (or var) slightly
+    #   NEGATIVE — DuckDB's sqrt(<0) hard-errors while Spark yields NaN,
+    #   so clamp at 0 first (the ts_rolling_zscore fix pattern).
+    corr_den = F.sqrt(
+        F.greatest((n * sxx - sx * sx) * (n * syy - sy * sy), F.lit(0.0))
+    )
+    corr = F.try_divide(n * sxy - sx * sy, F.nullif(corr_den, F.lit(0.0)))
+    var_disc = F.greatest((n * sdd - sd * sd) / (n * n), F.lit(0.0))
     return partials.select(
         "l_returnflag",
         n.cast("long").alias("n_rows"),
@@ -80,10 +90,11 @@ WITH partials AS (
 SELECT l_returnflag,
        CAST(n AS BIGINT) AS n_rows,
        floor((n * sxy - sx * sy)
-             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+             / NULLIF(sqrt(greatest((n * sxx - sx * sx) * (n * syy - sy * sy),
+                                    0.0)), 0.0)
              * 1000000.0) / 1000000.0 AS corr_qty_price,
-       floor(sqrt((n * sdd - sd * sd) / (n * n)) * 1000000.0) / 1000000.0
-         AS stddev_pop_discount
+       floor(sqrt(greatest((n * sdd - sd * sd) / (n * n), 0.0))
+             * 1000000.0) / 1000000.0 AS stddev_pop_discount
 FROM partials
 ORDER BY l_returnflag
 """

@@ -278,6 +278,8 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(probes))
         .filter(F.col("label") != F.col("plabel"))
         .select("pid", "vec_id", quant6(cosine_expr("v", "pv")).alias("cosine"))
+        # zero-norm vectors score NULL; drop before the partial top-k
+        .filter(F.col("cosine").isNotNull())
     )
     return two_stage_topk(scored, "pid", HN_K)
 
@@ -299,7 +301,7 @@ WITH e AS (
     SELECT pid, vec_id, cosine,
            row_number() OVER (PARTITION BY pid
                               ORDER BY cosine DESC, vec_id) AS rn
-    FROM cand
+    FROM cand WHERE cosine IS NOT NULL
 )
 SELECT pid, vec_id, cosine FROM ranked WHERE rn <= {HN_K}
 """

@@ -20,6 +20,7 @@ from ..operators.text import (
     LANG_ORDER,
     SQL_FINGERPRINT,
     fingerprint,
+    ascii_lower,
     lang_score,
     sql_lang_score,
 )
@@ -185,7 +186,7 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on both engines under any content.
     stop = F.size(
         F.filter(
-            F.split(F.lower(F.col("text")), " "),
+            F.split(ascii_lower(F.col("text")), " "),
             lambda tok: tok.isin("the", "a", "and", "of", "to"),
         )
     ).cast("double")
@@ -208,17 +209,15 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit-identical across engines (same IEEE expression), and floor of
     # identical doubles is identical — ROUND(double) is not (Spark rounds
     # the shortest decimal repr, DuckDB the binary value; diverges at
-    # half boundaries, observed at sf0.1).
-    def q4(col):
-        return F.floor(col * 10000.0) / 10000.0
-
+    # half boundaries, observed at sf0.1). fquant is the shared single
+    # source of that floor-quantization discipline.
     return docs.select(
         "doc_id",
         n_tok.cast("bigint").alias("n_tokens"),
-        q4(mean_tok_len).alias("mean_token_len"),
-        q4(stop_ratio).alias("stopword_ratio"),
-        q4(nonalpha_ratio).alias("nonalpha_ratio"),
-        q4(score).alias("quality_score"),
+        fquant(mean_tok_len, 4).alias("mean_token_len"),
+        fquant(stop_ratio, 4).alias("stopword_ratio"),
+        fquant(nonalpha_ratio, 4).alias("nonalpha_ratio"),
+        fquant(score, 4).alias("quality_score"),
     )
 
 
@@ -227,7 +226,7 @@ WITH m AS (
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
            CAST(length(text) AS DOUBLE) AS n_chars,
-           CAST(len(list_filter(string_split(lower(text), ' '),
+           CAST(len(list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '),
                                t -> t IN ('the','a','and','of','to')))
                 AS DOUBLE) AS stop,
            CAST(len(regexp_extract_all(text, '[^A-Za-z \t\n\r\f\x0B]')) AS DOUBLE)
@@ -257,7 +256,8 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("ws_tokens"),
         F.regexp_count(
-            F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f\x0B]")
+            ascii_lower(F.col("text")),
+            F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f\x0B]"),
         ).cast("bigint").alias("bpe_ish_tokens"),
         F.length("text").cast("bigint").alias("n_chars_measured"),
     )
@@ -266,7 +266,7 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 LLM_TOKEN_COUNT_SQL = r"""
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f\x0B]'))
+       CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f\x0B]'))
             AS BIGINT) AS bpe_ish_tokens,
        CAST(length(text) AS BIGINT) AS n_chars_measured
 FROM documents
@@ -462,8 +462,16 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, cosine ≥ 0.4, blocked by label
     with a bounded block cap (SemDeDup-style: oversized label blocks are
     KMeans-sub-clustered so within-block all-pairs stays linear overall).
-    Fixture blocks are all under the cap, so the result equals the exact
-    all-pairs-within-label set the oracle computes."""
+
+    The cap here is set ABOVE any possible fixture block (the embeddings
+    table is 500 rows total at every sf, so even a single-label
+    regeneration peaks at 500): sub-clustering approximates (it drops
+    pairs straddling sub-clusters), and this key is hash-checked against
+    an exact all-pairs-within-label oracle — a regenerated fixture that
+    silently crossed a 256 cap would flip the key to the approximate
+    path and red the oracle with no code change. The production default
+    (operators/dedup.py, max_block=256) and its sub-clustering recall
+    test are unchanged."""
     from ..operators.dedup import embedding_cosine_pairs
 
     emb = t(spark, sf_dir, "embeddings").select(
@@ -471,7 +479,7 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
     return embedding_cosine_pairs(
-        emb, threshold=0.4, block_col="label", max_block=256
+        emb, threshold=0.4, block_col="label", max_block=4096
     )
 
 
@@ -479,12 +487,16 @@ LLM_DEDUP_EMBEDDING_SQL = f"""
 WITH e AS (
     SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-       floor(({SQL_COSINE.replace('va', 'a.v').replace('vb', 'b.v')})
-             * 1000000.0) / 1000000.0 AS cosine
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE floor(({SQL_COSINE.replace('va', 'a.v').replace('vb', 'b.v')})
-            * 1000000.0) / 1000000.0 >= 0.4
+SELECT vec_a, vec_b, label, cosine FROM (
+    -- cosine computed ONCE in a subquery: DuckDB does not promise CSE
+    -- between projection and filter (the llm_dedup_editdist lesson),
+    -- and the duplicated evaluation was this oracle's dominant cost
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           floor(({SQL_COSINE.replace('va', 'a.v').replace('vb', 'b.v')})
+                 * 1000000.0) / 1000000.0 AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+WHERE cosine >= 0.4
 """
 
 # ------------------------------------------------------------ similarity
@@ -501,12 +513,15 @@ WITH e AS (
 ), probe AS (
     SELECT va AS vb FROM e WHERE vec_id = 0
 )
-SELECT e.vec_id,
-       floor(({SQL_COSINE.replace('va', 'e.va').replace('vb', 'probe.vb')})
-             * 1000000.0) / 1000000.0 AS cosine
-FROM e, probe
-WHERE e.vec_id <> 0
-ORDER BY cosine DESC, e.vec_id
+SELECT vec_id, cosine FROM (
+    SELECT e.vec_id,
+           floor(({SQL_COSINE.replace('va', 'e.va').replace('vb', 'probe.vb')})
+                 * 1000000.0) / 1000000.0 AS cosine
+    FROM e, probe
+    WHERE e.vec_id <> 0
+)
+WHERE cosine IS NOT NULL
+ORDER BY cosine DESC, vec_id
 LIMIT 10
 """
 
@@ -599,7 +614,12 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists."""
     docs = t(spark, sf_dir, "documents")
     email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-    phone = r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
+    # no \b anchors: Java's \b is Unicode-aware while RE2's (DuckDB) is
+    # ASCII-only, so a phone abutting a non-ASCII letter would count as
+    # a boundary for one engine and not the other. The bare pattern
+    # over-matches digit runs embedded in longer numbers, but it does so
+    # IDENTICALLY in both engines — the portable choice for a scrubber.
+    phone = r"\d{3}[-.]\d{3,4}[-.]\d{4}"
     scrubbed = F.regexp_replace(
         F.regexp_replace(F.col("text"), email, "<EMAIL>"),
         phone,
@@ -621,12 +641,12 @@ SELECT doc_id,
                regexp_replace(text,
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
                    '<EMAIL>', 'g'),
-               '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g'))
+               '\d{3}[-.]\d{3,4}[-.]\d{4}', '<PHONE>', 'g'))
            AS scrubbed_fp,
        CAST(len(regexp_extract_all(text,
                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
             + len(regexp_extract_all(text,
-                  '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')) AS BIGINT) AS redactions
+                  '\d{3}[-.]\d{3,4}[-.]\d{4}')) AS BIGINT) AS redactions
 FROM documents
 """
 

@@ -422,7 +422,12 @@ WITH last AS (
   SELECT user_id, event_type, value, ts,
          row_number() OVER (
            PARTITION BY user_id
-           ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+           -- CAST pins version ordering to the µs the Spark stream sees:
+           -- under a TIMESTAMP_NS fixture (the documented events.ts
+           -- drift) raw-ns ordering could version-rank two µs-equal
+           -- changes differently than Spark's (µs, event_id) tiebreak
+           ORDER BY CAST(ts AS TIMESTAMP) DESC NULLS LAST,
+                    event_id DESC NULLS LAST) AS rn
   FROM events
   WHERE event_type IS NOT NULL
 )
@@ -492,8 +497,12 @@ SELECT v.user_id,
 FROM events v
 JOIN events p
   ON v.user_id = p.user_id
- AND p.ts >= v.ts
- AND p.ts <= v.ts + INTERVAL 30 MINUTE
+ -- CAST both sides to µs TIMESTAMP: under a TIMESTAMP_NS fixture the
+ -- raw-ns bound would reject a pair exactly 30min apart at µs that
+ -- carries a sub-µs remainder, while the µs-truncated Spark stream
+ -- accepts it
+ AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+ AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
 WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 """
 

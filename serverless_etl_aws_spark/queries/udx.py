@@ -22,20 +22,26 @@ from . import Query
 from ._util import t
 
 
+_ASCII_LOWER_TABLE = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
+
 @pandas_udf(StringType())
 def normalize_text(s: pd.Series) -> pd.Series:
-    """collapse whitespace + trim + lower (vectorized).
+    """collapse whitespace + trim + ASCII-lower (vectorized).
 
-    The whitespace class is pinned explicitly and the operations run in
-    the oracle's order (collapse → trim spaces → lower): Python's ``\\s``
-    is Unicode-aware (NBSP, ideographic space) while DuckDB's RE2 class is
-    ASCII-only, and ``str.strip()`` strips Unicode whitespace while SQL
-    ``trim`` strips only ' ' — either difference silently diverges the
-    hashes on non-ASCII input."""
+    Every step is pinned to ASCII semantics because each has a Unicode
+    trap: Python's ``\\s`` is Unicode-aware (NBSP, ideographic space)
+    while DuckDB's RE2 class is ASCII-only; ``str.strip()`` strips
+    Unicode whitespace while SQL ``trim`` strips only ' '; and Python's
+    ``str.lower()`` applies full case mapping ('İ' → 'i'+U+0307,
+    final-sigma rule) while DuckDB's utf8proc is simple ('İ' → 'i') —
+    the strengthened unicode sweep caught that last one live."""
     return (
         s.str.replace(r"[ \t\n\r\f\x0B]+", " ", regex=True)
         .str.strip(" ")
-        .str.lower()
+        .str.translate(_ASCII_LOWER_TABLE)
     )
 
 
@@ -48,7 +54,8 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 UDF_SCALAR_SQL = r"""
 SELECT doc_id,
-       lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')))
+       translate(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')),
+                 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')
            AS norm_text
 FROM documents
 """

@@ -122,7 +122,15 @@ def unicode_sf_dir(tmp_path_factory) -> str:
     UTF-16 units vs bytes."""
     dst = str(tmp_path_factory.mktemp("unifix"))
     rng = np.random.default_rng(5)
-    extra = ["héllo", "日本語テキスト", "emoji🙂tok", "ÜBER", "naïve", "ação"]
+    extra = [
+        "héllo", "日本語テキスト", "emoji🙂tok", "ÜBER", "naïve", "ação",
+        # Java-vs-RE2 \b and full-vs-simple lowercase divergence probes
+        # (the round-4 adversarial-review classes): a marker word fused
+        # to a non-ASCII letter, Turkish dotted capital I (Java lower →
+        # 'i'+U+0307, utf8proc → 'i'), word-final Greek sigma (Java
+        # context-maps Σ→ς), and a phone shape abutting non-ASCII.
+        "theé", "İstanbul", "ΟΔΟΣ", "é123-456-7890é",
+    ]
     tbl = pq.read_table(os.path.join(SRC, "documents.parquet"))
     texts = tbl["text"].to_pylist()
     for i in range(len(texts)):
