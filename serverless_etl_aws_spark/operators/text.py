@@ -70,6 +70,17 @@ def sql_ascii_lower(expr: str) -> str:
     return f"translate({expr}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
 
 
+def ascii_upper(c: Column) -> Column:
+    """Engine-portable uppercase (same class as ascii_lower: JVM upper()
+    is full case mapping — one-to-many like ß → 'SS' — while DuckDB's
+    utf8proc is simple and length-preserving)."""
+    return F.translate(c, _ASCII_LOWER, _ASCII_UPPER)
+
+
+def sql_ascii_upper(expr: str) -> str:
+    return f"translate({expr}, '{_ASCII_LOWER}', '{_ASCII_UPPER}')"
+
+
 def fingerprint(col: str = "text") -> Column:
     """Deterministic document fingerprint: md5 of the normalized text
     (ASCII-lower + trim + collapse whitespace). Same bytes → same hash in

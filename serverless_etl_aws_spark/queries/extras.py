@@ -70,26 +70,87 @@ SELECT event_id, user_id, event_type, value FROM events
 """
 
 
-def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
-    ``quantile_cont``: both use the (n-1)·p linear-interpolation
-    definition). The 100 TB path is ``approx_percentile`` (KLL/GK sketch,
-    one pass, bounded memory); the exact form requires a per-group sort."""
-    li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        fquant(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
-        fquant(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
-        fquant(F.expr("percentile(l_discount, 0.25)"), 4).alias("p25_disc"),
+def _pctl(
+    df: DataFrame, group: str, col: str, p: float, alias: str
+) -> DataFrame:
+    """Exact (n-1)·p interpolated percentile with the interpolation
+    EXPRESSION owned by this code, not the engines: Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the definition
+    but their internal lerp operand order is unspecified — a 1-ulp
+    difference at a floor-quantization grid point flips the hash. Here
+    both sides evaluate the identical ``lo + (hi - lo) * frac`` over
+    identical doubles. NULLs are excluded first (matching both engines'
+    aggregate semantics)."""
+    from pyspark.sql.window import Window
+
+    d = df.select(group, col).filter(F.col(col).isNotNull())
+    w = Window.partitionBy(group).orderBy(F.col(col))
+    wn = Window.partitionBy(group)
+    idx = (F.count(F.lit(1)).over(wn) - 1).cast("double") * F.lit(p)
+    ranked = d.select(
+        group,
+        F.col(col).alias("v"),
+        F.row_number().over(w).alias("rn"),
+        idx.alias("idx"),
+    )
+    lo_v = F.max(
+        F.when(F.col("rn") == F.floor("idx") + 1, F.col("v"))
+    )
+    hi_v = F.max(
+        F.when(F.col("rn") == F.floor("idx") + 2, F.col("v"))
+    )
+    frac = F.max(F.col("idx") - F.floor("idx"))
+    return ranked.groupBy(group).agg(
+        fquant(
+            lo_v + (F.coalesce(hi_v, lo_v) - lo_v) * frac, 4
+        ).alias(alias)
     )
 
 
-AGG_PERCENTILE_SQL = """
-SELECT l_returnflag,
-       floor(quantile_cont(l_quantity, 0.5) * 10000.0) / 10000.0 AS median_qty,
-       floor(quantile_cont(l_quantity, 0.9) * 10000.0) / 10000.0 AS p90_qty,
-       floor(quantile_cont(l_discount, 0.25) * 10000.0) / 10000.0 AS p25_disc
-FROM lineitem
-GROUP BY l_returnflag
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles over an explicit shared lerp (see
+    _pctl). The 100 TB path is ``approx_percentile`` (KLL/GK sketch, one
+    pass, bounded memory); the exact form requires a per-group sort."""
+    li = t(spark, sf_dir, "lineitem")
+    out = _pctl(li, "l_returnflag", "l_quantity", 0.5, "median_qty")
+    out = out.join(
+        _pctl(li, "l_returnflag", "l_quantity", 0.9, "p90_qty"),
+        "l_returnflag",
+    )
+    return out.join(
+        _pctl(li, "l_returnflag", "l_discount", 0.25, "p25_disc"),
+        "l_returnflag",
+    )
+
+
+def _pctl_sql(col: str, p: float, alias: str) -> str:
+    return f"""(
+  SELECT l_returnflag,
+         floor((lo + (COALESCE(hi, lo) - lo) * frac) * 10000.0) / 10000.0
+             AS {alias}
+  FROM (
+    SELECT l_returnflag,
+           MAX(CASE WHEN rn = floor(idx) + 1 THEN v END) AS lo,
+           MAX(CASE WHEN rn = floor(idx) + 2 THEN v END) AS hi,
+           MAX(idx - floor(idx)) AS frac
+    FROM (
+      SELECT l_returnflag, {col} AS v,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY {col}) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY l_returnflag) - 1 AS DOUBLE)
+               * {p} AS idx
+      FROM lineitem WHERE {col} IS NOT NULL
+    )
+    GROUP BY l_returnflag
+  )
+)"""
+
+
+AGG_PERCENTILE_SQL = f"""
+SELECT a.l_returnflag, a.median_qty, b.p90_qty, c.p25_disc
+FROM {_pctl_sql('l_quantity', 0.5, 'median_qty')} a
+JOIN {_pctl_sql('l_quantity', 0.9, 'p90_qty')} b USING (l_returnflag)
+JOIN {_pctl_sql('l_discount', 0.25, 'p25_disc')} c USING (l_returnflag)
 """
 
 
@@ -156,10 +217,14 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected set (bare collect_list order is partition-dependent — never
     hash-check it unsorted)."""
     orders = t(spark, sf_dir, "orders")
+    joined = F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",")
     return orders.groupBy("o_orderpriority").agg(
-        F.array_join(
-            F.array_sort(F.collect_set("o_orderstatus")), ","
-        ).alias("statuses"),
+        # an all-NULL group collects an EMPTY set: array_join would emit
+        # '' while DuckDB's string_agg(DISTINCT ...) emits NULL — map the
+        # empty set to NULL to match
+        F.when(F.size(F.collect_set("o_orderstatus")) > 0, joined).alias(
+            "statuses"
+        ),
         F.count(F.lit(1)).alias("order_count"),
     )
 
@@ -236,8 +301,16 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartitions — the property a training-data pipeline needs for stable
     held-out splits at 100 TB."""
     li = t(spark, sf_dir, "lineitem")
+    # concat, NOT concat_ws: concat_ws SKIPS null arguments (a null
+    # l_linenumber would hash md5('<orderkey>') and stay sampled ~10% of
+    # the time) while the oracle's || null-propagates and always drops
+    # the row; concat null-propagates identically.
     fp = F.md5(
-        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        )
     )
     return (
         li.withColumn("__fp", fp)

@@ -75,7 +75,12 @@ c{i} AS (
   GROUP BY e.dst
 ), p{i} AS (
   SELECT n.node,
-         (1.0 - {PR_DAMPING}) / nn.n
+         -- the damped base is interpolated as the PRE-EVALUATED Python
+         -- double ((1.0-0.85) = 0.15000000000000002 in IEEE), forced to
+         -- DOUBLE with the e0 suffix: writing (1.0 - 0.85) here would
+         -- evaluate in DuckDB's exact DECIMAL (0.15 exactly -> a
+         -- different double), breaking bit-identity with the Spark side
+         {(1.0 - PR_DAMPING)!r}e0 / nn.n
            + {PR_DAMPING} * (CAST(COALESCE(c.s, 0) AS DOUBLE) / 1e14) AS pr
   FROM nodes n
   LEFT JOIN c{i} c ON c.dst = n.node
@@ -181,7 +186,11 @@ SELECT user_id,
        lead(ts) OVER w IS NULL AS is_current
 FROM events
 WHERE event_type = 'purchase'
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+WINDOW w AS (PARTITION BY user_id
+             -- CAST pins version ordering to the µs the Spark stream
+             -- sees: raw TIMESTAMP_NS ordering could rank two µs-equal
+             -- changes by their ns remainder instead of event_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id)
 """
 
 
@@ -193,9 +202,18 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the same components with regexes, so the two
     parsers must agree byte-for-byte."""
     docs = t(spark, sf_dir, "documents")
+    # Sanitize the generator-controlled fields to URI-safe characters
+    # BEFORE building the URL: java.net.URI (behind parse_url) returns a
+    # NULL host for authorities containing '_' and NULLs every component
+    # on a space/non-ASCII char, while the oracle's regexes extract
+    # unconditionally -- a regenerated source like 'common_crawl' would
+    # diverge. The oracle applies the identical sanitizer.
+    safe = lambda c: F.regexp_replace(c, r"[^A-Za-z0-9.-]", "-")  # noqa: E731
     url = F.concat(
-        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
-        F.col("doc_id").cast("string"), F.lit("?ref="), F.col("lang"),
+        F.lit("https://"), safe(F.col("source")),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?ref="),
+        safe(F.col("lang")),
     )
     return docs.select(
         "doc_id",
@@ -209,8 +227,10 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
 FN_URL_SQL = """
 WITH u AS (
   SELECT doc_id,
-         'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
-           || '?ref=' || lang AS url
+         'https://' || regexp_replace(source, '[^A-Za-z0-9.-]', '-', 'g')
+           || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+           || '?ref=' || regexp_replace(lang, '[^A-Za-z0-9.-]', '-', 'g')
+           AS url
   FROM documents
 )
 SELECT doc_id, url,

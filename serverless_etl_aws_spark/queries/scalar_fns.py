@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import Query
+from ..operators.text import ascii_upper
 from ._util import t
 
 
@@ -20,7 +21,10 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part")
     return part.select(
         "p_partkey",
-        F.upper(F.col("p_name")).alias("name_upper"),
+        # ascii_upper: JVM upper() is full case mapping (ß → 'SS',
+        # length-changing) while DuckDB's utf8proc is simple — see
+        # operators/text.py::ascii_lower for the class
+        ascii_upper(F.col("p_name")).alias("name_upper"),
         F.substring(F.col("p_type"), 1, 5).alias("type_prefix"),
         F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
         F.length(F.trim(F.col("p_name"))).cast("int").alias("name_len"),
@@ -30,7 +34,7 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FN_STRING_SQL = r"""
 SELECT p_partkey,
-       upper(p_name) AS name_upper,
+       translate(p_name, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') AS name_upper,
        substring(p_type, 1, 5) AS type_prefix,
        p_brand || '#' || p_type AS brand_type,
        CAST(length(trim(p_name)) AS INTEGER) AS name_len,
@@ -114,7 +118,12 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 51 (and hard-errors on non-numeric), verified empirically."""
     ev = t(spark, sf_dir, "events")
     k_str = F.get_json_object(F.col("props"), "$.k")
-    prop_k = F.when(k_str.rlike(r"^-?[0-9]+$"), k_str.cast("int"))
+    # \A..\z not ^..$: Java's $ matches BEFORE a final newline (so
+    # '123\n' would pass here and int-cast-trim to 123) while DuckDB's
+    # regexp_full_match rejects it. {1,9} digits: under Spark 4's
+    # default ANSI mode a 10+-digit integral string would make
+    # cast('int') THROW rather than null out; 9 digits always fits.
+    prop_k = F.when(k_str.rlike(r"\A-?[0-9]{1,9}\z"), k_str.cast("int"))
     return (
         ev.select(
             "event_id",
@@ -125,15 +134,22 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# NULLIF(props, ''): DuckDB's json_extract_string hard-errors on an
-# empty (non-NULL) string where Spark's get_json_object returns NULL —
-# found by the round-4 empty-string drift sweep.
+# json_valid guard: DuckDB's json_extract_string hard-errors on ANY
+# malformed non-NULL props ('', '   ', 'not json', a truncated object)
+# where Spark's get_json_object returns NULL — the empty-string drift
+# sweep found the '' case; the guard covers the whole class.
 FN_JSON_SQL = """
+WITH x AS (
+  SELECT event_id, event_type,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN json_extract_string(props, '$.k') END AS k_str
+  FROM events
+)
 SELECT event_id, event_type,
-       CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INTEGER) AS prop_k
-FROM events
-WHERE regexp_full_match(json_extract_string(NULLIF(props, ''), '$.k'), '-?[0-9]+')
-  AND CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INTEGER) > 50
+       CAST(k_str AS INTEGER) AS prop_k
+FROM x
+WHERE regexp_full_match(k_str, '-?[0-9]{1,9}')
+  AND CAST(k_str AS INTEGER) > 50
 """
 
 

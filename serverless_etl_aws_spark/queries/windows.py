@@ -53,7 +53,12 @@ FROM (
 
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # asc_nulls_last: Spark's plain asc puts NULLs FIRST while DuckDB
+    # puts them LAST — a null-injected o_orderdate would shift every
+    # neighbor. Pinned on both sides (oracle says NULLS LAST).
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("o_orderdate"), F.asc_nulls_last("o_orderkey")
+    )
     return orders.select(
         "o_custkey",
         "o_orderkey",
@@ -68,7 +73,8 @@ SELECT o_custkey, o_orderkey, o_totalprice,
        lag(o_totalprice, 1) OVER w AS prev_price,
        lead(o_totalprice, 1) OVER w AS next_price
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST)
 """
 
 
@@ -77,7 +83,7 @@ def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.asc_nulls_last("o_orderdate"), F.asc_nulls_last("o_orderkey"))
         .rowsBetween(-2, 0)
     )
     return orders.select(
@@ -92,7 +98,8 @@ def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 WIN_FRAME_SQL = """
 SELECT o_custkey, o_orderkey,
        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
-           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST
            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
            AS moving_sum_3
 FROM orders
@@ -104,7 +111,7 @@ def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.asc_nulls_last("o_orderdate"), F.asc_nulls_last("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return orders.select(
@@ -119,7 +126,8 @@ def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 WIN_RUNNING_SQL = """
 SELECT o_custkey, o_orderkey,
        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
-           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
            AS running_spend
 FROM orders

@@ -163,3 +163,50 @@ def test_fixture_null_profile(sf_dir):
                     f" audit the keys touching it before trusting hashes"
                 )
     assert not drift, "\n".join(drift)
+
+
+def test_measure_columns_fit_decimal_scale_4():
+    """The engine's float discipline casts measure doubles to
+    DECIMAL(18,4) (queries/_util.py::dec). That cast is only
+    cross-engine-safe while the underlying values carry <= 4 decimal
+    digits: a 5-decimal value ending in 5 (e.g. 0.00005) sits ON the
+    scale-4 half-boundary, where Spark rounds the shortest decimal repr
+    (HALF_UP -> 0.0001) and DuckDB rounds the binary value (-> 0.0000).
+    Today's generator emits 2-decimal money/measure values, so the cast
+    is exact; this tripwire makes a regeneration that changes that
+    precision a loud, named failure instead of a diffuse hash drift.
+    (If it ever fires: bump DEC's scale in _util.py AND every DECIMAL(18,4)
+    oracle mirror together.)"""
+    import numpy as np
+
+    measures = {
+        "orders": ["o_totalprice"],
+        "lineitem": [
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+        ],
+        "events": ["value"],
+        "customer": ["c_acctbal"],
+        "supplier": ["s_acctbal"],
+        "part": ["p_retailprice"],
+    }
+    root = "/root/testdata"
+    for sf in sorted(os.listdir(root)):
+        for table, cols in measures.items():
+            path = os.path.join(root, sf, f"{table}.parquet")
+            if not os.path.exists(path):
+                continue
+            tbl = pq.read_table(path, columns=cols)
+            for col in cols:
+                vals = np.asarray(
+                    [v for v in tbl[col].to_pylist() if v is not None],
+                    dtype=np.float64,
+                )
+                scaled = vals * 10000.0
+                off_grid = np.abs(scaled - np.rint(scaled)) > 1e-6
+                assert not off_grid.any(), (
+                    f"fixture drift: {sf}/{table}.{col} carries values "
+                    f"beyond 4 decimal digits (e.g. "
+                    f"{vals[off_grid][:3].tolist()}) — the DECIMAL(18,4) "
+                    f"cast in queries/_util.py is no longer exact; bump "
+                    f"DEC's scale and every oracle mirror together"
+                )

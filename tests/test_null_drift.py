@@ -33,8 +33,15 @@ SRC = "/root/testdata/sf0.001"
 NULLABLE = {
     "documents": ["text", "lang", "source"],
     "events": ["event_type", "value", "props"],
-    "orders": ["o_totalprice", "o_orderpriority"],
-    "lineitem": ["l_quantity", "l_discount", "l_returnflag", "l_shipdate"],
+    # o_orderdate: window ORDER BY columns are the null-ordering
+    # divergence class (Spark asc = NULLS FIRST, DuckDB = NULLS LAST) —
+    # an adversarial review found three contract window keys unpinned,
+    # and this column is what exercises them.
+    "orders": ["o_totalprice", "o_orderpriority", "o_orderdate"],
+    "lineitem": [
+        "l_quantity", "l_discount", "l_returnflag", "l_shipdate",
+        "l_extendedprice",
+    ],
 }
 COPY = ["region", "nation", "customer", "supplier", "part", "embeddings"]
 
