@@ -71,40 +71,39 @@ SELECT event_id, user_id, event_type, value FROM events
 
 
 def _pctl(
-    df: DataFrame, group: str, col: str, p: float, alias: str
+    df: DataFrame, group: str, col: str, ps: list[tuple[float, str]]
 ) -> DataFrame:
-    """Exact (n-1)·p interpolated percentile with the interpolation
+    """Exact (n-1)·p interpolated percentiles with the interpolation
     EXPRESSION owned by this code, not the engines: Spark's
     ``percentile`` and DuckDB's ``quantile_cont`` share the definition
     but their internal lerp operand order is unspecified — a 1-ulp
     difference at a floor-quantization grid point flips the hash. Here
     both sides evaluate the identical ``lo + (hi - lo) * frac`` over
     identical doubles. NULLs are excluded first (matching both engines'
-    aggregate semantics)."""
+    aggregate semantics). All percentiles of one column share a single
+    ranked scan."""
     from pyspark.sql.window import Window
 
     d = df.select(group, col).filter(F.col(col).isNotNull())
     w = Window.partitionBy(group).orderBy(F.col(col))
     wn = Window.partitionBy(group)
-    idx = (F.count(F.lit(1)).over(wn) - 1).cast("double") * F.lit(p)
+    n1 = (F.count(F.lit(1)).over(wn) - 1).cast("double")
     ranked = d.select(
         group,
         F.col(col).alias("v"),
         F.row_number().over(w).alias("rn"),
-        idx.alias("idx"),
+        *[(n1 * F.lit(p)).alias(f"idx_{a}") for p, a in ps],
     )
-    lo_v = F.max(
-        F.when(F.col("rn") == F.floor("idx") + 1, F.col("v"))
-    )
-    hi_v = F.max(
-        F.when(F.col("rn") == F.floor("idx") + 2, F.col("v"))
-    )
-    frac = F.max(F.col("idx") - F.floor("idx"))
-    return ranked.groupBy(group).agg(
-        fquant(
-            lo_v + (F.coalesce(hi_v, lo_v) - lo_v) * frac, 4
-        ).alias(alias)
-    )
+    aggs = []
+    for _, a in ps:
+        idx = F.col(f"idx_{a}")
+        lo_v = F.max(F.when(F.col("rn") == F.floor(idx) + 1, F.col("v")))
+        hi_v = F.max(F.when(F.col("rn") == F.floor(idx) + 2, F.col("v")))
+        frac = F.max(idx - F.floor(idx))
+        aggs.append(
+            fquant(lo_v + (F.coalesce(hi_v, lo_v) - lo_v) * frac, 4).alias(a)
+        )
+    return ranked.groupBy(group).agg(*aggs)
 
 
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,13 +111,12 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pctl). The 100 TB path is ``approx_percentile`` (KLL/GK sketch, one
     pass, bounded memory); the exact form requires a per-group sort."""
     li = t(spark, sf_dir, "lineitem")
-    out = _pctl(li, "l_returnflag", "l_quantity", 0.5, "median_qty")
-    out = out.join(
-        _pctl(li, "l_returnflag", "l_quantity", 0.9, "p90_qty"),
-        "l_returnflag",
+    qty = _pctl(
+        li, "l_returnflag", "l_quantity",
+        [(0.5, "median_qty"), (0.9, "p90_qty")],
     )
-    return out.join(
-        _pctl(li, "l_returnflag", "l_discount", 0.25, "p25_disc"),
+    return qty.join(
+        _pctl(li, "l_returnflag", "l_discount", [(0.25, "p25_disc")]),
         "l_returnflag",
     )
 
