@@ -90,3 +90,17 @@ def test_registry_contract_keys_first():
     assert keys[: len(CONTRACT_2B)] == list(CONTRACT_2B)
     head = len(CONTRACT_2B) + len(PRIORITY_EXT)
     assert keys[len(CONTRACT_2B): head] == list(PRIORITY_EXT)
+
+
+def test_driver_audit_window_is_contract_plus_rotation():
+    """The driver's CORRECTNESS audit covers exactly the first 50 registry
+    keys.  Pin that window to {47 §2B contract keys} ∪ {the current
+    3-slot rotation} so a refactor can't silently evict a contract key
+    from the audited window or reorder a rotated key out of it."""
+    from serverless_etl_aws_spark.queries import CONTRACT_2B, build_registry
+
+    ROUND5_ROTATION = ("llm_fingerprint", "llm_lang_id", "llm_quality_score")
+    window = list(build_registry())[:50]
+    assert set(window) == set(CONTRACT_2B) | set(ROUND5_ROTATION)
+    # and the rotation occupies slots 48-50 specifically
+    assert window[47:] == list(ROUND5_ROTATION)
