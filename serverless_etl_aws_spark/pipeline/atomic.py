@@ -1,0 +1,269 @@
+"""Crash-atomic commits for partitioned state tables.
+
+The engine's two mutating sinks (``stream_cdc`` keyed state, gold rollup
+``upsert``/``refresh``) are read-modify-write: they read the current state
+slice, merge, and replace it. Plain dynamic partition overwrite deletes
+and rewrites the touched partition directories in place, so a crash
+between the read barrier and write completion can lose a partition — the
+exact failure mode the reference's exactly-once state discipline exists to
+prevent (reference: src/s3_operations.py:40-56 commits processed-state
+only after the write lands).
+
+:class:`AtomicPartitionedTable` closes that hole with a manifest-pointer
+commit protocol (the Iceberg/Delta idea, reduced to its minimum):
+
+- Data files live in immutable snapshot directories
+  ``<root>/data/snap=N/<pcol>=<value>/part-*.parquet``. A snapshot only
+  ever holds the partitions written by commit ``N``; it is never mutated.
+- The table's current state is the highest-numbered COMPLETE manifest
+  ``<root>/_manifests/manifest-N.json`` mapping each live partition
+  directory name to the snapshot that owns it.
+- A commit writes its snapshot data fully, then publishes the new
+  manifest by writing a temp file and renaming it to its final
+  never-before-used name. The rename IS the commit point: it is atomic
+  on POSIX and HDFS (rename-to-fresh-path), so a kill at any earlier
+  moment leaves only invisible orphan files and the previous manifest
+  fully intact, and a kill after leaves the new state fully published.
+  There is no window in which a reader can observe a half-replaced
+  partition.
+- Replaying a failed commit just writes the next snapshot number; orphan
+  snapshots are ignored by readers and reaped by :meth:`vacuum`.
+
+Readers reconstruct the table with one multi-path parquet scan using
+``basePath=<root>/data`` so both the ``snap`` and user partition columns
+are recovered by standard partition discovery — ``snap`` is dropped, and
+partition pruning/pushdown still work because the paths are enumerated
+per-partition. All metadata I/O goes through the Hadoop FileSystem API so
+the table can live on any supported scheme (file:, hdfs:, s3a: — with the
+usual caveat that object stores need an atomic-rename layer or a
+PUT-if-absent manifest variant, which this class isolates in
+``_publish_manifest``).
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Fault-injection hook: called with a stage name at the commit protocol's
+#: observable points ("staged" = snapshot data fully written, manifest not
+#: yet published; "published" = manifest renamed into place). Tests raise
+#: from these to simulate a crash at the worst moment.
+FaultHook = Callable[[str], None]
+
+
+class AtomicPartitionedTable:
+    """A partitioned parquet table whose partition-overwrite commits are
+    crash-atomic via numbered snapshot dirs + an atomically-renamed
+    manifest pointer."""
+
+    DATA_DIR = "data"
+    MANIFEST_DIR = "_manifests"
+
+    def __init__(
+        self, spark: SparkSession, root: str, partition_col: str
+    ) -> None:
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.partition_col = partition_col
+
+    # ------------------------------------------------------------------
+    # Hadoop FS plumbing (scheme-portable: file:, hdfs:, s3a:)
+    # ------------------------------------------------------------------
+    def _jpath(self, *parts: str):
+        jvm = self.spark._jvm
+        return jvm.org.apache.hadoop.fs.Path("/".join((self.root, *parts)))
+
+    def _fs(self):
+        return self._jpath().getFileSystem(
+            self.spark._jsc.hadoopConfiguration()
+        )
+
+    def _read_small_file(self, jpath) -> str:
+        jvm = self.spark._jvm
+        fs = self._fs()
+        stream = fs.open(jpath)
+        try:
+            out = jvm.java.io.ByteArrayOutputStream()
+            jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 4096)
+            return out.toString("UTF-8")
+        finally:
+            stream.close()
+
+    def _write_file_atomic(self, rel_dir: str, name: str, text: str) -> None:
+        """Write ``text`` to ``<root>/<rel_dir>/<name>`` via temp file +
+        rename-to-fresh-path — the atomic publish primitive. Fails loudly
+        if the destination already exists (two writers racing the same
+        commit number: exactly one wins)."""
+        fs = self._fs()
+        tmp = self._jpath(rel_dir, f".tmp-{uuid.uuid4().hex}-{name}")
+        final = self._jpath(rel_dir, name)
+        stream = fs.create(tmp, False)
+        try:
+            stream.write(bytearray(text.encode("utf-8")))
+        finally:
+            stream.close()
+        if not fs.rename(tmp, final):
+            fs.delete(tmp, False)
+            raise RuntimeError(
+                f"atomic commit conflict: {final} already exists "
+                f"(concurrent writer?)"
+            )
+
+    def _list_names(self, *parts: str) -> list[str]:
+        fs = self._fs()
+        jpath = self._jpath(*parts)
+        if not fs.exists(jpath):
+            return []
+        return [st.getPath().getName() for st in fs.listStatus(jpath)]
+
+    # ------------------------------------------------------------------
+    # Manifest state
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _manifest_version(name: str) -> int | None:
+        if not (name.startswith("manifest-") and name.endswith(".json")):
+            return None
+        try:
+            return int(name[len("manifest-"):-len(".json")])
+        except ValueError:
+            return None
+
+    def current_version(self) -> int:
+        """Highest complete (fully-renamed) manifest number; 0 = empty
+        table. Temp files never parse as a version, so a crashed publish
+        is invisible here."""
+        versions = [
+            v
+            for name in self._list_names(self.MANIFEST_DIR)
+            if (v := self._manifest_version(name)) is not None
+        ]
+        return max(versions, default=0)
+
+    def exists(self) -> bool:
+        return self.current_version() > 0
+
+    def _manifest(self, version: int | None = None) -> dict[str, int]:
+        """Partition-dir-name → owning-snapshot mapping for ``version``
+        (default: current). Empty table → empty mapping."""
+        v = self.current_version() if version is None else version
+        if v == 0:
+            return {}
+        text = self._read_small_file(
+            self._jpath(self.MANIFEST_DIR, f"manifest-{v}.json")
+        )
+        doc = json.loads(text)
+        return {str(k): int(s) for k, s in doc["partitions"].items()}
+
+    def current_partition_paths(self) -> dict[str, str]:
+        """Live partition dir name → absolute data path (for consumers
+        that need file-level introspection, e.g. tests asserting untouched
+        partitions were not rewritten)."""
+        return {
+            name: f"{self.root}/{self.DATA_DIR}/snap={snap}/{name}"
+            for name, snap in self._manifest().items()
+        }
+
+    # ------------------------------------------------------------------
+    # Read / commit / vacuum
+    # ------------------------------------------------------------------
+    def read(self) -> DataFrame:
+        """One multi-path parquet scan of the live partitions. basePath
+        recovers ``snap`` and the user partition column via standard
+        partition discovery; ``snap`` is dropped."""
+        paths = sorted(self.current_partition_paths().values())
+        if not paths:
+            raise FileNotFoundError(
+                f"atomic table {self.root} has no committed snapshot"
+            )
+        return (
+            self.spark.read.option("basePath", f"{self.root}/{self.DATA_DIR}")
+            .parquet(*paths)
+            .drop("snap")
+        )
+
+    def _next_snapshot(self) -> int:
+        """Next commit number: above every manifest AND every existing
+        snapshot dir, so a replay after a crashed commit (which left an
+        orphan ``snap=N`` dir but no manifest) never reuses or mixes with
+        the orphan's files."""
+        snap_ids = [
+            int(name.split("=", 1)[1])
+            for name in self._list_names(self.DATA_DIR)
+            if name.startswith("snap=")
+            and name.split("=", 1)[1].isdigit()
+        ]
+        return max([self.current_version(), *snap_ids], default=0) + 1
+
+    def commit_overwrite_partitions(
+        self, df: DataFrame, fault: FaultHook | None = None
+    ) -> int:
+        """Atomically replace exactly the partitions present in ``df``
+        (which must carry ``partition_col``); all other live partitions
+        are untouched — their files are not even read.
+
+        Protocol: write ``df`` into a fresh ``snap=N`` dir (invisible to
+        readers), list the partition dirs it produced, then publish
+        ``manifest-N.json`` = previous mapping overridden with those dirs
+        → N, via temp-file + rename. A crash before the rename leaves the
+        table at manifest N-1 with only orphan files on disk; a replay
+        commits the same logical content under N+1. Returns the number of
+        partitions (re)written."""
+        snap = self._next_snapshot()
+        snap_rel = f"{self.DATA_DIR}/snap={snap}"
+        (
+            df.write.mode("errorifexists")
+            .partitionBy(self.partition_col)
+            .parquet(f"{self.root}/{snap_rel}")
+        )
+        prefix = f"{self.partition_col}="
+        written = [
+            name
+            for name in self._list_names(snap_rel)
+            if name.startswith(prefix)
+        ]
+        if fault is not None:
+            fault("staged")
+        mapping = self._manifest()
+        for name in written:
+            mapping[name] = snap
+        manifest = {
+            "version": snap,
+            "partition_col": self.partition_col,
+            "partitions": mapping,
+        }
+        self._write_file_atomic(
+            self.MANIFEST_DIR,
+            f"manifest-{snap}.json",
+            json.dumps(manifest, sort_keys=True),
+        )
+        if fault is not None:
+            fault("published")
+        return len(written)
+
+    def vacuum(self) -> int:
+        """Delete snapshot dirs no current partition references and all
+        non-current manifests (time travel is not part of this table's
+        contract; callers needing it skip vacuum). Safe against crashed
+        commits: orphan snapshots are exactly the unreferenced ones.
+        Returns the number of snapshot dirs removed. Not safe to run
+        concurrently with a reader pinned to an old manifest."""
+        fs = self._fs()
+        current = self.current_version()
+        live_snaps = set(self._manifest().values())
+        removed = 0
+        for name in self._list_names(self.DATA_DIR):
+            if not name.startswith("snap="):
+                continue
+            sid = name.split("=", 1)[1]
+            if sid.isdigit() and int(sid) not in live_snaps:
+                fs.delete(self._jpath(self.DATA_DIR, name), True)
+                removed += 1
+        for name in self._list_names(self.MANIFEST_DIR):
+            v = self._manifest_version(name)
+            if (v is not None and v < current) or name.startswith(".tmp-"):
+                fs.delete(self._jpath(self.MANIFEST_DIR, name), False)
+        return removed

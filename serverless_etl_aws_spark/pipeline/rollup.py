@@ -4,9 +4,12 @@ to Gold ETL"; the gold bucket exists with no writer, terraform/main.tf:362-365).
 
 Maintenance strategy: **partition-scoped recompute**. Each ingest batch
 knows which gold partitions (e.g. event days) it touched; those partitions
-are recomputed from silver and dynamic-overwritten in gold. Properties:
+are recomputed from silver and committed to gold through the
+manifest-pointer table (pipeline/atomic.py). Properties:
 
 - Correct under replay (recompute is idempotent — same input, same output).
+- Crash-atomic: the commit point is one manifest rename; a kill mid-write
+  leaves the previous complete gold state, never a half-replaced partition.
 - Incremental: work is O(touched partitions), not O(gold).
 - No state beyond the lake itself (no OLAP-cube deltas to reconcile).
 
@@ -23,6 +26,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .atomic import AtomicPartitionedTable, FaultHook
 
 
 def _partition_predicate(col_name: str, values: list):
@@ -62,10 +67,17 @@ class PartitionedRollup:
         self.partition_col = partition_col
         self.aggregate = aggregate
         self.max_touched_partitions = max_touched_partitions
+        #: Gold storage: manifest-pointer commits (pipeline/atomic.py), so
+        #: a crash mid-refresh/upsert can never lose a partition — readers
+        #: see the previous complete snapshot until the new manifest's
+        #: atomic rename, and a replay just publishes the next snapshot.
+        self.table = AtomicPartitionedTable(spark, gold_dir, partition_col)
 
-    def refresh_partitions(self, values: list) -> int:
-        """Recompute the given gold partitions from silver and overwrite
-        exactly those (dynamic partition overwrite).
+    def refresh_partitions(
+        self, values: list, fault: FaultHook | None = None
+    ) -> int:
+        """Recompute the given gold partitions from silver and atomically
+        replace exactly those (snapshot + manifest commit).
 
         The recomputed slice is coalesced before the write: its size is
         bounded by construction (≤ ``max_touched_partitions`` partitions ×
@@ -81,30 +93,29 @@ class PartitionedRollup:
         gold = self.aggregate(
             silver.filter(_partition_predicate(self.partition_col, values))
         )
-        self._write_gold(gold, len(values))
+        self._write_gold(gold, len(values), fault)
         return len(values)
 
-    def _write_gold(self, gold: DataFrame, n_partitions: int) -> None:
-        """Dynamic-overwrite a gold slice, coalesced to ~1 writer task per
-        32 touched partitions (the slice is aggregate-sized by
-        construction; without the coalesce files ≈ tasks × partitions)."""
-        (
-            gold.coalesce(max(1, n_partitions // 32))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(self.partition_col)
-            .parquet(self.gold_dir)
+    def _write_gold(
+        self,
+        gold: DataFrame,
+        n_partitions: int,
+        fault: FaultHook | None = None,
+    ) -> None:
+        """Crash-atomically replace the touched gold partitions (snapshot
+        + manifest rename, see AtomicPartitionedTable), coalesced to ~1
+        writer task per 32 touched partitions (the slice is
+        aggregate-sized by construction; without the coalesce files ≈
+        tasks × partitions)."""
+        self.table.commit_overwrite_partitions(
+            gold.coalesce(max(1, n_partitions // 32)), fault=fault
         )
 
     def _gold_exists(self) -> bool:
-        """Existence through the Hadoop FileSystem API: gold may live on
-        any supported scheme (file:, s3a:, hdfs:) — ``os.path.exists``
-        answers False for an object-store prefix, which would make upsert
-        silently replace built partitions with delta-only rows."""
-        jvm = self.spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(self.gold_dir)
-        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(jpath))
+        """A gold table exists once its first manifest is published; the
+        check goes through the Hadoop FileSystem API, so gold may live on
+        any supported scheme (file:, s3a:, hdfs:)."""
+        return self.table.exists()
 
     def refresh_for_batch(
         self, batch_df: DataFrame, touched: list | None = None
@@ -145,12 +156,15 @@ class PartitionedRollup:
         self,
         delta_gold: DataFrame,
         merge: Callable[[DataFrame], DataFrame],
+        fault: FaultHook | None = None,
     ) -> int:
         """MERGE-shaped gold maintenance: combine a *delta* gold aggregate
         into the existing gold rows by key, rewriting only the partitions
-        the delta touches (read-merge-overwrite — no table format / ACID
-        log needed, at the cost of partition-level rather than row-level
-        commit granularity).
+        the delta touches (read-merge-commit through the atomic manifest
+        table — partition-level rather than row-level commit granularity,
+        but crash-atomic: a kill anywhere before the manifest rename
+        leaves gold at the previous complete snapshot, and replaying the
+        delta converges to the same merged state).
 
         Complements :meth:`refresh_partitions`: recompute reads SILVER for
         the touched partitions (cost ∝ silver slice — right when silver is
@@ -188,21 +202,19 @@ class PartitionedRollup:
                 f"{self.partition_col!r} values"
             )
         if self._gold_exists():
-            # Materialize the existing slice (localCheckpoint) before the
-            # write: the merged plan would otherwise read from the same
-            # path the dynamic overwrite rewrites. The slice is
-            # aggregate-sized (touched partitions × group keys), so the
-            # checkpoint is small by construction.
-            existing = (
-                self.read_gold()
-                .filter(_partition_predicate(self.partition_col, touched))
-                .localCheckpoint(eager=True)
+            # No read-before-overwrite barrier needed: the merged plan
+            # reads the CURRENT snapshot's files while the commit writes
+            # a NEW snapshot dir — the manifest flip happens only after
+            # the write completes, so the scan and the commit never touch
+            # the same files (snapshot isolation from the atomic table).
+            existing = self.read_gold().filter(
+                _partition_predicate(self.partition_col, touched)
             )
             both = existing.unionByName(delta_gold)
         else:
             both = delta_gold
-        self._write_gold(merge(both), len(touched))
+        self._write_gold(merge(both), len(touched), fault)
         return len(touched)
 
     def read_gold(self) -> DataFrame:
-        return self.spark.read.parquet(self.gold_dir)
+        return self.table.read()

@@ -215,14 +215,10 @@ def rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, silver_dir=base, gold_dir=gold,
         partition_col="event_date", aggregate=to_gold_partial,
     )
-    # initial build: the on-time half
+    # initial build: the on-time half (committed through the same atomic
+    # manifest table the upsert uses — gold state is never a bare dir)
     on_time = to_gold_partial(ev.filter(F.col("event_id") % 2 == 0))
-    (
-        on_time.coalesce(1)
-        .write.mode("overwrite")
-        .partitionBy("event_date")
-        .parquet(gold)
-    )
+    rollup.table.commit_overwrite_partitions(on_time.coalesce(1))
     # late delta: the other half, landing in the SAME partitions/keys
     delta = to_gold_partial(ev.filter(F.col("event_id") % 2 == 1))
 

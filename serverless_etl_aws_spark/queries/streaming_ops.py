@@ -322,15 +322,19 @@ def stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     CDC consumer (Debezium→lake merge) must have.
 
     Scale shape: state is hash-bucketed (user_id % 16) and each batch
-    rewrites ONLY touched buckets via dynamic partition overwrite; the
-    in-batch reduction is one window, the merge one window over
-    (current ∪ incoming) restricted to those buckets. State never passes
-    through the driver; the touched-bucket listing is ≤ N_CDC_BUCKETS
-    scalars."""
+    rewrites ONLY touched buckets, committed through the crash-atomic
+    manifest table (pipeline/atomic.py) — a kill anywhere mid-merge
+    leaves state at the previous complete snapshot, and the checkpointed
+    AvailableNow replay of the batch re-merges idempotently because the
+    merge is version-resolved. The in-batch reduction is one window, the
+    merge one window over (current ∪ incoming) restricted to those
+    buckets. State never passes through the driver; the touched-bucket
+    listing is ≤ N_CDC_BUCKETS scalars."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     from ..catalog import events_reader_setup
+    from ..pipeline.atomic import AtomicPartitionedTable
     from ._util import fresh_dir
 
     base = fresh_dir(os.path.join(SCRATCH, "stream_cdc"))
@@ -342,6 +346,7 @@ def stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_col="event_id",
     )
     read_schema, normalize = events_reader_setup(spark, bronze)
+    state_table = AtomicPartitionedTable(spark, table, "bucket")
 
     ver = (F.desc_nulls_last("ts"), F.desc_nulls_last("event_id"))
 
@@ -369,9 +374,8 @@ def stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             r["bucket"]
             for r in incoming.select("bucket").distinct().collect()
         ]  # bounded: <= N_CDC_BUCKETS scalars
-        spark_ = batch_df.sparkSession
-        if os.path.isdir(table):  # explicit: a read error must surface
-            current = spark_.read.parquet(table).filter(
+        if state_table.exists():
+            current = state_table.read().filter(
                 F.col("bucket").isin(touched)
             )
             merged_src = current.unionByName(incoming)
@@ -380,21 +384,14 @@ def stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = (
             merged_src.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1).drop("rn")
-            # Materialize BEFORE the overwrite: the plan reads the very
-            # directory the write is about to replace, so without this
-            # barrier the lazy scan and the dynamic overwrite race. (A
-            # production deployment would write through a table format's
-            # commit protocol or a temp-dir swap for crash atomicity;
-            # the checkpointed re-run of an AvailableNow batch replays
-            # idempotently here because the merge is version-resolved.)
-            .localCheckpoint(eager=True)
         )
-        (
-            merged.write.partitionBy("bucket")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(table)
-        )
+        # Crash-atomic merge commit: the plan reads the CURRENT snapshot's
+        # files while the commit writes a NEW snapshot dir, and the
+        # manifest rename (the commit point) happens only after the write
+        # lands — no read-vs-overwrite race, and a kill at any point
+        # leaves the previous complete state for the checkpointed replay
+        # to re-merge (idempotent because the merge is version-resolved).
+        state_table.commit_overwrite_partitions(merged)
 
     stream = (
         spark.readStream.schema(read_schema)
@@ -409,7 +406,7 @@ def stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
 
-    state = spark.read.parquet(table)
+    state = state_table.read()
     return state.filter(F.col("op") != "d").select(
         "user_id",
         "value",

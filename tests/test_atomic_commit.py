@@ -1,0 +1,240 @@
+"""Crash-atomicity of the manifest-pointer commit protocol
+(pipeline/atomic.py) and of the two mutating sinks built on it
+(PartitionedRollup.upsert / stream_cdc's keyed state merge).
+
+The core property under test (VERDICT r4 action #2): a kill at ANY point
+before the manifest rename must leave the table at the previous complete
+snapshot — never a half-replaced partition — and replaying the failed
+commit must converge to exactly the state a crash-free run produces.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from serverless_etl_aws_spark.pipeline.atomic import AtomicPartitionedTable
+
+
+class Boom(RuntimeError):
+    pass
+
+
+def crash_at(stage: str):
+    """Fault hook that simulates a kill at the named protocol stage."""
+
+    def hook(s: str) -> None:
+        if s == stage:
+            raise Boom(f"injected crash at {s}")
+
+    return hook
+
+
+def snapshot(table) -> dict:
+    return {
+        (r["day"], r["k"]): r["v"] for r in table.read().collect()
+    }
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return AtomicPartitionedTable(spark, str(tmp_path / "tbl"), "day")
+
+
+def df_of(spark, rows):
+    return spark.createDataFrame(rows, "day string, k string, v long")
+
+
+class TestAtomicTable:
+    def test_commit_read_roundtrip_across_snapshots(self, spark, table):
+        """Partitions committed in different snapshots read back as one
+        table; a later commit replaces only the partitions it carries."""
+        table.commit_overwrite_partitions(
+            df_of(spark, [("d1", "a", 1), ("d2", "b", 2)])
+        )
+        table.commit_overwrite_partitions(df_of(spark, [("d2", "b", 20)]))
+        assert snapshot(table) == {("d1", "a"): 1, ("d2", "b"): 20}
+        # d1 is still served from snapshot 1, d2 from snapshot 2
+        paths = table.current_partition_paths()
+        assert "/snap=1/" in paths["day=d1"]
+        assert "/snap=2/" in paths["day=d2"]
+
+    def test_crash_before_publish_preserves_old_state_and_replay_converges(
+        self, spark, table
+    ):
+        """Kill between data materialization and manifest publish: readers
+        must still see the pre-commit state; replaying the same commit
+        must land the new state exactly once."""
+        table.commit_overwrite_partitions(
+            df_of(spark, [("d1", "a", 1), ("d2", "b", 2)])
+        )
+        with pytest.raises(Boom):
+            table.commit_overwrite_partitions(
+                df_of(spark, [("d1", "a", 100)]), fault=crash_at("staged")
+            )
+        # crash-atomic: the staged snapshot is invisible
+        assert table.current_version() == 1
+        assert snapshot(table) == {("d1", "a"): 1, ("d2", "b"): 2}
+        # replay: same logical commit, next snapshot number, exact state
+        table.commit_overwrite_partitions(df_of(spark, [("d1", "a", 100)]))
+        assert snapshot(table) == {("d1", "a"): 100, ("d2", "b"): 2}
+        # the orphan from the crashed attempt was not reused
+        assert "/snap=3/" in table.current_partition_paths()["day=d1"]
+
+    def test_crash_after_publish_is_already_committed(self, spark, table):
+        """A kill after the manifest rename is a completed commit — the
+        new state is fully visible on restart."""
+        table.commit_overwrite_partitions(df_of(spark, [("d1", "a", 1)]))
+        with pytest.raises(Boom):
+            table.commit_overwrite_partitions(
+                df_of(spark, [("d1", "a", 7)]), fault=crash_at("published")
+            )
+        assert snapshot(table) == {("d1", "a"): 7}
+
+    def test_null_partition_round_trips(self, spark, table):
+        """The hive default-partition dir for NULL values must survive
+        the manifest round trip (commit → list → manifest → basePath
+        read)."""
+        table.commit_overwrite_partitions(
+            df_of(spark, [(None, "a", 1), ("d1", "b", 2)])
+        )
+        table.commit_overwrite_partitions(df_of(spark, [(None, "a", 10)]))
+        assert snapshot(table) == {(None, "a"): 10, ("d1", "b"): 2}
+
+    def test_vacuum_reaps_orphans_and_old_snapshots_only(self, spark, table):
+        """vacuum removes crashed-commit orphans and superseded snapshot
+        dirs but never a live one; the table reads identically after."""
+        table.commit_overwrite_partitions(
+            df_of(spark, [("d1", "a", 1), ("d2", "b", 2)])
+        )
+        with pytest.raises(Boom):  # orphan snap=2
+            table.commit_overwrite_partitions(
+                df_of(spark, [("d1", "a", 5)]), fault=crash_at("staged")
+            )
+        table.commit_overwrite_partitions(df_of(spark, [("d1", "a", 9)]))
+        before = snapshot(table)
+        removed = table.vacuum()
+        # snap=2 (orphan) gone; snap=1 still live (owns d2), snap=3 live
+        assert removed == 1
+        data_root = os.path.join(table.root, "data")
+        assert sorted(os.listdir(data_root)) == ["snap=1", "snap=3"]
+        assert snapshot(table) == before
+        # only the current manifest remains
+        manifests = [
+            n for n in os.listdir(os.path.join(table.root, "_manifests"))
+            if n.startswith("manifest-")
+        ]
+        assert manifests == ["manifest-3.json"]
+
+    def test_empty_table_read_raises_cleanly(self, table):
+        with pytest.raises(FileNotFoundError, match="no committed snapshot"):
+            table.read()
+
+
+class TestMutatingSinksCrashAtomic:
+    def test_rollup_upsert_crash_then_replay_reaches_oracle_state(
+        self, spark, tmp_path
+    ):
+        """The VERDICT r4 'done' criterion: kill the gold upsert between
+        materialize and commit (injected fault), then replay the SAME
+        delta — the final gold must equal the crash-free merge, with no
+        double-count from the failed attempt."""
+        from serverless_etl_aws_spark.pipeline.rollup import PartitionedRollup
+
+        agg = lambda df: df.groupBy("day", "kind").agg(  # noqa: E731
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")
+        )
+        roll = PartitionedRollup(
+            spark,
+            silver_dir=str(tmp_path / "silver"),
+            gold_dir=str(tmp_path / "gold"),
+            partition_col="day",
+            aggregate=agg,
+        )
+        initial = spark.createDataFrame(
+            [("d1", "a", 10), ("d1", "a", 5), ("d2", "b", 7)],
+            "day string, kind string, v long",
+        )
+        roll.table.commit_overwrite_partitions(agg(initial))
+
+        def delta():
+            return agg(
+                spark.createDataFrame(
+                    [("d1", "a", 3)], "day string, kind string, v long"
+                )
+            )
+
+        def merge(both):
+            return both.groupBy("day", "kind").agg(
+                F.sum("n").alias("n"), F.sum("total").alias("total")
+            )
+
+        with pytest.raises(Boom):
+            roll.upsert(delta(), merge, fault=crash_at("staged"))
+        # crash-atomic: gold is byte-for-byte the pre-upsert state
+        rows = {
+            (r["day"], r["kind"]): (r["n"], r["total"])
+            for r in roll.read_gold().collect()
+        }
+        assert rows == {("d1", "a"): (2, 15), ("d2", "b"): (1, 7)}
+        # replay the delta (the exactly-once batch source re-delivers it)
+        roll.upsert(delta(), merge)
+        rows = {
+            (r["day"], r["kind"]): (r["n"], r["total"])
+            for r in roll.read_gold().collect()
+        }
+        # oracle: from-scratch aggregate over initial + delta — applied
+        # exactly once despite the crashed first attempt
+        assert rows == {("d1", "a"): (3, 18), ("d2", "b"): (1, 7)}
+
+    def test_cdc_style_versioned_merge_crash_then_replay(self, spark, tmp_path):
+        """stream_cdc's merge shape against the atomic table: a batch
+        crash before the manifest flip leaves the prior state; replaying
+        the batch (what the streaming checkpoint does for an uncommitted
+        AvailableNow batch) converges because the merge is
+        version-resolved (latest (ts, id) wins, deletes persist)."""
+        from pyspark.sql.window import Window
+
+        table = AtomicPartitionedTable(spark, str(tmp_path / "state"), "bucket")
+        ver = (F.desc("ver"), F.desc("id"))
+        w = Window.partitionBy("key").orderBy(*ver)
+
+        def apply_batch(rows, fault=None):
+            incoming = spark.createDataFrame(
+                rows, "key long, op string, val string, ver long, id long"
+            ).withColumn("bucket", F.col("key") % 4)
+            if table.exists():
+                merged_src = table.read().unionByName(incoming)
+            else:
+                merged_src = incoming
+            merged = (
+                merged_src.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).drop("rn")
+            )
+            table.commit_overwrite_partitions(merged, fault=fault)
+
+        apply_batch([(1, "u", "a", 1, 1), (2, "u", "b", 1, 2)])
+        batch2 = [(1, "u", "a2", 2, 3), (2, "d", None, 2, 4), (5, "u", "e", 1, 5)]
+        with pytest.raises(Boom):
+            apply_batch(batch2, fault=crash_at("staged"))
+        live = {
+            r["key"]: r["val"]
+            for r in table.read().filter(F.col("op") != "d").collect()
+        }
+        assert live == {1: "a", 2: "b"}  # batch 2 invisible
+        apply_batch(batch2)  # checkpoint replays the uncommitted batch
+        live = {
+            r["key"]: r["val"]
+            for r in table.read().filter(F.col("op") != "d").collect()
+        }
+        assert live == {1: "a2", 5: "e"}  # upsert applied, delete applied
+        # and replaying it AGAIN (duplicate delivery) changes nothing:
+        # version resolution makes the merge idempotent
+        apply_batch(batch2)
+        live = {
+            r["key"]: r["val"]
+            for r in table.read().filter(F.col("op") != "d").collect()
+        }
+        assert live == {1: "a2", 5: "e"}

@@ -387,11 +387,12 @@ def test_rollup_upsert_merges_existing_and_creates_new(spark, tmp_path):
         [("d1", "a", 10), ("d1", "a", 5), ("d2", "b", 7)],
         "day string, kind string, v long",
     )
-    agg(initial).write.partitionBy("day").parquet(gold_dir)
+    roll.table.commit_overwrite_partitions(agg(initial))
 
+    d2_path = roll.table.current_partition_paths()["day=d2"]
     untouched_files = {
-        f: os.path.getmtime(os.path.join(gold_dir, "day=d2", f))
-        for f in os.listdir(os.path.join(gold_dir, "day=d2"))
+        f: os.path.getmtime(os.path.join(d2_path, f))
+        for f in os.listdir(d2_path)
         if f.endswith(".parquet")
     }
 
@@ -418,10 +419,12 @@ def test_rollup_upsert_merges_existing_and_creates_new(spark, tmp_path):
         ("d2", "b"): (1, 7),   # untouched
         ("d3", "c"): (1, 1),   # new partition
     }
-    # d2's files were not rewritten (same names, same mtimes)
+    # d2 still lives in its ORIGINAL snapshot: same path, same files,
+    # same mtimes — the upsert commit never rewrote it
+    assert roll.table.current_partition_paths()["day=d2"] == d2_path
     after = {
-        f: os.path.getmtime(os.path.join(gold_dir, "day=d2", f))
-        for f in os.listdir(os.path.join(gold_dir, "day=d2"))
+        f: os.path.getmtime(os.path.join(d2_path, f))
+        for f in os.listdir(d2_path)
         if f.endswith(".parquet")
     }
     assert after == untouched_files
@@ -512,7 +515,7 @@ def test_rollup_upsert_preserves_null_partition(spark, tmp_path):
         [(None, "a", 10), (None, "a", 5), ("d1", "b", 7)],
         "day string, kind string, v long",
     )
-    agg(initial).write.partitionBy("day").parquet(gold_dir)
+    roll.table.commit_overwrite_partitions(agg(initial))
 
     delta = agg(
         spark.createDataFrame([(None, "a", 3)], "day string, kind string, v long")
