@@ -15,7 +15,7 @@ Payload format used by the synthetic corpus builder:
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 
@@ -25,6 +25,12 @@ from pyspark.sql import functions as F
 META_SCHEMA = (
     "doc_id long, fmt string, width int, height int, n_bytes long"
 )
+
+#: A codec maps raw payload bytes to {fmt, width, height, n_bytes}.
+#: Injected per-operator-call (closure-captured, so cloudpickle ships a
+#: test/production codec to executors by VALUE — a module-global registry
+#: would be re-imported empty on each worker and silently fall back).
+Codec = Callable[[bytes], dict]
 
 
 def synthesize_payloads(docs: DataFrame) -> DataFrame:
@@ -45,8 +51,11 @@ def synthesize_payloads(docs: DataFrame) -> DataFrame:
 
 
 def decode_payload(payload: bytes) -> dict:
-    """Parse the fake header. A real build replaces this body with the
-    actual codec (PIL.Image.open etc.); everything around it stays."""
+    """Default codec: parse the synthetic IMG1 header. A real build
+    injects the actual codec (PIL.Image.open etc.) via the ``codec``
+    parameter of extract_metadata/resize_payloads; everything around it
+    stays. tests/test_multimodal.py proves the seam with a real PNG
+    header parser (stdlib struct) injected through the same parameter."""
     magic = payload[:4].decode("ascii", errors="replace")
     if magic != "IMG1":
         raise NotImplementedError(
@@ -64,12 +73,17 @@ def decode_payload(payload: bytes) -> dict:
     }
 
 
-def extract_metadata(with_payloads: DataFrame) -> DataFrame:
-    """Arrow-batched metadata extraction over mapInPandas."""
+def extract_metadata(
+    with_payloads: DataFrame, codec: Codec | None = None
+) -> DataFrame:
+    """Arrow-batched metadata extraction over mapInPandas. ``codec``
+    swaps the payload parser (default: the synthetic IMG1 decoder) —
+    the injection seam a real deployment uses for PIL/ffmpeg."""
+    decode = decode_payload if codec is None else codec
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [decode_payload(p) for p in pdf["payload"]]
+            metas = [decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
@@ -93,16 +107,18 @@ RESIZE_SCHEMA = "doc_id long, width int, height int, n_bytes long"
 
 
 def resize_payloads(
-    with_payloads: DataFrame, target_width: int
+    with_payloads: DataFrame, target_width: int, codec: Codec | None = None
 ) -> DataFrame:
     """'Resize' pass: re-wrap each payload at a new width (geometry-only —
-    a real build swaps the body for PIL resize; batch flow identical)."""
+    a real build swaps the body for PIL resize; batch flow identical).
+    ``codec`` as in extract_metadata."""
+    decode = decode_payload if codec is None else codec
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                meta = decode_payload(payload)
+                meta = decode(payload)
                 body_len = meta["n_bytes"] - 8
                 rows.append(
                     (

@@ -459,9 +459,12 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: binaryFile is a normal FileScan — files are split across
     executors by the listing, filters on path/length push down, and the
-    md5 is a JVM expression over the content column. (The stage-out here
-    materializes one file per sampled doc; at 100 TB the source would
-    already BE files on the object store.)"""
+    md5 is a JVM expression over the content column. The stage-out
+    materializes one file per sampled doc via ``foreachPartition`` —
+    each executor task writes its own slice to shared storage, so the
+    payload bytes never pass through the driver (at 100 TB the source
+    would already BE files on the object store and staging disappears
+    entirely)."""
     docs = t(spark, sf_dir, "documents").filter(
         (F.col("doc_id") % BINARY_SAMPLE_MOD == 0)
         # A NULL payload has no file to stage; the oracle mirrors the
@@ -470,11 +473,16 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("text").isNotNull()
     )
     base = fresh_dir(os.path.join(SCRATCH, "scan_binaryfile"))
-    for row in docs.select("doc_id", "text").collect():
-        # Bounded by construction: 1/BINARY_SAMPLE_MOD of documents, and
-        # only for fixture staging (a real deployment starts from files).
-        with open(os.path.join(base, f"doc_{row.doc_id}.bin"), "wb") as f:
-            f.write(row.text.encode("utf-8"))
+
+    def _stage_slice(rows):
+        import os as _os
+
+        for row in rows:
+            name = _os.path.join(base, f"doc_{row['doc_id']}.bin")
+            with open(name, "wb") as f:
+                f.write(row["text"].encode("utf-8"))
+
+    docs.select("doc_id", "text").foreachPartition(_stage_slice)
 
     binf = spark.read.format("binaryFile").load(base)
     return binf.select(

@@ -22,6 +22,7 @@ from ..operators.text import (
     fingerprint,
     ascii_lower,
     lang_score,
+    lang_tokens,
     sql_lang_score,
 )
 from . import Query
@@ -115,10 +116,17 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID with deterministic argmax tie-breaking
     (engine-verifiable heuristic; see operators/text.py)."""
     docs = t(spark, sf_dir, "documents")
-    scored = docs.select(
+    # Tokenize ONCE in its own projection: CollapseProject keeps the
+    # non-cheap lower+split out of the five per-language scores (inlined,
+    # it re-evaluates 5× per row — the round-4 0.45→0.80 s warm swing).
+    tokenized = docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"),
+        lang_tokens().alias("_toks"),
+    )
+    scored = tokenized.select(
         "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        *[lang_score(lg).alias(f"s_{lg}") for lg in LANG_ORDER],
+        "labeled_lang",
+        *[lang_score(lg, F.col("_toks")).alias(f"s_{lg}") for lg in LANG_ORDER],
     )
     guess = None
     for lg in LANG_ORDER:
@@ -367,7 +375,12 @@ def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     the verify is one broadcast-free join of the candidate list back to
     the two text columns. Determinism: both engines implement classic
     character-Levenshtein (identical integers) and the relative ratio
-    is one IEEE division of identical ints, floor-quantized."""
+    is one IEEE division of identical ints, floor-quantized.
+
+    Contract: the distance covers the first EDITDIST_PREFIX_BYTES (1 KiB)
+    of each text only — see ARCHITECTURE.md §"Dedup family" (Edit
+    distance) for the consumer-facing implications and the re-verify
+    recipe for full-text identity."""
     docs = t(spark, sf_dir, "documents")
     cand = ngram_jaccard_pairs(
         docs, threshold=EDITDIST_BLOCK_JACCARD, block_col="lang",
