@@ -281,9 +281,9 @@ SELECT o_orderkey,
            AS plus_3mo,
        strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
            AS month_end,
-       CAST(quarter(o_orderdate) AS INT) AS q,
-       CAST(isodow(o_orderdate) AS INT) AS iso_dow,
-       CAST(weekofyear(o_orderdate) AS INT) AS iso_week
+       CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS q,
+       CAST(isodow(CAST(o_orderdate AS DATE)) AS INT) AS iso_dow,
+       CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS iso_week
 FROM orders
 """
 

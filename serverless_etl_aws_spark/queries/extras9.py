@@ -46,20 +46,43 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The oracle mirrors Spark's THREE-VALUED exists/forall/aggregate
+# semantics explicitly (ADVICE r4): a NULL array → NULL; a NULL element
+# with no decisive match → NULL for exists (no TRUE seen) and forall (no
+# FALSE seen), and poisons the fold aggregates. A bare
+# len(list_filter(...)) > 0 emulation would answer FALSE/TRUE instead of
+# NULL the moment a fixture regeneration null-drifts embedding elements.
+# list_sum([]) is NULL in DuckDB but Spark's fold starts at 0D, hence the
+# COALESCE on the empty-array path.
 FN_HIGHER_ORDER_SQL = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), flags AS (
+  SELECT vec_id, v,
+         v IS NULL AS vnull,
+         COALESCE(len(list_filter(v, x -> x IS NULL)) > 0, FALSE)
+           AS has_null_elem
+  FROM e
 )
 SELECT vec_id,
        CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_pos,
-       len(list_filter(v, x -> abs(x) > 0.2)) > 0 AS has_big,
-       len(list_filter(v, x -> NOT abs(x) < 1.0)) = 0 AS all_small,
-       CAST(floor(list_sum(list_transform(v, x -> x * x)) * 1e6)
+       CASE WHEN vnull THEN NULL
+            WHEN len(list_filter(v, x -> abs(x) > 0.2)) > 0 THEN TRUE
+            WHEN has_null_elem THEN NULL
+            ELSE FALSE END AS has_big,
+       CASE WHEN vnull THEN NULL
+            WHEN len(list_filter(v, x -> NOT abs(x) < 1.0)) > 0 THEN FALSE
+            WHEN has_null_elem THEN NULL
+            ELSE TRUE END AS all_small,
+       CAST(CASE WHEN vnull OR has_null_elem THEN NULL
+            ELSE floor(COALESCE(list_sum(list_transform(v, x -> x * x)), 0)
+                       * 1e6) END
             AS BIGINT) AS sumsq_q6,
-       CAST(floor(list_sum(list_transform(range(1, len(v) + 1),
-                  i -> v[i] * v[len(v) - i + 1])) * 1e6)
+       CAST(CASE WHEN vnull OR has_null_elem THEN NULL
+            ELSE floor(COALESCE(list_sum(list_transform(range(1, len(v) + 1),
+                       i -> v[i] * v[len(v) - i + 1])), 0) * 1e6) END
             AS BIGINT) AS palindot_q6
-FROM e
+FROM flags
 """
 
 

@@ -210,3 +210,31 @@ def test_measure_columns_fit_decimal_scale_4():
                     f"cast in queries/_util.py is no longer exact; bump "
                     f"DEC's scale and every oracle mirror together"
                 )
+
+
+def test_embedding_label_blocks_stay_below_dedup_exact_path_cap():
+    """llm_dedup_embedding (queries/llm.py) raises its block cap to 4096
+    precisely so every fixture label block takes the EXACT all-pairs path
+    the DuckDB oracle mirrors; a regenerated fixture with a single label
+    block over the cap would silently switch the key to the approximate
+    KMeans sub-clustering path and red the oracle with no code change
+    (ADVICE r4). Fire loudly here instead, at well below the cap so
+    there is headroom to react before behavior flips."""
+    from collections import Counter
+
+    EXACT_PATH_CAP = 4096  # keep in sync with llm_dedup_embedding
+    root = "/root/testdata"
+    for sf in sorted(os.listdir(root)):
+        path = os.path.join(root, sf, "embeddings.parquet")
+        if not os.path.exists(path):
+            continue
+        labels = pq.read_table(path, columns=["label"])["label"].to_pylist()
+        biggest = max(Counter(labels).values(), default=0)
+        assert biggest <= EXACT_PATH_CAP // 2, (
+            f"fixture drift: {sf}/embeddings has a label block of "
+            f"{biggest} rows, within 2x of llm_dedup_embedding's "
+            f"max_block={EXACT_PATH_CAP} exact-path cap — a further "
+            f"regeneration could flip the key onto the approximate "
+            f"sub-clustering path and break its exact all-pairs oracle; "
+            f"raise the cap (and this tripwire) deliberately instead"
+        )

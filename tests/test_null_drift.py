@@ -236,3 +236,55 @@ def test_empty_string_drift_parity(spark, empty_sf_dir, key):
         f"{key}: {result.detail} "
         f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
     )
+
+
+@pytest.fixture(scope="session")
+def nullvec_sf_dir(tmp_path_factory) -> str:
+    """sf0.001 with the EMBEDDING column itself drifted — the one column
+    the main null sweep leaves intact: ~3% of vectors get one NULL
+    element, a few vectors become NULL wholesale, and one becomes the
+    empty list. This is the fixture shape that splits Spark's
+    three-valued exists/forall (NULL) from a naive len(list_filter(...))
+    oracle emulation (FALSE/TRUE) — ADVICE r4."""
+    dst = str(tmp_path_factory.mktemp("nullvecfix"))
+    rng = np.random.default_rng(11)
+    tbl = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    idx = tbl.schema.get_field_index("embedding")
+    vecs = tbl["embedding"].to_pylist()
+    for i in range(len(vecs)):
+        r = rng.random()
+        if r < 0.01:
+            vecs[i] = None
+        elif r < 0.02:
+            vecs[i] = []
+        elif r < 0.05 and vecs[i]:
+            v = list(vecs[i])
+            v[int(rng.integers(len(v)))] = None
+            vecs[i] = v
+    tbl = tbl.set_column(
+        idx, "embedding", pa.array(vecs, type=tbl.schema.field("embedding").type)
+    )
+    pq.write_table(tbl, os.path.join(dst, "embeddings.parquet"))
+    for name in [*NULLABLE, *COPY]:
+        if name != "embeddings":
+            shutil.copy(
+                os.path.join(SRC, f"{name}.parquet"),
+                os.path.join(dst, f"{name}.parquet"),
+            )
+    return dst
+
+
+def test_higher_order_3vl_parity_under_null_vector_elements(
+    spark, nullvec_sf_dir
+):
+    """fn_higher_order's oracle mirrors Spark's 3VL exists/forall and
+    fold-NULL-poisoning explicitly; this pins it against the drifted
+    embedding column (NULL elements, NULL vectors, an empty vector)."""
+    q = REGISTRY["fn_higher_order"]
+    result = compare(
+        "fn_higher_order", q.fn(spark, nullvec_sf_dir), q.sql, nullvec_sf_dir
+    )
+    assert result.ok, (
+        f"fn_higher_order: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )
