@@ -113,6 +113,10 @@ SF1_KEYS = [
     "join_asof_tolerance", "ts_rolling_zscore", "win_frame_range_time",
     # round-4 seventh wave
     "graph_label_propagation", "dim_snapshot_diff", "agg_multi_distinct",
+    # round-5: the dedup-family tail (VERDICT r4 #3) — embedding-cosine
+    # blocks and simhash banding were the last members without a 10×
+    # data point
+    "llm_dedup_embedding", "llm_dedup_simhash",
 ]
 
 
@@ -178,7 +182,18 @@ def build_sf1() -> str:
         "event_id": max_plus_1("events", "event_id"),
         "user_id": max_plus_1("events", "user_id"),
     })
-    rep("embeddings", {"vec_id": max_plus_1("embeddings", "vec_id")})
+    # label is shifted too (same rationale as the documents token salt):
+    # verbatim replication under a FIXED label set grows every block 10×,
+    # so the exact all-pairs path inside a block does 100× work and emits
+    # ~100× true pairs (every replica copy is a cosine-1.0 dup of its
+    # original) — measuring an input distribution shift, not the
+    # operator. New corpus data arriving as NEW clusters (blocks grow in
+    # COUNT at the distribution's block size) is the SemDeDup scale
+    # model; replica-identical vectors land in disjoint blocks.
+    rep("embeddings", {
+        "vec_id": max_plus_1("embeddings", "vec_id"),
+        "label": max_plus_1("embeddings", "label"),
+    })
 
     def mutate_docs(t2, i):
         if i == 0:
