@@ -82,6 +82,7 @@ def build_registry() -> dict[str, Query]:
         extras8,
         extras9,
         extras10,
+        extras11,
         joins,
         llm,
         pipeline_ops,
@@ -114,6 +115,7 @@ def build_registry() -> dict[str, Query]:
         extras8,
         extras9,
         extras10,
+        extras11,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

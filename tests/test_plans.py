@@ -419,3 +419,56 @@ def test_rolling_zscore_two_exchanges_max(spark, sf_dir):
 
     plan = plan_of(ts_rolling_zscore(spark, sf_dir))
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_paragraph_dedup_boilerplate_moves_hashes_not_text(spark, sf_dir):
+    """The boilerplate decision must shuffle only the 128-bit segment
+    hash: the groupBy that counts distinct docs per segment reads (h,
+    doc_id), and the segment text re-joins via anti-join afterwards. A
+    plan that grouped by the raw segment string would shuffle the corpus
+    text twice."""
+    from serverless_etl_aws_spark.queries.extras11 import llm_paragraph_dedup
+
+    plan = plan_of(llm_paragraph_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the distinct-docs count partial-aggregates before its exchange
+    assert "partial_count(distinct" in plan or "partial_merge" in plan
+
+
+def test_heavy_hitters_candidates_and_total_broadcast(spark, sf_dir):
+    """Phase-2 exact verify joins the token stream against the sketch's
+    candidate list and the 1-row total — BOTH must broadcast; shuffling
+    the token stream to meet a ≤K×partitions candidate list would defeat
+    the sketch."""
+    from serverless_etl_aws_spark.queries.extras11 import agg_heavy_hitters
+
+    plan = plan_of(agg_heavy_hitters(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total crossJoin
+    assert "CartesianProduct" not in plan
+
+
+def test_analyze_split_keeps_minmax_in_codegen(spark, sf_dir):
+    """maintenance_analyze's design point: string min/max must NOT ride
+    the Expand-based multi-distinct aggregate (interpreted fallback,
+    measured 5x slower) — the plan carries a separate codegen'd scan
+    pass joined 1x1."""
+    from serverless_etl_aws_spark.queries.extras11 import maintenance_analyze
+
+    plan = plan_of(maintenance_analyze(spark, sf_dir))
+    assert "Expand" in plan                      # the NDV pass
+    assert "BroadcastNestedLoopJoin" in plan     # the 1x1 join
+    # min/max partials live in the non-Expand aggregate
+    head = plan.split("Expand")[0]
+    assert "partial_min" in head or "min(" in head
+
+
+def test_ewma_single_window_exchange(spark, sf_dir):
+    """One shuffle (the user_id window partition), no Python: the fold
+    over the frame list is a JVM higher-order aggregate."""
+    from serverless_etl_aws_spark.queries.extras11 import ts_ewma
+
+    plan = plan_of(ts_ewma(spark, sf_dir))
+    assert plan.count("Exchange") <= 2  # window hash partitioning (+AQE read)
+    assert "Python" not in plan
+    assert "Window" in plan
