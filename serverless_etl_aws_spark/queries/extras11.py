@@ -402,3 +402,82 @@ QUERIES: dict[str, Query] = {
         "trailing-window EWMA via frame-ordered sequential fold",
     ),
 }
+
+
+# ------------------------------------------------- scan_jdbc
+
+JDBC_SAMPLE_MOD = 20
+JDBC_PARTS = 8
+
+
+def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC source/sink round-trip against an embedded Derby database
+    (the RDBMS driver Spark itself ships for its metastore): export a
+    deterministic orders slice through the JDBC WRITER, read it back
+    through the JDBC READER as a PARTITIONED parallel scan, and return
+    the rows — the warehouse-integration path (operational DB extract /
+    dimension sync) the file sources can't exercise. The oracle
+    recomputes the slice from parquet, so a lossy export, a truncated
+    read, or a type mangled by the DB round-trip (DOUBLE must come back
+    bit-identical) all hash-mismatch.
+
+    Scale shape: the read is split into JDBC_PARTS range predicates on
+    o_orderkey (lowerBound/upperBound from one 2-scalar aggregate), so
+    executors pull ranges concurrently instead of one serial cursor —
+    the property that matters when the relational side is large. The
+    bounds collect is 2 scalars; data never passes through the driver.
+    Embedded Derby keeps the demo hermetic; a deployment swaps the URL
+    and driver class for Postgres/MySQL with the same plan."""
+    import os as _os
+
+    from ._util import scratch_root
+
+    db_dir = _os.path.join(scratch_root(), "scan_jdbc", "db")
+    _os.makedirs(_os.path.dirname(db_dir), exist_ok=True)
+    url = f"jdbc:derby:{db_dir};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    src = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % JDBC_SAMPLE_MOD == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+    (
+        src.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "app.orders_export")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    lo, hi = (
+        src.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    )  # bounded: exactly 2 scalars (range-partitioning bounds)
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "app.orders_export")
+        .option("driver", driver)
+    )
+    if lo is not None:  # empty slice → single-partition read
+        reader = (
+            reader.option("partitionColumn", "o_orderkey")
+            .option("numPartitions", str(JDBC_PARTS))
+            .option("lowerBound", str(lo))
+            .option("upperBound", str(max(hi, lo + 1)))
+        )
+    return reader.load().select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+
+
+SCAN_JDBC_SQL = f"""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderkey % {JDBC_SAMPLE_MOD} = 0
+"""
+
+QUERIES["scan_jdbc"] = Query(
+    scan_jdbc, SCAN_JDBC_SQL,
+    "JDBC sink+source round-trip (embedded Derby, range-partitioned read)",
+)
