@@ -117,6 +117,9 @@ SF1_KEYS = [
     # blocks and simhash banding were the last members without a 10×
     # data point
     "llm_dedup_embedding", "llm_dedup_simhash",
+    # round-5 second wave: the new breadth keys
+    "llm_paragraph_dedup", "maintenance_analyze", "agg_heavy_hitters",
+    "ts_ewma", "scan_jdbc",
 ]
 
 
