@@ -83,6 +83,7 @@ def build_registry() -> dict[str, Query]:
         extras9,
         extras10,
         extras11,
+        extras12,
         joins,
         llm,
         pipeline_ops,
@@ -116,6 +117,7 @@ def build_registry() -> dict[str, Query]:
         extras9,
         extras10,
         extras11,
+        extras12,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

@@ -1,0 +1,236 @@
+"""Round-5 third wave: the atomic snapshot table as a queryable source,
+ANSI error-safe casts/arithmetic, and deterministic random-projection
+dimensionality reduction.
+
+``scan_atomic_table`` is the registry-facing proof of the round's commit
+protocol (pipeline/atomic.py): it performs two real commits AND one
+crashed commit against a snapshot table, then reads the result back — a
+driver-audited hash over exactly the state crash-atomicity promises.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import Query
+from ._util import dsum, fquant, sql_dsum, t
+
+# ------------------------------------------------- scan_atomic_table
+
+ATOMIC_HOT = ("1-URGENT", "2-HIGH")  # partitions refreshed by commit 2
+
+
+def scan_atomic_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-table lifecycle as a query source: build a gold aggregate
+    table through the manifest-pointer commit protocol — commit 1 loads a
+    half-data aggregate for every priority, a CRASHED commit (injected
+    fault after data staging, before the manifest rename) tries to
+    corrupt it, commit 2 refreshes the hot partitions from full data,
+    vacuum reaps the orphan+superseded snapshots — then read the table.
+
+    The oracle recomputes the expected END state from raw orders (full
+    data for the hot priorities, half data for the rest), so the hash
+    check proves all four protocol properties at once: the crashed
+    commit's files are invisible, the refresh replaced exactly its
+    partitions, untouched partitions still serve the original snapshot,
+    and vacuum removed nothing live.
+
+    Scale: each commit is one aggregate write of the touched slice; the
+    read is one multi-path parquet scan with partition discovery — the
+    same shape as a normal partitioned table, plus one tiny manifest
+    read."""
+    import os
+
+    from ..pipeline.atomic import AtomicPartitionedTable
+    from ._util import fresh_dir, scratch_root
+
+    base = fresh_dir(os.path.join(scratch_root(), "scan_atomic_table"))
+    table = AtomicPartitionedTable(
+        spark, os.path.join(base, "tbl"), "o_orderpriority"
+    )
+    orders = t(spark, sf_dir, "orders")
+
+    def gold(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("order_count"),
+            dsum("o_totalprice").alias("sum_totalprice"),
+        )
+
+    # commit 1: half the data, every priority
+    table.commit_overwrite_partitions(
+        gold(orders.filter(F.col("o_orderkey") % 2 == 0)).coalesce(1)
+    )
+
+    # a crashed commit: staged data for ALL priorities from a WRONG
+    # aggregate (doubled counts) — must stay invisible
+    class _Crash(RuntimeError):
+        pass
+
+    def _fault(stage: str) -> None:
+        if stage == "staged":
+            raise _Crash
+
+    try:
+        table.commit_overwrite_partitions(
+            gold(orders).withColumn(
+                "order_count", F.col("order_count") * 2
+            ).coalesce(1),
+            fault=_fault,
+        )
+    except _Crash:
+        pass  # the simulated kill; the table must still read as commit 1
+
+    # commit 2: refresh the hot priorities from FULL data
+    table.commit_overwrite_partitions(
+        gold(orders.filter(F.col("o_orderpriority").isin(*ATOMIC_HOT)))
+        .coalesce(1)
+    )
+    table.vacuum()  # reaps the orphan + superseded snapshots, nothing live
+    return table.read().select(
+        "o_orderpriority", "order_count", "sum_totalprice"
+    )
+
+
+_hot_list = ", ".join(f"'{p}'" for p in ATOMIC_HOT)
+SCAN_ATOMIC_TABLE_SQL = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS order_count,
+       {sql_dsum('o_totalprice')} AS sum_totalprice
+FROM orders
+WHERE o_orderpriority IN ({_hot_list}) OR o_orderkey % 2 = 0
+GROUP BY o_orderpriority
+"""
+
+
+# ------------------------------------------------- fn_try_cast
+
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safe surface: try_cast over deliberately mixed
+    good/garbage strings and try_divide through zero denominators —
+    malformed input maps to NULL instead of failing the job, the
+    semantics a 100 TB ingest needs (one bad row must not kill a stage).
+    The oracle uses DuckDB's TRY_CAST and its NULL-on-zero division, so
+    both engines' error-value tables must agree row-for-row."""
+    orders = t(spark, sf_dir, "orders")
+    raw = F.when(
+        F.col("o_orderkey") % 3 == 0,
+        F.concat(F.lit("x"), F.col("o_orderkey").cast("string")),
+    ).otherwise(F.col("o_orderkey").cast("string"))
+    rawdate = F.when(
+        F.col("o_orderkey") % 4 == 0, F.lit("2024-13-01")
+    ).otherwise(F.lit("2024-02-29"))
+    denom = (F.col("o_orderkey") % 5).cast("double")
+    return orders.select(
+        "o_orderkey",
+        raw.alias("raw_int"),
+        raw.try_cast("bigint").alias("as_int"),
+        rawdate.try_cast("date").cast("string").alias("as_date"),
+        fquant(
+            F.try_divide(F.col("o_totalprice"), denom), 4
+        ).alias("safe_div_q4"),
+    )
+
+
+FN_TRY_CAST_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'x' || CAST(o_orderkey AS VARCHAR)
+            ELSE CAST(o_orderkey AS VARCHAR) END AS raw_int,
+       TRY_CAST(CASE WHEN o_orderkey % 3 = 0
+                     THEN 'x' || CAST(o_orderkey AS VARCHAR)
+                     ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT)
+         AS as_int,
+       CAST(TRY_CAST(CASE WHEN o_orderkey % 4 = 0 THEN '2024-13-01'
+                          ELSE '2024-02-29' END AS DATE) AS VARCHAR)
+         AS as_date,
+       floor(o_totalprice / CAST(o_orderkey % 5 AS DOUBLE) * 10000.0)
+         / 10000.0 AS safe_div_q4
+FROM orders
+"""
+
+
+# ------------------------------------------------- ml_random_projection
+
+RP_DIMS = 4
+RP_A = 1103515245
+RP_B = 12345
+
+
+def _rp_sign(i, j: int):
+    """Deterministic ±1 weight from an LCG-style integer mix of (element
+    index, output dim) — pure bigint arithmetic, so both engines compute
+    the identical weight matrix with no RNG or shared seed protocol."""
+    return F.when(
+        F.pmod(i.cast("bigint") * RP_A + F.lit(j) * RP_B, 97) % 2 == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+
+
+def ml_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection of the embedding column to
+    RP_DIMS dimensions with a deterministic ±1 (Achlioptas) weight
+    matrix: y_j = Σ_i v_i · sign(i,j) / √d. The standard cheap
+    dimensionality-reduction step before clustering or coarse ANN at
+    corpus scale — distance-preserving in expectation, and here fully
+    oracle-checkable because the 'random' signs derive from integer
+    arithmetic both engines evaluate identically.
+
+    Scale: one map pass, JVM zip_with/aggregate lambdas per output dim
+    (sequential fold = identical IEEE order cross-engine), no shuffle at
+    all."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    idx = F.sequence(F.lit(1), F.size("v"))
+    d = F.sqrt(F.size("v").cast("double"))
+    cols = []
+    for j in range(1, RP_DIMS + 1):
+        s = F.aggregate(
+            F.zip_with("v", idx, lambda x, i: x * _rp_sign(i, j)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(fquant(s / d, 6).alias(f"rp_{j}_q6"))
+    return emb.select("vec_id", *cols)
+
+
+def _rp_sql() -> str:
+    cols = []
+    for j in range(1, RP_DIMS + 1):
+        sign = (
+            f"CASE WHEN ((i * {RP_A} + {j} * {RP_B}) % 97 + 97) % 97 % 2 = 0 "
+            f"THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END"
+        )
+        fold = (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(range(1, len(v) + 1), i -> v[i] * {sign})), "
+            f"(acc, x) -> acc + x)"
+        )
+        cols.append(
+            f"floor({fold} / sqrt(CAST(len(v) AS DOUBLE)) * 1000000.0) "
+            f"/ 1000000.0 AS rp_{j}_q6"
+        )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings) SELECT vec_id, " + ", ".join(cols) + " FROM e"
+    )
+
+
+ML_RANDOM_PROJECTION_SQL = _rp_sql()
+
+
+QUERIES: dict[str, Query] = {
+    "scan_atomic_table": Query(
+        scan_atomic_table, SCAN_ATOMIC_TABLE_SQL,
+        "manifest-pointer snapshot table: commit/crash/refresh/vacuum/read",
+    ),
+    "fn_try_cast": Query(
+        fn_try_cast, FN_TRY_CAST_SQL,
+        "ANSI error-safe try_cast / try_divide NULL-on-error surface",
+    ),
+    "ml_random_projection": Query(
+        ml_random_projection, ML_RANDOM_PROJECTION_SQL,
+        "deterministic ±1 Johnson-Lindenstrauss projection, zero shuffle",
+    ),
+}

@@ -238,3 +238,31 @@ class TestMutatingSinksCrashAtomic:
             for r in table.read().filter(F.col("op") != "d").collect()
         }
         assert live == {1: "a2", 5: "e"}
+
+
+def test_concurrent_commit_same_version_one_wins_loudly(spark, tmp_path):
+    """Two writers racing the same commit number: the manifest rename is
+    to a never-before-used name, so exactly one rename succeeds and the
+    loser gets a loud conflict error — never a silent overwrite of the
+    winner's manifest."""
+    table = AtomicPartitionedTable(spark, str(tmp_path / "tbl"), "day")
+    table.commit_overwrite_partitions(df_of(spark, [("d1", "a", 1)]))
+
+    # simulate the race: while writer B is between staging and publish,
+    # writer A publishes manifest-2 (the same next version B computed)
+    def publish_rival(stage: str) -> None:
+        if stage == "staged":
+            table._write_file_atomic(
+                table.MANIFEST_DIR,
+                "manifest-2.json",
+                '{"version": 2, "partition_col": "day", "partitions": '
+                '{"day=d1": 1}}',
+            )
+
+    with pytest.raises(RuntimeError, match="atomic commit conflict"):
+        table.commit_overwrite_partitions(
+            df_of(spark, [("d1", "a", 99)]), fault=publish_rival
+        )
+    # the rival's manifest (version 2) is the current state, untouched
+    assert table.current_version() == 2
+    assert snapshot(table) == {("d1", "a"): 1}
