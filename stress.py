@@ -120,6 +120,8 @@ SF1_KEYS = [
     # round-5 second wave: the new breadth keys
     "llm_paragraph_dedup", "maintenance_analyze", "agg_heavy_hitters",
     "ts_ewma", "scan_jdbc",
+    # round-5 third wave
+    "scan_atomic_table", "fn_try_cast", "ml_random_projection",
 ]
 
 

@@ -472,3 +472,24 @@ def test_ewma_single_window_exchange(spark, sf_dir):
     assert plan.count("Exchange") <= 2  # window hash partitioning (+AQE read)
     assert "Python" not in plan
     assert "Window" in plan
+
+
+def test_random_projection_has_no_exchange(spark, sf_dir):
+    """JL projection is a pure map pass: no shuffle, no Python — four
+    sequential JVM folds over the vector column."""
+    from serverless_etl_aws_spark.queries.extras12 import ml_random_projection
+
+    plan = plan_of(ml_random_projection(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_atomic_table_read_is_partitioned_parquet_scan(spark, sf_dir):
+    """Reading a snapshot table is one multi-path parquet scan with
+    partition discovery — the same plan family as any partitioned table,
+    not a union of per-partition scans."""
+    from serverless_etl_aws_spark.queries.extras12 import scan_atomic_table
+
+    plan = plan_of(scan_atomic_table(spark, sf_dir))
+    assert "Union" not in plan
+    assert plan.count("FileScan parquet") == 1
