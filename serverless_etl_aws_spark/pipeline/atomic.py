@@ -152,32 +152,48 @@ class AtomicPartitionedTable:
         v = self.current_version() if version is None else version
         if v == 0:
             return {}
+        if version is not None and not self._fs().exists(
+            self._jpath(self.MANIFEST_DIR, f"manifest-{v}.json")
+        ):
+            raise FileNotFoundError(
+                f"atomic table {self.root} has no manifest for version {v} "
+                f"(never committed, or expired by vacuum)"
+            )
         text = self._read_small_file(
             self._jpath(self.MANIFEST_DIR, f"manifest-{v}.json")
         )
         doc = json.loads(text)
         return {str(k): int(s) for k, s in doc["partitions"].items()}
 
-    def current_partition_paths(self) -> dict[str, str]:
+    def current_partition_paths(
+        self, version: int | None = None
+    ) -> dict[str, str]:
         """Live partition dir name → absolute data path (for consumers
         that need file-level introspection, e.g. tests asserting untouched
-        partitions were not rewritten)."""
+        partitions were not rewritten). ``version`` pins a historical
+        manifest (time travel)."""
         return {
             name: f"{self.root}/{self.DATA_DIR}/snap={snap}/{name}"
-            for name, snap in self._manifest().items()
+            for name, snap in self._manifest(version).items()
         }
 
     # ------------------------------------------------------------------
     # Read / commit / vacuum
     # ------------------------------------------------------------------
-    def read(self) -> DataFrame:
+    def read(self, version: int | None = None) -> DataFrame:
         """One multi-path parquet scan of the live partitions. basePath
         recovers ``snap`` and the user partition column via standard
-        partition discovery; ``snap`` is dropped."""
-        paths = sorted(self.current_partition_paths().values())
+        partition discovery; ``snap`` is dropped.
+
+        ``version`` reads the table AS OF that commit (time travel):
+        manifests are immutable and snapshots are append-only, so any
+        un-vacuumed historical state reconstructs exactly. After
+        :meth:`vacuum` only the current version remains readable."""
+        paths = sorted(self.current_partition_paths(version).values())
         if not paths:
             raise FileNotFoundError(
                 f"atomic table {self.root} has no committed snapshot"
+                + (f" at version {version}" if version is not None else "")
             )
         return (
             self.spark.read.option("basePath", f"{self.root}/{self.DATA_DIR}")

@@ -266,3 +266,26 @@ def test_concurrent_commit_same_version_one_wins_loudly(spark, tmp_path):
     # the rival's manifest (version 2) is the current state, untouched
     assert table.current_version() == 2
     assert snapshot(table) == {("d1", "a"): 1}
+
+
+def test_time_travel_read_reconstructs_history(spark, tmp_path):
+    """Manifests are immutable and snapshots append-only, so read(version)
+    reconstructs any un-vacuumed historical state exactly; vacuum expires
+    history loudly, never silently serving the wrong version."""
+    table = AtomicPartitionedTable(spark, str(tmp_path / "tbl"), "day")
+    table.commit_overwrite_partitions(
+        df_of(spark, [("d1", "a", 1), ("d2", "b", 2)])
+    )
+    table.commit_overwrite_partitions(df_of(spark, [("d1", "a", 10)]))
+    table.commit_overwrite_partitions(df_of(spark, [("d2", "b", 20)]))
+    assert {
+        (r["day"], r["k"]): r["v"] for r in table.read(version=1).collect()
+    } == {("d1", "a"): 1, ("d2", "b"): 2}
+    assert {
+        (r["day"], r["k"]): r["v"] for r in table.read(version=2).collect()
+    } == {("d1", "a"): 10, ("d2", "b"): 2}
+    assert snapshot(table) == {("d1", "a"): 10, ("d2", "b"): 20}
+    table.vacuum()
+    assert snapshot(table) == {("d1", "a"): 10, ("d2", "b"): 20}
+    with pytest.raises(FileNotFoundError, match="expired by vacuum"):
+        table.read(version=1)
