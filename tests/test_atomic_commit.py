@@ -289,3 +289,26 @@ def test_time_travel_read_reconstructs_history(spark, tmp_path):
     assert snapshot(table) == {("d1", "a"): 10, ("d2", "b"): 20}
     with pytest.raises(FileNotFoundError, match="expired by vacuum"):
         table.read(version=1)
+
+
+def test_many_commits_soak_matches_replay_and_survives_vacuum(spark, tmp_path):
+    """30 round-robin commits across 4 partitions: the table must equal a
+    driver-side replay of the same overwrite sequence at every 10th
+    commit, and vacuum at the end must keep exactly the live snapshots
+    while preserving state."""
+    table = AtomicPartitionedTable(spark, str(tmp_path / "tbl"), "day")
+    expected: dict[tuple, int] = {}
+    for n in range(1, 31):
+        day = f"d{n % 4}"
+        rows = [(day, "a", n), (day, "b", n * 10)]
+        table.commit_overwrite_partitions(df_of(spark, rows))
+        for d, k, v in rows:
+            expected[(d, k)] = v
+        if n % 10 == 0:
+            assert snapshot(table) == expected, f"diverged at commit {n}"
+    assert table.current_version() == 30
+    table.vacuum()
+    assert snapshot(table) == expected
+    # live snapshots = the last writer of each of the 4 partitions
+    data_dirs = sorted(os.listdir(os.path.join(table.root, "data")))
+    assert data_dirs == ["snap=27", "snap=28", "snap=29", "snap=30"]
