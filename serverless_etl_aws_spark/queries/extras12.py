@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from . import Query
 from ._util import dsum, fquant, sql_dsum, t
@@ -234,3 +235,56 @@ QUERIES: dict[str, Query] = {
         "deterministic ±1 Johnson-Lindenstrauss projection, zero shuffle",
     ),
 }
+
+
+# ------------------------------------------------- win_ignore_nulls
+
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation — the gap-fill surface (sensor
+    dropouts, sparse CDC images): per series, carry the last known value
+    forward, the next known value backward, and the strictly-next
+    non-null observation. The drift sweep null-injects events.value, so
+    this key's cross-engine parity is exercised with real gaps, not just
+    dense data.
+
+    Spark expresses all three with frame-bounded first/last(ignorenulls)
+    — lead-with-IGNORE-NULLS is exactly FIRST_VALUE(ignore nulls) over
+    (1 FOLLOWING → ∞), which both engines implement. One shuffle on the
+    series key; each fill is a linear in-partition pass."""
+    ev = t(spark, sf_dir, "events")
+    order = (F.col("ts").asc(), F.col("event_id").asc())
+    base = Window.partitionBy("user_id").orderBy(*order)
+    w_ff = base.rowsBetween(Window.unboundedPreceding, 0)
+    w_bf = base.rowsBetween(0, Window.unboundedFollowing)
+    w_nn = base.rowsBetween(1, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "value",
+        F.last("value", ignorenulls=True).over(w_ff).alias("fill_fwd"),
+        F.first("value", ignorenulls=True).over(w_bf).alias("fill_bwd"),
+        F.first("value", ignorenulls=True).over(w_nn).alias("next_nn"),
+    )
+
+
+WIN_IGNORE_NULLS_SQL = """
+SELECT event_id, user_id,
+       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+       value,
+       LAST_VALUE(value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_fwd,
+       FIRST_VALUE(value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fill_bwd,
+       FIRST_VALUE(value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_nn
+FROM events
+"""
+
+QUERIES["win_ignore_nulls"] = Query(
+    win_ignore_nulls, WIN_IGNORE_NULLS_SQL,
+    "IGNORE NULLS navigation: forward/backward fill + next non-null",
+)
