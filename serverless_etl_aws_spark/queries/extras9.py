@@ -238,6 +238,20 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint to truncate lineage. Output: per-iteration learned
     pair, its (overlap-counted) frequency, applied merge count, and
     corpus tokens remaining."""
+    rows, _seq = _bpe_run(spark, sf_dir)
+    return spark.createDataFrame(
+        rows,
+        "it int, pair_a string, pair_b string, pair_count long,"
+        " merges long, tokens_after long",
+    )
+
+
+def _bpe_run(spark: SparkSession, sf_dir: str):
+    """Shared BPE merge engine: BPE_ITERS exact iterations, returning
+    (per-iteration stats rows, final encoded sequence DF). llm_bpe_train
+    reports the former; llm_bpe_encode aggregates the latter — train and
+    apply share one implementation, so the learned merges and the encoded
+    corpus can never drift apart."""
     docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     seq = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
@@ -304,11 +318,7 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((it, a, b, int(c), int(n_merges), int(n_tokens)))
         seq = rebuilt
 
-    return spark.createDataFrame(
-        rows,
-        "it int, pair_a string, pair_b string, pair_count long,"
-        " merges long, tokens_after long",
-    )
+    return rows, seq
 
 
 def _bpe_iter_sql(i: int) -> str:
@@ -351,6 +361,12 @@ w{i} AS MATERIALIZED (
          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
          CASE WHEN ms THEN tok || ' ' || nxt ELSE tok END AS tok
   FROM l{i} WHERE NOT COALESCE(pm, FALSE)
+  -- degenerate-corpus fallback: an empty pair vocabulary (t{i} has no
+  -- row) empties the rebuild chain via the CROSS JOIN, but the Spark
+  -- loop BREAKs and keeps the previous sequence — carry s{p} forward
+  UNION ALL
+  SELECT doc_id, pos, tok FROM s{p}
+  WHERE NOT EXISTS (SELECT 1 FROM t{i})
 ), r{i} AS (
   SELECT {i} AS it,
          (SELECT a FROM t{i}) AS pair_a,
@@ -386,3 +402,59 @@ UNION ALL SELECT * FROM r3 WHERE pair_a IS NOT NULL
 QUERIES["llm_bpe_train"] = Query(
     llm_bpe_train, LLM_BPE_TRAIN_SQL,
     "3 exact distributed BPE merge iterations (unrolled SQL oracle)")
+
+
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the other half of the BPE story: encode
+    the corpus with the learned merges and report, per document, the
+    final token count, how many tokens are merge products, and an
+    order-sensitive md5 of the encoded sequence (so a mis-ordered or
+    mis-merged rebuild cannot hash-match even with correct counts).
+
+    Shares the merge engine with llm_bpe_train (_bpe_run) — in a real
+    pipeline train and apply MUST agree on leftmost-greedy semantics,
+    and sharing the implementation makes divergence impossible. The
+    oracle replays the identical unrolled iterations (the train
+    oracle's CTE chain) and aggregates its final sequence.
+
+    Scale: the encode output is one groupBy over the final sequence —
+    O(tokens) rows into a per-doc aggregate, all JVM."""
+    _rows, seq = _bpe_run(spark, sf_dir)
+    return seq.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("tok").contains(" ").cast("long")).alias("n_merged"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("seq_md5"),
+    )
+
+
+LLM_BPE_ENCODE_SQL = (
+    """
+WITH s0 AS (
+  SELECT doc_id, i.i - 1 AS pos, tk[i.i] AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        FROM documents WHERE text IS NOT NULL) d
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) i
+)"""
+    + "".join("," + _bpe_iter_sql(i) for i in range(1, BPE_ITERS + 1))
+    + f"""
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(CASE WHEN contains(tok, ' ') THEN 1 END) AS BIGINT)
+         AS n_merged,
+       md5(string_agg(tok, '|' ORDER BY pos)) AS seq_md5
+FROM s{BPE_ITERS}
+GROUP BY doc_id
+"""
+)
+
+QUERIES["llm_bpe_encode"] = Query(
+    llm_bpe_encode, LLM_BPE_ENCODE_SQL,
+    "apply learned BPE merges: per-doc encoded-sequence stats + hash")
