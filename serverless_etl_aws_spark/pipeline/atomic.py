@@ -214,12 +214,42 @@ class AtomicPartitionedTable:
         ]
         return max([self.current_version(), *snap_ids], default=0) + 1
 
+    #: Characters Spark's ExternalCatalogUtils.escapePathName escapes in
+    #: hive-style partition dir names (plus ASCII control chars).
+    _HIVE_ESCAPED = set('"#%\'*/:=?\\\x7f{[]^')
+
+    def partition_dir_name(self, value) -> str:
+        """The hive-style directory name Spark writes for a partition
+        value — the key used in the manifest mapping. Mirrors Spark's
+        escapePathName so ``replaced`` values round-trip for strings
+        with special characters and for NULL."""
+        if value is None:
+            return f"{self.partition_col}=__HIVE_DEFAULT_PARTITION__"
+        escaped = "".join(
+            f"%{ord(c):02X}"
+            if c in self._HIVE_ESCAPED or ord(c) < 0x20
+            else c
+            for c in str(value)
+        )
+        return f"{self.partition_col}={escaped}"
+
     def commit_overwrite_partitions(
-        self, df: DataFrame, fault: FaultHook | None = None
+        self,
+        df: DataFrame,
+        fault: FaultHook | None = None,
+        replaced: list | None = None,
     ) -> int:
         """Atomically replace exactly the partitions present in ``df``
         (which must carry ``partition_col``); all other live partitions
         are untouched — their files are not even read.
+
+        ``replaced`` names partition VALUES whose full contents this
+        commit owns: any of them for which ``df`` produced no rows are
+        DROPPED from the manifest (the only way to empty a partition —
+        without it, a row-level delete that eliminates a partition's
+        last row would silently keep serving the old files). The drop,
+        like the overwrite, happens only at the manifest publish, so it
+        is exactly as crash-atomic as the writes.
 
         Protocol: write ``df`` into a fresh ``snap=N`` dir (invisible to
         readers), list the partition dirs it produced, then publish
@@ -244,6 +274,9 @@ class AtomicPartitionedTable:
         if fault is not None:
             fault("staged")
         mapping = self._manifest()
+        if replaced is not None:
+            for value in replaced:
+                mapping.pop(self.partition_dir_name(value), None)
         for name in written:
             mapping[name] = snap
         manifest = {

@@ -93,22 +93,28 @@ class PartitionedRollup:
         gold = self.aggregate(
             silver.filter(_partition_predicate(self.partition_col, values))
         )
-        self._write_gold(gold, len(values), fault)
+        self._write_gold(gold, values, fault)
         return len(values)
 
     def _write_gold(
         self,
         gold: DataFrame,
-        n_partitions: int,
+        touched_values: list,
         fault: FaultHook | None = None,
     ) -> None:
         """Crash-atomically replace the touched gold partitions (snapshot
         + manifest rename, see AtomicPartitionedTable), coalesced to ~1
         writer task per 32 touched partitions (the slice is
         aggregate-sized by construction; without the coalesce files ≈
-        tasks × partitions)."""
+        tasks × partitions). The touched values are handed to the commit
+        as its ``replaced`` set, so a refresh whose recompute yields NO
+        rows for a touched partition (every silver row for that day was
+        deleted) empties the gold partition instead of leaving it
+        stale."""
         self.table.commit_overwrite_partitions(
-            gold.coalesce(max(1, n_partitions // 32)), fault=fault
+            gold.coalesce(max(1, len(touched_values) // 32)),
+            fault=fault,
+            replaced=touched_values,
         )
 
     def _gold_exists(self) -> bool:
@@ -213,7 +219,7 @@ class PartitionedRollup:
             both = existing.unionByName(delta_gold)
         else:
             both = delta_gold
-        self._write_gold(merge(both), len(touched), fault)
+        self._write_gold(merge(both), touched, fault)
         return len(touched)
 
     def read_gold(self) -> DataFrame:

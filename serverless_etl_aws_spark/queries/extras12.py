@@ -288,3 +288,78 @@ QUERIES["win_ignore_nulls"] = Query(
     win_ignore_nulls, WIN_IGNORE_NULLS_SQL,
     "IGNORE NULLS navigation: forward/backward fill + next non-null",
 )
+
+
+# ------------------------------------------------- maintenance_delete_rows
+
+DELETE_USER_MOD = 97  # users to erase: user_id % 97 == 0
+
+
+def maintenance_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level delete on a partitioned lake table — the GDPR-erasure /
+    right-to-be-forgotten maintenance op: given a deletion list (here
+    user_id % 97 == 0), rewrite ONLY the partitions containing matching
+    rows, through the crash-atomic snapshot commit, and leave every
+    other partition's files untouched.
+
+    Scale shape: the touched-partition set comes from a capped distinct
+    over the deletion predicate's rows (the rollup discipline — a
+    predicate touching every partition should degrade to a full rewrite
+    deliberately, not OOM the driver); the rewrite reads only those
+    partitions and anti-joins the deletion predicate; the commit is one
+    manifest rename, so a kill mid-erasure never leaves a partition
+    half-deleted (it is either fully pre- or fully post-delete, and the
+    erasure replays). The oracle recomputes the surviving rows from the
+    raw table, so an over- or under-delete hash-mismatches."""
+    import os
+
+    from ..catalog import load_table
+    from ..pipeline.atomic import AtomicPartitionedTable
+    from ._util import fresh_dir, scratch_root
+
+    base = fresh_dir(os.path.join(scratch_root(), "maintenance_delete_rows"))
+    table = AtomicPartitionedTable(spark, os.path.join(base, "tbl"), "bucket")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts",
+        (F.col("user_id") % 16).alias("bucket"),
+    )
+    table.commit_overwrite_partitions(ev)
+
+    doomed = F.col("user_id") % DELETE_USER_MOD == 0
+    state = table.read()
+    touched = [
+        r["bucket"]
+        for r in state.filter(doomed).select("bucket").distinct()
+        .limit(17).collect()
+    ]  # bounded: <= 16 buckets + overflow probe
+    if touched:
+        survivors = state.filter(
+            F.col("bucket").isin(touched) & ~doomed
+        )
+        # ``replaced`` hands the commit ownership of the touched buckets:
+        # a bucket whose every row is erased (all its users in the
+        # deletion list) is dropped from the manifest — without it the
+        # empty rewrite would silently keep serving the old files (found
+        # live by the sf0.001 oracle: one bucket held only doomed rows)
+        table.commit_overwrite_partitions(survivors, replaced=touched)
+    return table.read().select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
+
+
+MAINTENANCE_DELETE_ROWS_SQL = f"""
+SELECT event_id, user_id, event_type, value,
+       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM events
+WHERE NOT (user_id % {DELETE_USER_MOD} = 0)
+"""
+
+QUERIES["maintenance_delete_rows"] = Query(
+    maintenance_delete_rows, MAINTENANCE_DELETE_ROWS_SQL,
+    "GDPR-style row erasure: partition-scoped rewrite, crash-atomic",
+)

@@ -391,7 +391,9 @@ def stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lands — no read-vs-overwrite race, and a kill at any point
         # leaves the previous complete state for the checkpointed replay
         # to re-merge (idempotent because the merge is version-resolved).
-        state_table.commit_overwrite_partitions(merged)
+        # ``replaced`` owns the touched buckets outright, so a bucket
+        # whose merge result is empty is dropped, not left stale.
+        state_table.commit_overwrite_partitions(merged, replaced=touched)
 
     stream = (
         spark.readStream.schema(read_schema)

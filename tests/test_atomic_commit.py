@@ -312,3 +312,39 @@ def test_many_commits_soak_matches_replay_and_survives_vacuum(spark, tmp_path):
     # live snapshots = the last writer of each of the 4 partitions
     data_dirs = sorted(os.listdir(os.path.join(table.root, "data")))
     assert data_dirs == ["snap=27", "snap=28", "snap=29", "snap=30"]
+
+
+def test_replaced_empties_a_partition_crash_atomically(spark, tmp_path):
+    """A commit that owns a partition via ``replaced`` but writes no
+    rows for it must DROP the partition — and the drop must be exactly
+    as crash-atomic as the writes (a kill before the publish leaves the
+    partition fully alive)."""
+    table = AtomicPartitionedTable(spark, str(tmp_path / "tbl"), "day")
+    table.commit_overwrite_partitions(
+        df_of(spark, [("d1", "a", 1), ("d2", "b", 2)])
+    )
+    empty = df_of(spark, []).limit(0)
+    # crash first: d1 must survive untouched
+    with pytest.raises(Boom):
+        table.commit_overwrite_partitions(
+            empty, fault=crash_at("staged"), replaced=["d1"]
+        )
+    assert snapshot(table) == {("d1", "a"): 1, ("d2", "b"): 2}
+    # replay: the drop lands
+    table.commit_overwrite_partitions(empty, replaced=["d1"])
+    assert snapshot(table) == {("d2", "b"): 2}
+    assert "day=d1" not in table.current_partition_paths()
+
+
+def test_replaced_handles_null_and_escaped_values(spark, tmp_path):
+    """replaced values round-trip through hive dir-name escaping: NULL
+    maps to the default partition, and a value with a reserved char
+    (':') matches the dir Spark actually wrote."""
+    table = AtomicPartitionedTable(spark, str(tmp_path / "tbl"), "day")
+    table.commit_overwrite_partitions(
+        df_of(spark, [(None, "a", 1), ("x:y", "b", 2), ("d3", "c", 3)])
+    )
+    assert table.partition_dir_name("x:y") in table.current_partition_paths()
+    empty = df_of(spark, []).limit(0)
+    table.commit_overwrite_partitions(empty, replaced=[None, "x:y"])
+    assert snapshot(table) == {("d3", "c"): 3}
