@@ -122,6 +122,9 @@ SF1_KEYS = [
     "ts_ewma", "scan_jdbc",
     # round-5 third wave
     "scan_atomic_table", "fn_try_cast", "ml_random_projection",
+    # round-5 fourth wave
+    "win_ignore_nulls", "llm_bpe_encode", "maintenance_delete_rows",
+    "llm_bigram_lm",
 ]
 
 
