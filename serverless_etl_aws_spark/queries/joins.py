@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
 from . import Query
-from ._util import SQL_REVENUE_DEC, revenue_dec, t
+from ._util import SQL_REVENUE_DEC, dsum, revenue_dec, sql_dsum, t
 
 
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,11 +316,67 @@ ASOF LEFT JOIN (
 """
 
 
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the reconciliation shape (two systems' views of
+    the same key space, keep every key from BOTH sides): customers with
+    open-status order aggregates, where customers without such orders
+    AND order keys without a customer row (none in a consistent fixture,
+    but the shape must preserve them) both survive with NULL fill.
+
+    Scale: aggregate-before-join (per-customer order partials first), so
+    the outer join runs on two key-sized relations, not fact rows; one
+    shuffle family on the key. Spark plans SortMergeJoin FullOuter —
+    broadcast cannot implement full-outer semantics on the build side.
+    """
+    customer = t(spark, sf_dir, "customer")
+    open_orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("open_orders"),
+            dsum("o_totalprice").alias("open_total"),
+        )
+    )
+    return (
+        customer.join(
+            open_orders, customer.c_custkey == open_orders.o_custkey, "full"
+        )
+        .select(
+            F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("cust"),
+            F.col("c_name"),
+            F.coalesce(F.col("open_orders"), F.lit(0)).alias("open_orders"),
+            F.coalesce(F.col("open_total"), F.lit(0.0)).alias("open_total"),
+        )
+    )
+
+
+JOIN_FULL_OUTER_SQL = f"""
+SELECT COALESCE(c_custkey, o_custkey) AS cust,
+       c_name,
+       COALESCE(open_orders, 0) AS open_orders,
+       COALESCE(open_total, 0.0) AS open_total
+FROM customer
+FULL OUTER JOIN (
+    SELECT o_custkey,
+           COUNT(*) AS open_orders,
+           {sql_dsum('o_totalprice')} AS open_total
+    FROM orders WHERE o_orderstatus = 'P'
+    GROUP BY o_custkey
+) o ON c_custkey = o_custkey
+"""
+
+
 QUERIES: dict[str, Query] = {
     "join_inner": Query(join_inner, JOIN_INNER_SQL, "equi inner join"),
     "join_broadcast": Query(join_broadcast, JOIN_BROADCAST_SQL, "broadcast dim join"),
     "join_multiway": Query(join_multiway, JOIN_MULTIWAY_SQL, "TPC-H Q5 shape"),
     "join_left": Query(join_left, JOIN_LEFT_SQL, "left outer with nulls"),
+    "join_full_outer": Query(
+        join_full_outer, JOIN_FULL_OUTER_SQL,
+        "full outer reconciliation join (aggregate-before-join)"),
     "join_semi": Query(join_semi, JOIN_SEMI_SQL, "left semi / EXISTS"),
     "join_anti": Query(join_anti, JOIN_ANTI_SQL, "left anti / NOT EXISTS"),
     "join_range": Query(join_range, JOIN_RANGE_SQL, "bucketed range join"),
