@@ -55,6 +55,12 @@ from pyspark.sql import DataFrame, SparkSession
 FaultHook = Callable[[str], None]
 
 
+class CommitConflict(RuntimeError):
+    """A manifest publish lost its rename race. Raised to the caller only
+    after MAX_PUBLISH_RETRIES failed attempts; internally it drives the
+    optimistic retry loop."""
+
+
 class AtomicPartitionedTable:
     """A partitioned parquet table whose partition-overwrite commits are
     crash-atomic via numbered snapshot dirs + an atomically-renamed
@@ -62,6 +68,7 @@ class AtomicPartitionedTable:
 
     DATA_DIR = "data"
     MANIFEST_DIR = "_manifests"
+    MAX_PUBLISH_RETRIES = 10
 
     def __init__(
         self, spark: SparkSession, root: str, partition_col: str
@@ -108,9 +115,9 @@ class AtomicPartitionedTable:
             stream.close()
         if not fs.rename(tmp, final):
             fs.delete(tmp, False)
-            raise RuntimeError(
+            raise CommitConflict(
                 f"atomic commit conflict: {final} already exists "
-                f"(concurrent writer?)"
+                f"(concurrent writer)"
             )
 
     def _list_names(self, *parts: str) -> list[str]:
@@ -222,9 +229,23 @@ class AtomicPartitionedTable:
         """The hive-style directory name Spark writes for a partition
         value — the key used in the manifest mapping. Mirrors Spark's
         escapePathName so ``replaced`` values round-trip for strings
-        with special characters and for NULL."""
+        with special characters and for NULL.
+
+        Only None, int, and str values are accepted: Python's str() of
+        bool/float/datetime diverges from Spark's Cast-to-string
+        rendering ('True' vs 'true', precision, timestamp format), which
+        would make the manifest pop a silent no-op and leave the very
+        stale partition ``replaced`` exists to prevent. Callers with
+        such partition types must pre-render the value exactly as the
+        written directory shows it."""
         if value is None:
             return f"{self.partition_col}=__HIVE_DEFAULT_PARTITION__"
+        if isinstance(value, bool) or not isinstance(value, (int, str)):
+            raise TypeError(
+                f"replaced value {value!r} ({type(value).__name__}): only "
+                f"None/int/str round-trip Spark's partition-dir rendering "
+                f"exactly; pass the directory's value string instead"
+            )
         escaped = "".join(
             f"%{ord(c):02X}"
             if c in self._HIVE_ESCAPED or ord(c) < 0x20
@@ -252,12 +273,22 @@ class AtomicPartitionedTable:
         is exactly as crash-atomic as the writes.
 
         Protocol: write ``df`` into a fresh ``snap=N`` dir (invisible to
-        readers), list the partition dirs it produced, then publish
-        ``manifest-N.json`` = previous mapping overridden with those dirs
-        → N, via temp-file + rename. A crash before the rename leaves the
-        table at manifest N-1 with only orphan files on disk; a replay
-        commits the same logical content under N+1. Returns the number of
-        partitions (re)written."""
+        readers; N is unique — a racing writer that picks the same N
+        fails the errorifexists data write), then publish a manifest
+        whose VERSION is chosen at publish time: read the current
+        mapping, apply the drops and this snapshot's dirs, and rename a
+        temp file to ``manifest-<current+1>.json``. The rename-to-fresh-
+        path is the atomic commit point; if a concurrent writer won that
+        version number, the rename fails and the publish RETRIES against
+        the winner's mapping (optimistic concurrency, partition-level
+        last-writer-wins — the Iceberg commit loop). Choosing the
+        version at publish time is what makes a slow writer safe: its
+        base mapping and its manifest name are read in the same attempt,
+        so it can never publish an older-numbered manifest that silently
+        loses to a faster writer. A crash before the rename leaves the
+        previous manifest with only orphan files on disk; a replay
+        commits the same logical content under the next version. Returns
+        the number of partitions (re)written."""
         snap = self._next_snapshot()
         snap_rel = f"{self.DATA_DIR}/snap={snap}"
         (
@@ -273,25 +304,37 @@ class AtomicPartitionedTable:
         ]
         if fault is not None:
             fault("staged")
-        mapping = self._manifest()
-        if replaced is not None:
-            for value in replaced:
-                mapping.pop(self.partition_dir_name(value), None)
-        for name in written:
-            mapping[name] = snap
-        manifest = {
-            "version": snap,
-            "partition_col": self.partition_col,
-            "partitions": mapping,
-        }
-        self._write_file_atomic(
-            self.MANIFEST_DIR,
-            f"manifest-{snap}.json",
-            json.dumps(manifest, sort_keys=True),
+        for _attempt in range(self.MAX_PUBLISH_RETRIES):
+            base_version = self.current_version()
+            mapping = self._manifest(None)
+            if replaced is not None:
+                for value in replaced:
+                    mapping.pop(self.partition_dir_name(value), None)
+            for name in written:
+                mapping[name] = snap
+            version = base_version + 1
+            manifest = {
+                "version": version,
+                "snapshot": snap,
+                "partition_col": self.partition_col,
+                "partitions": mapping,
+            }
+            try:
+                self._write_file_atomic(
+                    self.MANIFEST_DIR,
+                    f"manifest-{version}.json",
+                    json.dumps(manifest, sort_keys=True),
+                )
+            except CommitConflict:
+                continue  # a rival took this version; re-read and retry
+            if fault is not None:
+                fault("published")
+            return len(written)
+        raise CommitConflict(
+            f"atomic commit on {self.root} lost the publish race "
+            f"{self.MAX_PUBLISH_RETRIES} times (snapshot snap={snap} is "
+            f"staged and will be retried or vacuumed)"
         )
-        if fault is not None:
-            fault("published")
-        return len(written)
 
     def vacuum(self) -> int:
         """Delete snapshot dirs no current partition references and all

@@ -50,6 +50,11 @@ def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.size(toks) / F.lit(float(PARA_W))).cast("bigint")
         .alias("n_segs"),
     )
+    # Materialized ONCE: the segment relation feeds the boilerplate
+    # groupBy (build side), the anti-join probe side, AND the per-doc
+    # totals — without the checkpoint the corpus split+explode executes
+    # three times (the shared-scan discipline measured on the ngram
+    # shingle table and llm_bigram_lm).
     segs = base.select(
         "doc_id",
         F.explode(
@@ -62,7 +67,12 @@ def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             " ", F.slice(F.col("toks"), F.col("seg_no") * PARA_W + 1, PARA_W)
         ).alias("seg"),
-    ).withColumn("h", F.md5("seg"))
+    ).withColumn("h", F.md5("seg")).localCheckpoint(eager=False)
+    # per-doc totals derived from segs (every non-null-text doc has >= 1
+    # segment), so the documents table is scanned exactly once
+    totals = segs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs")
+    )
     boiler = (
         segs.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -81,8 +91,7 @@ def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("clean_text"),
     )
     return (
-        base.select("doc_id", "n_segs")
-        .join(reassembled, "doc_id", "left")
+        totals.join(reassembled, "doc_id", "left")
         .select(
             "doc_id",
             "n_segs",

@@ -328,11 +328,20 @@ def maintenance_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doomed = F.col("user_id") % DELETE_USER_MOD == 0
     state = table.read()
+    n_buckets = 16  # must match the bucket expression above
     touched = [
         r["bucket"]
         for r in state.filter(doomed).select("bucket").distinct()
-        .limit(17).collect()
-    ]  # bounded: <= 16 buckets + overflow probe
+        .limit(n_buckets + 1).collect()
+    ]  # bounded: <= n_buckets + 1 overflow probe
+    if len(touched) > n_buckets:
+        # the probe row proves the touched set exceeded the bucket
+        # universe — the limit would otherwise TRUNCATE it and silently
+        # under-delete (the rollup max_touched_partitions discipline)
+        raise ValueError(
+            f"maintenance_delete_rows: more than {n_buckets} touched "
+            f"buckets — bucket expression and n_buckets have diverged"
+        )
     if touched:
         survivors = state.filter(
             F.col("bucket").isin(touched) & ~doomed

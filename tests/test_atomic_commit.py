@@ -121,12 +121,13 @@ class TestAtomicTable:
         data_root = os.path.join(table.root, "data")
         assert sorted(os.listdir(data_root)) == ["snap=1", "snap=3"]
         assert snapshot(table) == before
-        # only the current manifest remains
+        # only the current manifest remains (version 2: versions count
+        # PUBLISHED commits, so the crashed snap=2 attempt took no number)
         manifests = [
             n for n in os.listdir(os.path.join(table.root, "_manifests"))
             if n.startswith("manifest-")
         ]
-        assert manifests == ["manifest-3.json"]
+        assert manifests == ["manifest-2.json"]
 
     def test_empty_table_read_raises_cleanly(self, table):
         with pytest.raises(FileNotFoundError, match="no committed snapshot"):
@@ -240,32 +241,79 @@ class TestMutatingSinksCrashAtomic:
         assert live == {1: "a2", 5: "e"}
 
 
-def test_concurrent_commit_same_version_one_wins_loudly(spark, tmp_path):
-    """Two writers racing the same commit number: the manifest rename is
-    to a never-before-used name, so exactly one rename succeeds and the
-    loser gets a loud conflict error — never a silent overwrite of the
-    winner's manifest."""
+def test_concurrent_publish_merges_against_the_winner(spark, tmp_path):
+    """A writer that loses the publish race must NOT silently publish a
+    stale-numbered manifest (the lost-update bug a fixed-at-stage-time
+    version number would cause): the version is chosen at publish time,
+    and a lost rename re-reads the winner's mapping and retries — so the
+    slow writer's partitions land ON TOP of the winner's state,
+    partition-level last-writer-wins."""
+    from serverless_etl_aws_spark.pipeline.atomic import CommitConflict
+
+    table = AtomicPartitionedTable(spark, str(tmp_path / "tbl"), "day")
+    table.commit_overwrite_partitions(
+        df_of(spark, [("d1", "a", 1), ("d2", "b", 2)])
+    )
+
+    # rival wins version 2 with a d2 update while B's publish attempt is
+    # in flight: force B's FIRST rename to lose, then let it through
+    real_write = table._write_file_atomic
+    state = {"failed": False}
+
+    def racing_write(rel_dir, name, text):
+        if not state["failed"] and name.startswith("manifest-"):
+            state["failed"] = True
+            real_write(
+                rel_dir, name,
+                '{"version": 2, "snapshot": 1, "partition_col": "day",'
+                ' "partitions": {"day=d1": 1, "day=d2": 1}}',
+            )  # the rival publishes first under the same number
+            raise CommitConflict("injected lost rename")
+        return real_write(rel_dir, name, text)
+
+    table._write_file_atomic = racing_write
+    try:
+        table.commit_overwrite_partitions(df_of(spark, [("d1", "a", 99)]))
+    finally:
+        table._write_file_atomic = real_write
+    # B retried, merged against the winner's mapping, published v3
+    assert table.current_version() == 3
+    assert snapshot(table) == {("d1", "a"): 99, ("d2", "b"): 2}
+
+
+def test_publish_retries_exhaust_loudly(spark, tmp_path):
+    """If every publish attempt loses its rename, the commit fails with a
+    named conflict error instead of looping forever or succeeding
+    silently."""
+    from serverless_etl_aws_spark.pipeline.atomic import CommitConflict
+
     table = AtomicPartitionedTable(spark, str(tmp_path / "tbl"), "day")
     table.commit_overwrite_partitions(df_of(spark, [("d1", "a", 1)]))
+    real_write = table._write_file_atomic
 
-    # simulate the race: while writer B is between staging and publish,
-    # writer A publishes manifest-2 (the same next version B computed)
-    def publish_rival(stage: str) -> None:
-        if stage == "staged":
-            table._write_file_atomic(
-                table.MANIFEST_DIR,
-                "manifest-2.json",
-                '{"version": 2, "partition_col": "day", "partitions": '
-                '{"day=d1": 1}}',
-            )
+    def always_lose(rel_dir, name, text):
+        if name.startswith("manifest-"):
+            raise CommitConflict("injected")
+        return real_write(rel_dir, name, text)
 
-    with pytest.raises(RuntimeError, match="atomic commit conflict"):
-        table.commit_overwrite_partitions(
-            df_of(spark, [("d1", "a", 99)]), fault=publish_rival
-        )
-    # the rival's manifest (version 2) is the current state, untouched
-    assert table.current_version() == 2
-    assert snapshot(table) == {("d1", "a"): 1}
+    table._write_file_atomic = always_lose
+    try:
+        with pytest.raises(CommitConflict, match="lost the publish race"):
+            table.commit_overwrite_partitions(df_of(spark, [("d1", "a", 2)]))
+    finally:
+        table._write_file_atomic = real_write
+    assert snapshot(table) == {("d1", "a"): 1}  # state untouched
+
+
+def test_replaced_rejects_unrenderable_value_types(spark, tmp_path):
+    """bool/float partition values don't round-trip Python str() vs
+    Spark's dir rendering ('True' vs 'true') — replaced must refuse them
+    loudly rather than silently popping nothing."""
+    table = AtomicPartitionedTable(spark, str(tmp_path / "tbl"), "day")
+    with pytest.raises(TypeError, match="only None/int/str"):
+        table.partition_dir_name(True)
+    with pytest.raises(TypeError, match="only None/int/str"):
+        table.partition_dir_name(1.5)
 
 
 def test_time_travel_read_reconstructs_history(spark, tmp_path):
