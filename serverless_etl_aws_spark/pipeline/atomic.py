@@ -208,18 +208,50 @@ class AtomicPartitionedTable:
             .drop("snap")
         )
 
+    RESERVE_PREFIX = ".reserved-snap-"
+
     def _next_snapshot(self) -> int:
-        """Next commit number: above every manifest AND every existing
-        snapshot dir, so a replay after a crashed commit (which left an
-        orphan ``snap=N`` dir but no manifest) never reuses or mixes with
-        the orphan's files."""
-        snap_ids = [
-            int(name.split("=", 1)[1])
-            for name in self._list_names(self.DATA_DIR)
-            if name.startswith("snap=")
-            and name.split("=", 1)[1].isdigit()
-        ]
-        return max([self.current_version(), *snap_ids], default=0) + 1
+        """Next snapshot number: above every manifest, every existing
+        snapshot dir AND every reservation marker, so a replay after a
+        crashed commit (orphan ``snap=N`` dir, no manifest) never reuses
+        or mixes with the orphan's files."""
+        ids = [self.current_version()]
+        for name in self._list_names(self.DATA_DIR):
+            if name.startswith("snap=") and name.split("=", 1)[1].isdigit():
+                ids.append(int(name.split("=", 1)[1]))
+            elif (
+                name.startswith(self.RESERVE_PREFIX)
+                and name[len(self.RESERVE_PREFIX):].isdigit()
+            ):
+                ids.append(int(name[len(self.RESERVE_PREFIX):]))
+        return max(ids) + 1
+
+    def _reserve_snapshot(self) -> int:
+        """Claim a snapshot number exclusively by atomically creating a
+        hidden marker file (``create`` with overwrite=False — atomic on
+        HDFS; Spark's file sources skip dot-files, so the marker is
+        invisible to readers). ``errorifexists`` on the data write alone
+        is check-then-act: two racing writers could both pass the
+        existence check and interleave task files INSIDE one snapshot
+        dir, which would corrupt the snapshot without any error — the
+        reservation closes that window."""
+        fs = self._fs()
+        last_exc: Exception | None = None
+        for _attempt in range(self.MAX_PUBLISH_RETRIES * 4):
+            snap = self._next_snapshot()
+            marker = self._jpath(
+                self.DATA_DIR, f"{self.RESERVE_PREFIX}{snap}"
+            )
+            try:
+                stream = fs.create(marker, False)
+                stream.close()
+                return snap
+            except Exception as exc:  # rival claimed it — rescan
+                last_exc = exc
+        raise CommitConflict(
+            f"atomic commit on {self.root} could not reserve a snapshot "
+            f"number (last error: {last_exc})"
+        )
 
     #: Characters Spark's ExternalCatalogUtils.escapePathName escapes in
     #: hive-style partition dir names (plus ASCII control chars).
@@ -289,7 +321,7 @@ class AtomicPartitionedTable:
         previous manifest with only orphan files on disk; a replay
         commits the same logical content under the next version. Returns
         the number of partitions (re)written."""
-        snap = self._next_snapshot()
+        snap = self._reserve_snapshot()
         snap_rel = f"{self.DATA_DIR}/snap={snap}"
         (
             df.write.mode("errorifexists")
@@ -302,6 +334,13 @@ class AtomicPartitionedTable:
             for name in self._list_names(snap_rel)
             if name.startswith(prefix)
         ]
+        # the snap dir itself now guards the id; the reservation marker
+        # has done its job (a crash before this point leaves it for
+        # vacuum to reap)
+        self._fs().delete(
+            self._jpath(self.DATA_DIR, f"{self.RESERVE_PREFIX}{snap}"),
+            False,
+        )
         if fault is not None:
             fault("staged")
         for _attempt in range(self.MAX_PUBLISH_RETRIES):
@@ -348,6 +387,11 @@ class AtomicPartitionedTable:
         live_snaps = set(self._manifest().values())
         removed = 0
         for name in self._list_names(self.DATA_DIR):
+            if name.startswith(self.RESERVE_PREFIX):
+                sid = name[len(self.RESERVE_PREFIX):]
+                if sid.isdigit() and int(sid) not in live_snaps:
+                    fs.delete(self._jpath(self.DATA_DIR, name), False)
+                continue
             if not name.startswith("snap="):
                 continue
             sid = name.split("=", 1)[1]

@@ -396,3 +396,30 @@ def test_replaced_handles_null_and_escaped_values(spark, tmp_path):
     empty = df_of(spark, []).limit(0)
     table.commit_overwrite_partitions(empty, replaced=[None, "x:y"])
     assert snapshot(table) == {("d3", "c"): 3}
+
+
+def test_true_concurrent_writers_converge(spark, tmp_path):
+    """Two real threads interleaving commits to disjoint partitions of
+    the same table: every commit must survive (no lost updates), the
+    version count must equal the commit count, and the final state must
+    equal the sequential replay — whatever rename races occurred."""
+    import threading
+
+    table = AtomicPartitionedTable(spark, str(tmp_path / "tbl"), "day")
+    errors = []
+
+    def writer(day: str, n: int):
+        try:
+            for v in range(1, n + 1):
+                table.commit_overwrite_partitions(
+                    df_of(spark, [(day, "a", v)])
+                )
+        except Exception as exc:  # noqa: BLE001 — surfaced to the assert
+            errors.append(exc)
+
+    t1 = threading.Thread(target=writer, args=("d1", 5))
+    t2 = threading.Thread(target=writer, args=("d2", 5))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+    assert table.current_version() == 10  # every publish took a version
+    assert snapshot(table) == {("d1", "a"): 5, ("d2", "a"): 5}
