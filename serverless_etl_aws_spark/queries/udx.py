@@ -238,3 +238,61 @@ QUERIES: dict[str, Query] = {
         "cogrouped applyInPandas per-key reconciliation",
     ),
 }
+
+
+UDTF_CHUNK_W = 8
+
+
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python user-defined table function (the PySpark 4 ``@udtf``
+    API — class with ``eval`` yielding rows), applied per input row via
+    LATERAL join: chunk each sampled document into fixed token windows
+    and emit one row per chunk with its geometry and head token. The
+    fourth Python-API shape next to pandas_udf / applyInPandas /
+    mapInPandas — covering the case where per-row fan-out logic is
+    genuinely imperative (a real pipeline would parse bytes or run a
+    segmenter here; the chunker keeps it oracle-checkable).
+
+    Scale: UDTFs execute on executors row-batch-wise like any Python
+    UDF; the LATERAL join never shuffles (Generate over the scan). The
+    fan-out is O(tokens/W) rows — same envelope as posexplode."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_no int, n_toks int, head string")
+    class ChunkStats:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = text.split(" ")
+            for i in range(0, len(toks), UDTF_CHUNK_W):
+                chunk = toks[i: i + UDTF_CHUNK_W]
+                yield i // UDTF_CHUNK_W, len(chunk), chunk[0]
+
+    spark.udtf.register("chunk_stats_udtf", ChunkStats)
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    docs.createOrReplaceTempView("udtf_python_docs")
+    return spark.sql(
+        "SELECT doc_id, cs.chunk_no, cs.n_toks, cs.head "
+        "FROM udtf_python_docs, LATERAL chunk_stats_udtf(text) cs"
+    )
+
+
+UDTF_PYTHON_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents
+  WHERE doc_id % 50 = 0 AND text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_no,
+       CAST(len(list_slice(toks, i * {UDTF_CHUNK_W} + 1,
+                           i * {UDTF_CHUNK_W} + {UDTF_CHUNK_W})) AS INT)
+         AS n_toks,
+       toks[i * {UDTF_CHUNK_W} + 1] AS head
+FROM d, UNNEST(range(CAST(ceil(len(toks) / {UDTF_CHUNK_W}.0) AS BIGINT))) u(i)
+"""
+
+QUERIES["udtf_python"] = Query(
+    udtf_python, UDTF_PYTHON_SQL,
+    "real Python @udtf table function via LATERAL join",
+)
