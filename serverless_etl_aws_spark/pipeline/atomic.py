@@ -37,7 +37,7 @@ per-partition. All metadata I/O goes through the Hadoop FileSystem API so
 the table can live on any supported scheme (file:, hdfs:, s3a: — with the
 usual caveat that object stores need an atomic-rename layer or a
 PUT-if-absent manifest variant, which this class isolates in
-``_publish_manifest``).
+``_write_file_atomic``).
 """
 
 from __future__ import annotations

@@ -125,6 +125,8 @@ SF1_KEYS = [
     # round-5 fourth wave
     "win_ignore_nulls", "llm_bpe_encode", "maintenance_delete_rows",
     "llm_bigram_lm",
+    # round-5 fifth wave
+    "join_full_outer", "udtf_python", "llm_paragraph_dedup",
 ]
 
 
