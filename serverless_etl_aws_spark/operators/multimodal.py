@@ -213,3 +213,51 @@ def frame_sample(
             )
 
     return with_payloads.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, win_no int, n_samples int, sum_b long, sumsq_b long,"
+    " max_b int"
+)
+
+
+def audio_window(
+    with_payloads: DataFrame, window: int = 256
+) -> DataFrame:
+    """Audio-shaped windowed feature pass: treat the payload body as a
+    u8 sample stream, frame it into fixed non-overlapping windows, and
+    emit INTEGER energy statistics per window (count, Σv, Σv² — the
+    sufficient statistics of RMS — and peak). A real build swaps the u8
+    view for a PCM decode and the stats for MFCCs through the same
+    batch flow; integer sums keep the stub exactly recomputable by the
+    relational oracle from the text bytes (no float summation order to
+    pin). Fan-out is 1 payload → ceil(bytes/window) rows — the same
+    envelope as frame_sample."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8)[8:]  # skip header
+                for w in range(0, len(b), window):
+                    c = b[w: w + window].astype(np.int64)
+                    rows.append(
+                        (
+                            doc_id,
+                            w // window,
+                            int(c.size),
+                            int(c.sum()),
+                            int((c * c).sum()),
+                            int(c.max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "win_no", "n_samples", "sum_b", "sumsq_b",
+                    "max_b",
+                ],
+            )
+
+    return with_payloads.mapInPandas(run, schema=AUDIO_SCHEMA)

@@ -269,17 +269,14 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.col("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
 
+    from ..operators.sketch import misra_gries_update
+
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
         for pdf in batches:
-            for term, n in pdf["term"].value_counts().items():
-                counters[term] = counters.get(term, 0) + int(n)
-            if len(counters) > HH_K:
-                # MG merge: subtract the (K+1)-th largest count, drop <=0
-                m = sorted(counters.values(), reverse=True)[HH_K]
-                counters = {
-                    t_: c - m for t_, c in counters.items() if c - m > 0
-                }
+            counters = misra_gries_update(
+                counters, pdf["term"].value_counts().to_dict(), HH_K
+            )
         yield pd.DataFrame({"term": list(counters)})
 
     cand = toks.mapInPandas(mg, "term string").distinct()

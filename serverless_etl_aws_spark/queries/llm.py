@@ -900,6 +900,44 @@ WHERE text IS NOT NULL
 """
 
 
+
+
+def mm_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped windowed features over binary payloads: u8 sample
+    windows -> integer energy statistics (count, sum, sum-of-squares,
+    peak) per 256-byte window via Arrow-batched mapInPandas
+    (operators/multimodal.py::audio_window). Integer sufficient
+    statistics make the stub exactly recomputable by the oracle from the
+    text bytes (hex-nibble decode), with no float summation order to
+    pin; a real build swaps in a PCM decode + MFCCs through the same
+    batch flow."""
+    docs = t(spark, sf_dir, "documents")
+    return multimodal.audio_window(multimodal.synthesize_payloads(docs))
+
+
+MM_AUDIO_WINDOW_SQL = """
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents WHERE text IS NOT NULL
+), b AS (
+  SELECT doc_id, CAST(i // 256 AS INT) AS win_no,
+         (strpos('0123456789ABCDEF',
+                 substr(hx, CAST(i * 2 + 1 AS INT), 1)) - 1) * 16
+         + strpos('0123456789ABCDEF',
+                  substr(hx, CAST(i * 2 + 2 AS INT), 1)) - 1 AS v
+  FROM h, UNNEST(range(nb)) u(i)
+)
+SELECT doc_id, win_no,
+       CAST(COUNT(*) AS INT) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS sum_b,
+       CAST(SUM(v * v) AS BIGINT) AS sumsq_b,
+       CAST(MAX(v) AS INT) AS max_b
+FROM b
+GROUP BY doc_id, win_no
+"""
+
+
 def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top TF-IDF term per document.
 
@@ -1155,6 +1193,8 @@ QUERIES: dict[str, Query] = {
                              "payload frame-sampling fan-out"),
     "llm_repeat_ngram": Query(llm_repeat_ngram, LLM_REPEAT_NGRAM_SQL,
                               "intra-doc repeated-trigram quality signal"),
+    "mm_audio_window": Query(mm_audio_window, MM_AUDIO_WINDOW_SQL,
+                             "audio-window integer energy statistics"),
     "mm_resize": Query(mm_resize, MM_RESIZE_SQL,
                        "payload resize geometry pass"),
     "mm_feature_extract": Query(mm_feature_extract, MM_FEATURE_EXTRACT_SQL,
