@@ -198,10 +198,16 @@ class AtomicPartitionedTable:
         :meth:`vacuum` only the current version remains readable."""
         paths = sorted(self.current_partition_paths(version).values())
         if not paths:
-            raise FileNotFoundError(
-                f"atomic table {self.root} has no committed snapshot"
+            # distinguish "never committed" (schema unknowable — caller
+            # bug) from "committed but currently empty" (every partition
+            # dropped — a legitimate state a caller may want to handle)
+            state = (
+                "is empty (every partition dropped)"
+                if self.exists() and version is None
+                else "has no committed snapshot"
                 + (f" at version {version}" if version is not None else "")
             )
+            raise FileNotFoundError(f"atomic table {self.root} {state}")
         return (
             self.spark.read.option("basePath", f"{self.root}/{self.DATA_DIR}")
             .parquet(*paths)

@@ -423,3 +423,54 @@ def test_true_concurrent_writers_converge(spark, tmp_path):
     assert not errors, errors
     assert table.current_version() == 10  # every publish took a version
     assert snapshot(table) == {("d1", "a"): 5, ("d2", "a"): 5}
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_random_walk_matches_dict_model(spark, tmp_path, seed):
+    """Model-based soak: a seeded random walk of commits, crashed
+    commits, partition-owning empties, and vacuums must keep the table
+    equal to a plain dict model applying the same logical operations —
+    whatever interleaving of orphans and snapshot reuse occurred."""
+    import random
+
+    rng = random.Random(seed)
+    table = AtomicPartitionedTable(
+        spark, str(tmp_path / f"tbl{seed}"), "day"
+    )
+    model: dict[tuple, int] = {}
+    days = ["d0", "d1", "d2", None]
+    for step in range(12):
+        op = rng.choice(["commit", "commit", "crash", "empty", "vacuum"])
+        if op == "vacuum":
+            if table.exists():
+                table.vacuum()
+            continue
+        touched = rng.sample(days, rng.randint(1, 2))
+        rows = [(d, "k", step * 10 + i) for i, d in enumerate(touched)]
+        if op == "commit":
+            table.commit_overwrite_partitions(df_of(spark, rows))
+            for d, k, v in rows:
+                model[(d, k)] = v
+        elif op == "crash":
+            with pytest.raises(Boom):
+                table.commit_overwrite_partitions(
+                    df_of(spark, rows), fault=crash_at("staged")
+                )
+            # model unchanged: the staged snapshot must stay invisible
+        elif op == "empty":
+            if not table.exists():
+                continue
+            table.commit_overwrite_partitions(
+                df_of(spark, []).limit(0), replaced=touched
+            )
+            for d in touched:
+                model.pop((d, "k"), None)
+        if table.exists():
+            try:
+                got = snapshot(table)
+            except FileNotFoundError as exc:
+                assert "is empty" in str(exc)  # all partitions dropped
+                got = {}
+        else:
+            got = {}
+        assert got == model, f"diverged at step {step} after {op}"
