@@ -127,6 +127,7 @@ SF1_KEYS = [
     "llm_bigram_lm",
     # round-5 fifth wave
     "join_full_outer", "udtf_python", "llm_paragraph_dedup",
+    "mm_audio_window", "agg_heavy_hitters",
 ]
 
 
