@@ -32,6 +32,13 @@ def main(argv: list[str] | None = None) -> int:
     tables = sub.add_parser("tables", help="list known tables")
     tables.add_argument("--zone", required=True)
 
+    explain = sub.add_parser(
+        "explain", help="show the physical plan of a registry key or SQL"
+    )
+    explain.add_argument("--zone", required=True)
+    explain.add_argument("query", help="registry key (e.g. agg_group) or SQL")
+    explain.add_argument("--mode", default="formatted")
+
     args = parser.parse_args(argv)
 
     if args.cmd == "tables":
@@ -57,6 +64,9 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "sql":
         eng.sql(args.query).show(args.limit, truncate=False)
+        return 0
+    if args.cmd == "explain":
+        print(eng.explain(args.query, mode=args.mode))
         return 0
     return 1
 

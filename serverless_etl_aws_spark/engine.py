@@ -53,6 +53,25 @@ class Engine:
             self.register_all()
         return self.spark.sql(query)
 
+    def explain(self, query: str, mode: str = "formatted") -> str:
+        """Physical-plan introspection — the tuning surface every claim
+        in ARCHITECTURE.md is verified against. ``query`` is either a
+        registry key (the named operator's plan over this zone) or a SQL
+        string; ``mode`` is any Spark explain mode (``simple``,
+        ``extended``, ``codegen``, ``cost``, ``formatted``). Returns the
+        plan text so callers can assert on it (the same string
+        tests/test_plans.py pins)."""
+        from .queries import build_registry
+
+        registry = build_registry()
+        if query in registry:
+            df = registry[query].fn(self.spark, self.zone_root)
+        else:
+            df = self.sql(query)
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+
     # -- pipeline surface -------------------------------------------------
     def taxi_job(
         self,

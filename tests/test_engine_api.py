@@ -104,3 +104,18 @@ def test_driver_audit_window_is_contract_plus_rotation():
     assert set(window) == set(CONTRACT_2B) | set(ROUND5_ROTATION)
     # and the rotation occupies slots 48-50 specifically
     assert window[47:] == list(ROUND5_ROTATION)
+
+
+def test_engine_explain_registry_key_and_sql(spark, sf_dir):
+    """Engine.explain resolves registry keys to their operator plan and
+    raw SQL through the same Catalyst pipeline — the plan text is the
+    one the ARCHITECTURE claims are asserted against."""
+    from serverless_etl_aws_spark.engine import Engine
+
+    eng = Engine(spark=spark, zone_root=sf_dir)
+    plan = eng.explain("filter_pred")
+    assert "PushedFilters" in plan and "Physical Plan" in plan
+    sql_plan = eng.explain(
+        "SELECT r_name FROM region WHERE r_regionkey = 1", mode="simple"
+    )
+    assert "Scan" in sql_plan
