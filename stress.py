@@ -128,6 +128,9 @@ SF1_KEYS = [
     # round-5 fifth wave
     "join_full_outer", "udtf_python", "llm_paragraph_dedup",
     "mm_audio_window", "agg_heavy_hitters",
+    # round-5 sixth wave: broaden sf1.0 coverage across remaining families
+    "dq_expectations", "agg_funnel", "dim_scd2", "win_sessionize",
+    "llm_tfidf", "llm_pii_scrub", "fn_json", "scan_csv",
 ]
 
 
