@@ -63,6 +63,9 @@ PRIORITY_EXT: tuple[str, ...] = (
     "llm_token_count", "llm_tfidf", "llm_pii_scrub", "llm_embed_quantize",
     "llm_corpus_stats", "mm_decode_meta", "mm_frame_sample",
     "mm_resize", "mm_feature_extract",
+    # round-5 graded additions (rotation candidates from round 7 on)
+    "llm_paragraph_dedup", "llm_bpe_encode", "mm_audio_window",
+    "agg_heavy_hitters",
 )
 
 
