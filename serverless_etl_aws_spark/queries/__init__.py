@@ -52,15 +52,18 @@ CONTRACT_2B: tuple[str, ...] = (
 # convert locally-verified keys into hard driver signal. Audit history:
 # round 3: llm_dedup_ngram / llm_dedup_cluster / llm_dedup_simhash (green);
 # round 4: llm_dedup_embedding / llm_decontaminate / llm_knn_join (green);
-# round 5: llm_fingerprint / llm_lang_id / llm_quality_score.
-# Round 6 should rotate in llm_token_count / llm_tfidf / llm_pii_scrub
-# (next unaudited graded text-analysis keys).
+# round 5: llm_fingerprint / llm_lang_id / llm_quality_score (green);
+# round 6: llm_token_count / llm_tfidf / llm_pii_scrub.
+# Round 7 should rotate in llm_embed_quantize / llm_corpus_stats /
+# mm_decode_meta (next unaudited graded keys; the mm_* family has no
+# driver signal yet).
 PRIORITY_EXT: tuple[str, ...] = (
+    "llm_token_count", "llm_tfidf", "llm_pii_scrub",
     "llm_fingerprint", "llm_lang_id", "llm_quality_score",
     "llm_dedup_embedding", "llm_decontaminate", "llm_knn_join",
     "llm_dedup_ngram", "llm_dedup_cluster", "llm_dedup_simhash",
     "llm_sim_search_ivf",
-    "llm_token_count", "llm_tfidf", "llm_pii_scrub", "llm_embed_quantize",
+    "llm_embed_quantize",
     "llm_corpus_stats", "mm_decode_meta", "mm_frame_sample",
     "mm_resize", "mm_feature_extract",
     # round-5 graded additions (rotation candidates from round 7 on)

@@ -99,11 +99,11 @@ def test_driver_audit_window_is_contract_plus_rotation():
     from the audited window or reorder a rotated key out of it."""
     from serverless_etl_aws_spark.queries import CONTRACT_2B, build_registry
 
-    ROUND5_ROTATION = ("llm_fingerprint", "llm_lang_id", "llm_quality_score")
+    ROUND6_ROTATION = ("llm_token_count", "llm_tfidf", "llm_pii_scrub")
     window = list(build_registry())[:50]
-    assert set(window) == set(CONTRACT_2B) | set(ROUND5_ROTATION)
+    assert set(window) == set(CONTRACT_2B) | set(ROUND6_ROTATION)
     # and the rotation occupies slots 48-50 specifically
-    assert window[47:] == list(ROUND5_ROTATION)
+    assert window[47:] == list(ROUND6_ROTATION)
 
 
 def test_engine_explain_registry_key_and_sql(spark, sf_dir):
