@@ -37,12 +37,18 @@ per-partition. All metadata I/O goes through the Hadoop FileSystem API so
 the table can live on any supported scheme (file:, hdfs:, s3a: — with the
 usual caveat that object stores need an atomic-rename layer or a
 PUT-if-absent manifest variant, which this class isolates in
-``_write_file_atomic``).
+``_write_file_atomic``). That caveat is ENFORCED, not just documented:
+:meth:`AtomicPartitionedTable.check_commit_safety` probes the filesystem
+before the first commit and raises :class:`UnsafeFilesystemError` on a
+scheme without atomic rename (unless the deployment opts in via
+``trust_atomic_rename=True``) or on an FS whose rename overwrites an
+existing destination.
 """
 
 from __future__ import annotations
 
 import json
+import time
 import uuid
 from collections.abc import Callable
 
@@ -53,6 +59,13 @@ from pyspark.sql import DataFrame, SparkSession
 #: yet published; "published" = manifest renamed into place). Tests raise
 #: from these to simulate a crash at the worst moment.
 FaultHook = Callable[[str], None]
+
+
+class UnsafeFilesystemError(RuntimeError):
+    """The table's filesystem cannot provide the rename contract the
+    manifest commit point relies on — committing would silently lose the
+    exactly-once property instead of failing. Raised by the pre-commit
+    capability probe, never after a commit has published."""
 
 
 class CommitConflict(RuntimeError):
@@ -70,12 +83,35 @@ class AtomicPartitionedTable:
     MANIFEST_DIR = "_manifests"
     MAX_PUBLISH_RETRIES = 10
 
+    #: Filesystems whose rename-to-fresh-path is atomic AND whose rename
+    #: onto an existing destination fails instead of overwriting — the two
+    #: properties the manifest commit point is built on. Object stores
+    #: (s3/s3a without an atomic-rename layer, raw gs) emulate rename as
+    #: copy+delete and are NOT safe; deployments there must front the
+    #: table with an atomic-rename layer (e.g. HBoss/consistent EMR FS)
+    #: and opt in via ``trust_atomic_rename=True``.
+    ATOMIC_RENAME_SCHEMES = frozenset({"file", "hdfs", "viewfs", "webhdfs"})
+
     def __init__(
-        self, spark: SparkSession, root: str, partition_col: str
+        self,
+        spark: SparkSession,
+        root: str,
+        partition_col: str,
+        trust_atomic_rename: bool = False,
     ) -> None:
+        if partition_col == "snap":
+            # the snapshot-dir layout reserves `snap=` path segments; a
+            # user partition of the same name would collide with partition
+            # discovery and be silently dropped by read()
+            raise ValueError(
+                "partition_col 'snap' is reserved by the snapshot layout "
+                "(<root>/data/snap=N/...); rename the partition column"
+            )
         self.spark = spark
         self.root = root.rstrip("/")
         self.partition_col = partition_col
+        self.trust_atomic_rename = trust_atomic_rename
+        self._commit_safety_checked = False
 
     # ------------------------------------------------------------------
     # Hadoop FS plumbing (scheme-portable: file:, hdfs:, s3a:)
@@ -88,6 +124,75 @@ class AtomicPartitionedTable:
         return self._jpath().getFileSystem(
             self.spark._jsc.hadoopConfiguration()
         )
+
+    def _scheme(self) -> str:
+        return str(self._fs().getUri().getScheme() or "file")
+
+    def _rename(self, src_jpath, dst_jpath) -> bool:
+        """The raw FS rename — the commit primitive, isolated as a seam
+        so the capability probe and tests exercise exactly the call the
+        publish path uses (a test can subclass with a lying rename)."""
+        return bool(self._fs().rename(src_jpath, dst_jpath))
+
+    def check_commit_safety(self) -> None:
+        """Fail loudly BEFORE any commit if this filesystem cannot honor
+        the rename contract the manifest commit point is built on. Runs
+        once per table handle (cached); called automatically by
+        :meth:`commit_overwrite_partitions`.
+
+        Two layered checks, because non-atomicity cannot be detected
+        behaviorally (a non-atomic rename still *succeeds*):
+
+        1. Scheme allowlist — rename-to-fresh-path atomicity is a known
+           property of the FS implementation (POSIX/HDFS yes; object
+           stores emulate rename as copy+delete — a reader or rival
+           writer can observe the half-renamed state). Unknown schemes
+           are rejected unless the caller passed
+           ``trust_atomic_rename=True`` (deployments that front the
+           store with an atomic-rename layer).
+        2. Behavioral probe — rename ONTO AN EXISTING destination must
+           fail, not overwrite: two writers racing the same manifest
+           version both "win" on an overwriting FS, and the loser's
+           commit is silently dropped. This is probed with two scratch
+           files under ``_manifests/``.
+
+        Raises :class:`UnsafeFilesystemError`; never mutates table state.
+        """
+        if self._commit_safety_checked:
+            return
+        scheme = self._scheme()
+        if (
+            scheme not in self.ATOMIC_RENAME_SCHEMES
+            and not self.trust_atomic_rename
+        ):
+            raise UnsafeFilesystemError(
+                f"filesystem scheme {scheme!r} is not known to provide "
+                f"atomic rename-to-fresh-path; the manifest commit point "
+                f"would not be crash-atomic (a kill mid-rename exposes "
+                f"half-published state). Front the store with an "
+                f"atomic-rename layer and pass trust_atomic_rename=True "
+                f"to accept responsibility for that property."
+            )
+        fs = self._fs()
+        tag = uuid.uuid4().hex
+        a = self._jpath(self.MANIFEST_DIR, f".probe-{tag}-a")
+        b = self._jpath(self.MANIFEST_DIR, f".probe-{tag}-b")
+        for jp in (a, b):
+            stream = fs.create(jp, False)
+            stream.close()
+        try:
+            if self._rename(a, b):
+                raise UnsafeFilesystemError(
+                    f"filesystem scheme {scheme!r} OVERWRITES on rename "
+                    f"to an existing destination; two writers racing a "
+                    f"manifest version would both 'win' and one commit "
+                    f"would be silently lost. This table cannot run "
+                    f"safely here."
+                )
+        finally:
+            fs.delete(a, False)
+            fs.delete(b, False)
+        self._commit_safety_checked = True
 
     def _read_small_file(self, jpath) -> str:
         jvm = self.spark._jvm
@@ -113,7 +218,7 @@ class AtomicPartitionedTable:
             stream.write(bytearray(text.encode("utf-8")))
         finally:
             stream.close()
-        if not fs.rename(tmp, final):
+        if not self._rename(tmp, final):
             fs.delete(tmp, False)
             raise CommitConflict(
                 f"atomic commit conflict: {final} already exists "
@@ -310,6 +415,11 @@ class AtomicPartitionedTable:
         like the overwrite, happens only at the manifest publish, so it
         is exactly as crash-atomic as the writes.
 
+        ``df`` must not carry a column named ``snap``: the snapshot
+        layout reserves it, partition discovery would recover a
+        duplicate, and :meth:`read` drops it — the user column would be
+        silently lost.
+
         Protocol: write ``df`` into a fresh ``snap=N`` dir (invisible to
         readers; N is unique — a racing writer that picks the same N
         fails the errorifexists data write), then publish a manifest
@@ -327,6 +437,12 @@ class AtomicPartitionedTable:
         previous manifest with only orphan files on disk; a replay
         commits the same logical content under the next version. Returns
         the number of partitions (re)written."""
+        if "snap" in df.columns:
+            raise ValueError(
+                "column name 'snap' is reserved by the snapshot layout "
+                "(it would be dropped on read); rename it before commit"
+            )
+        self.check_commit_safety()
         snap = self._reserve_snapshot()
         snap_rel = f"{self.DATA_DIR}/snap={snap}"
         (
@@ -381,18 +497,49 @@ class AtomicPartitionedTable:
             f"staged and will be retried or vacuumed)"
         )
 
-    def vacuum(self) -> int:
-        """Delete snapshot dirs no current partition references and all
-        non-current manifests (time travel is not part of this table's
-        contract; callers needing it skip vacuum). Safe against crashed
-        commits: orphan snapshots are exactly the unreferenced ones.
-        Returns the number of snapshot dirs removed. Not safe to run
-        concurrently with a reader pinned to an old manifest."""
+    #: Default vacuum grace period (seconds). An unreferenced snapshot or
+    #: reservation marker younger than this is treated as a possibly
+    #: in-flight commit and kept (Iceberg's expire-snapshots threshold,
+    #: reduced to its minimum). Sized so any realistic stage-to-publish
+    #: window fits with wide margin.
+    VACUUM_GRACE_SECONDS = 3600.0
+
+    def vacuum(self, grace_seconds: float | None = None) -> int:
+        """Delete snapshot dirs no current partition references, stale
+        reservation markers, and all non-current manifests (time travel
+        is not part of this table's contract; callers needing it skip
+        vacuum). Safe against crashed commits: orphan snapshots are
+        exactly the unreferenced ones.
+
+        CONCURRENT-WRITER SAFETY: an in-flight commit that has staged its
+        ``snap=N`` dir (or only created its ``.reserved-snap-N`` marker)
+        but not yet published its manifest is indistinguishable from a
+        crashed commit's orphan by reference-counting alone — deleting it
+        would let the subsequent publish succeed while pointing at
+        deleted files (data loss), and deleting a live reservation marker
+        reopens the snapshot-number-reuse race the marker closes. The
+        guard is age: anything younger than ``grace_seconds`` (default
+        :data:`VACUUM_GRACE_SECONDS`) is kept. Pass ``grace_seconds=0``
+        ONLY when the caller holds exclusive access to the table (no
+        concurrent writers — e.g. a maintenance window, or tests).
+
+        Not safe to run concurrently with a reader pinned to an old
+        manifest. Returns the number of snapshot dirs removed."""
+        grace = (
+            self.VACUUM_GRACE_SECONDS if grace_seconds is None
+            else grace_seconds
+        )
+        cutoff_ms = (time.time() - grace) * 1000.0
         fs = self._fs()
         current = self.current_version()
         live_snaps = set(self._manifest().values())
         removed = 0
-        for name in self._list_names(self.DATA_DIR):
+        data_path = self._jpath(self.DATA_DIR)
+        statuses = fs.listStatus(data_path) if fs.exists(data_path) else []
+        for st in statuses:
+            name = st.getPath().getName()
+            if st.getModificationTime() > cutoff_ms:
+                continue  # possibly an in-flight writer — keep
             if name.startswith(self.RESERVE_PREFIX):
                 sid = name[len(self.RESERVE_PREFIX):]
                 if sid.isdigit() and int(sid) not in live_snaps:
@@ -406,6 +553,10 @@ class AtomicPartitionedTable:
                 removed += 1
         for name in self._list_names(self.MANIFEST_DIR):
             v = self._manifest_version(name)
-            if (v is not None and v < current) or name.startswith(".tmp-"):
+            if (
+                (v is not None and v < current)
+                or name.startswith(".tmp-")
+                or name.startswith(".probe-")
+            ):
                 fs.delete(self._jpath(self.MANIFEST_DIR, name), False)
         return removed

@@ -87,7 +87,7 @@ def scan_atomic_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         gold(orders.filter(F.col("o_orderpriority").isin(*ATOMIC_HOT)))
         .coalesce(1)
     )
-    table.vacuum()  # reaps the orphan + superseded snapshots, nothing live
+    table.vacuum(grace_seconds=0)  # single-writer here: reap orphan + superseded
     return table.read().select(
         "o_orderpriority", "order_count", "sum_totalprice"
     )

@@ -115,7 +115,7 @@ class TestAtomicTable:
             )
         table.commit_overwrite_partitions(df_of(spark, [("d1", "a", 9)]))
         before = snapshot(table)
-        removed = table.vacuum()
+        removed = table.vacuum(grace_seconds=0)  # test owns the table exclusively
         # snap=2 (orphan) gone; snap=1 still live (owns d2), snap=3 live
         assert removed == 1
         data_root = os.path.join(table.root, "data")
@@ -333,7 +333,7 @@ def test_time_travel_read_reconstructs_history(spark, tmp_path):
         (r["day"], r["k"]): r["v"] for r in table.read(version=2).collect()
     } == {("d1", "a"): 10, ("d2", "b"): 2}
     assert snapshot(table) == {("d1", "a"): 10, ("d2", "b"): 20}
-    table.vacuum()
+    table.vacuum(grace_seconds=0)  # exclusive access: no concurrent writers
     assert snapshot(table) == {("d1", "a"): 10, ("d2", "b"): 20}
     with pytest.raises(FileNotFoundError, match="expired by vacuum"):
         table.read(version=1)
@@ -355,7 +355,7 @@ def test_many_commits_soak_matches_replay_and_survives_vacuum(spark, tmp_path):
         if n % 10 == 0:
             assert snapshot(table) == expected, f"diverged at commit {n}"
     assert table.current_version() == 30
-    table.vacuum()
+    table.vacuum(grace_seconds=0)  # exclusive access: no concurrent writers
     assert snapshot(table) == expected
     # live snapshots = the last writer of each of the 4 partitions
     data_dirs = sorted(os.listdir(os.path.join(table.root, "data")))
@@ -443,7 +443,7 @@ def test_random_walk_matches_dict_model(spark, tmp_path, seed):
         op = rng.choice(["commit", "commit", "crash", "empty", "vacuum"])
         if op == "vacuum":
             if table.exists():
-                table.vacuum()
+                table.vacuum(grace_seconds=0)  # walk is single-writer
             continue
         touched = rng.sample(days, rng.randint(1, 2))
         rows = [(d, "k", step * 10 + i) for i, d in enumerate(touched)]
@@ -474,3 +474,181 @@ def test_random_walk_matches_dict_model(spark, tmp_path, seed):
         else:
             got = {}
         assert got == model, f"diverged at step {step} after {op}"
+
+
+# ---------------------------------------------------------------------------
+# round 6: writer-safe vacuum, reserved-name guards, FS capability probe,
+# high-contention soak
+# ---------------------------------------------------------------------------
+
+def test_vacuum_grace_protects_inflight_writers(spark, tmp_path):
+    """vacuum must NOT reap a freshly staged snapshot or a live
+    reservation marker (an in-flight commit between stage and publish is
+    indistinguishable from a crashed orphan by reference counting alone
+    — deleting it would publish a manifest pointing at deleted files).
+    The age guard: default grace keeps young orphans; grace_seconds=0
+    (exclusive access) reaps them."""
+    table = AtomicPartitionedTable(spark, str(tmp_path / "tbl"), "day")
+    table.commit_overwrite_partitions(df_of(spark, [("d1", "a", 1)]))
+    # writer A: staged its snapshot (crash leaves the orphan snap dir)
+    with pytest.raises(Boom):
+        table.commit_overwrite_partitions(
+            df_of(spark, [("d1", "a", 5)]), fault=crash_at("staged")
+        )
+    # writer B: only reserved its snapshot number so far
+    reserved = table._reserve_snapshot()
+    marker = os.path.join(
+        table.root, "data", f"{table.RESERVE_PREFIX}{reserved}"
+    )
+    data_root = os.path.join(table.root, "data")
+    assert os.path.exists(marker)
+    assert "snap=2" in os.listdir(data_root)  # the staged orphan
+    # default grace: both survive — vacuum sees them as possibly in-flight
+    assert table.vacuum() == 0
+    assert os.path.exists(marker)
+    assert "snap=2" in os.listdir(data_root)
+    # the reservation still guards its number: a new commit skips it
+    table.commit_overwrite_partitions(df_of(spark, [("d2", "b", 2)]))
+    assert f"/snap={reserved + 1}/" in (
+        table.current_partition_paths()["day=d2"]
+    )
+    # exclusive-access vacuum reaps the orphan AND the stale marker
+    assert table.vacuum(grace_seconds=0) == 1
+    assert not os.path.exists(marker)
+    assert "snap=2" not in os.listdir(data_root)
+    assert snapshot(table) == {("d1", "a"): 1, ("d2", "b"): 2}
+
+
+def test_reserved_snap_names_rejected(spark, tmp_path):
+    """The snapshot layout reserves 'snap': as a partition column it
+    collides with partition discovery; as a data column it would be
+    silently dropped by read(). Both must fail loudly."""
+    with pytest.raises(ValueError, match="reserved"):
+        AtomicPartitionedTable(spark, str(tmp_path / "tbl"), "snap")
+    table = AtomicPartitionedTable(spark, str(tmp_path / "tbl2"), "day")
+    df = spark.createDataFrame(
+        [("d1", 3, 1)], "day string, snap int, v long"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        table.commit_overwrite_partitions(df)
+    assert not table.exists()  # nothing published
+
+
+def test_unsafe_scheme_refused_before_any_commit(spark, tmp_path):
+    """A scheme not known to provide atomic rename (raw object store)
+    must be refused BEFORE anything is published — unless the deployment
+    explicitly opts in (atomic-rename layer in front)."""
+    from serverless_etl_aws_spark.pipeline.atomic import (
+        UnsafeFilesystemError,
+    )
+
+    class S3LikeTable(AtomicPartitionedTable):
+        def _scheme(self) -> str:
+            return "s3a"
+
+    table = S3LikeTable(spark, str(tmp_path / "tbl"), "day")
+    with pytest.raises(UnsafeFilesystemError, match="atomic rename"):
+        table.commit_overwrite_partitions(df_of(spark, [("d1", "a", 1)]))
+    assert not table.exists()
+    assert not os.path.exists(os.path.join(table.root, "_manifests"))
+    # opt-in: deployment fronts the store with an atomic-rename layer
+    trusted = S3LikeTable(
+        spark, str(tmp_path / "tbl"), "day", trust_atomic_rename=True
+    )
+    trusted.commit_overwrite_partitions(df_of(spark, [("d1", "a", 1)]))
+    assert snapshot(trusted) == {("d1", "a"): 1}
+
+
+def test_overwriting_rename_fs_refused(spark, tmp_path):
+    """An FS whose rename ONTO an existing destination succeeds
+    (overwrite semantics — the raw-S3 copy+delete shape) breaks the
+    manifest version race: two writers would both 'win' and one commit
+    would be silently lost. The behavioral probe must catch it before
+    the first publish."""
+    from serverless_etl_aws_spark.pipeline.atomic import (
+        UnsafeFilesystemError,
+    )
+
+    class OverwritingRenameTable(AtomicPartitionedTable):
+        def _rename(self, src, dst) -> bool:  # a lying filesystem
+            fs = self._fs()
+            if fs.exists(dst):
+                fs.delete(dst, False)
+            return bool(fs.rename(src, dst))
+
+    table = OverwritingRenameTable(spark, str(tmp_path / "tbl"), "day")
+    with pytest.raises(UnsafeFilesystemError, match="OVERWRITES"):
+        table.commit_overwrite_partitions(df_of(spark, [("d1", "a", 1)]))
+    assert not table.exists()
+    # and no manifest was ever published (probe runs pre-commit)
+    mdir = os.path.join(table.root, "_manifests")
+    assert not os.path.exists(mdir) or all(
+        not n.startswith("manifest-") for n in os.listdir(mdir)
+    )
+
+
+def test_eight_writer_contention_soak(spark, tmp_path):
+    """8 true concurrent writers × 3 commits each over OVERLAPPING
+    partitions (each writer touches its own day plus a shared hot day):
+    every publish must take a unique version (no lost updates / ABA on
+    snapshot numbers), retry exhaustion must stay loud (surfaced, not
+    swallowed), each exclusive partition must hold its writer's last
+    value, and the shared partition must hold the last value of
+    whichever writer published last — never a torn or stale mix."""
+    import threading
+
+    from serverless_etl_aws_spark.pipeline.atomic import CommitConflict
+
+    table = AtomicPartitionedTable(spark, str(tmp_path / "tbl"), "day")
+    n_writers, n_commits = 8, 3
+    errors: list = []
+    published = []  # one append per successful publish
+    lock = threading.Lock()
+
+    def writer(w: int):
+        try:
+            for c in range(1, n_commits + 1):
+                v = w * 100 + c
+                rows = [(f"d{w}", "a", v), ("shared", f"w{w}", v)]
+                for _replay in range(6):  # documented recovery: replay
+                    try:
+                        table.commit_overwrite_partitions(
+                            df_of(spark, rows)
+                        )
+                        break
+                    except CommitConflict:
+                        continue
+                else:
+                    raise RuntimeError(f"writer {w} exhausted replays")
+                with lock:
+                    published.append((w, c))
+        except Exception as exc:  # noqa: BLE001 — surfaced to the assert
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(w,))
+        for w in range(n_writers)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(published) == n_writers * n_commits
+    # every publish took a unique version — nothing lost, no ABA
+    assert table.current_version() == len(published)
+    state = snapshot(table)
+    for w in range(n_writers):
+        assert state[(f"d{w}", "a")] == w * 100 + n_commits
+    # shared partition: exactly one writer's final commit owns it whole
+    shared = {k: v for (d, k), v in state.items() if d == "shared"}
+    owners = {int(k[1:]) for k in shared}
+    assert len(owners) == 1, f"torn shared partition: {shared}"
+    (owner,) = owners
+    assert shared == {f"w{owner}": owner * 100 + n_commits}
+    # manifest integrity after the storm: every referenced snapshot dir
+    # exists, and an exclusive vacuum keeps the state intact
+    for p in table.current_partition_paths().values():
+        assert os.path.exists(p), p
+    table.vacuum(grace_seconds=0)
+    assert snapshot(table) == state
