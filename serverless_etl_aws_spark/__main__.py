@@ -33,11 +33,23 @@ def main(argv: list[str] | None = None) -> int:
     tables.add_argument("--zone", required=True)
 
     explain = sub.add_parser(
-        "explain", help="show the physical plan of a registry key or SQL"
+        "explain",
+        help="show the physical plan of a registry key or SQL",
+        description=(
+            "Show the physical plan of a registry key or SQL string. "
+            "Some keys (streaming runs, atomic-table maintenance, "
+            "staged scans — see queries.EAGER_KEYS) execute real work "
+            "at DataFrame-build time; explaining them RUNS them, so "
+            "they are refused without --allow-side-effects."
+        ),
     )
     explain.add_argument("--zone", required=True)
     explain.add_argument("query", help="registry key (e.g. agg_group) or SQL")
     explain.add_argument("--mode", default="formatted")
+    explain.add_argument(
+        "--allow-side-effects", action="store_true",
+        help="permit explaining a key that executes work when built",
+    )
 
     args = parser.parse_args(argv)
 
@@ -66,7 +78,12 @@ def main(argv: list[str] | None = None) -> int:
         eng.sql(args.query).show(args.limit, truncate=False)
         return 0
     if args.cmd == "explain":
-        print(eng.explain(args.query, mode=args.mode))
+        print(
+            eng.explain(
+                args.query, mode=args.mode,
+                allow_side_effects=args.allow_side_effects,
+            )
+        )
         return 0
     return 1
 

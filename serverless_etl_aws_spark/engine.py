@@ -53,18 +53,35 @@ class Engine:
             self.register_all()
         return self.spark.sql(query)
 
-    def explain(self, query: str, mode: str = "formatted") -> str:
+    def explain(
+        self, query: str, mode: str = "formatted",
+        allow_side_effects: bool = False,
+    ) -> str:
         """Physical-plan introspection — the tuning surface every claim
         in ARCHITECTURE.md is verified against. ``query`` is either a
         registry key (the named operator's plan over this zone) or a SQL
         string; ``mode`` is any Spark explain mode (``simple``,
         ``extended``, ``codegen``, ``cost``, ``formatted``). Returns the
         plan text so callers can assert on it (the same string
-        tests/test_plans.py pins)."""
-        from .queries import build_registry
+        tests/test_plans.py pins).
+
+        Keys in :data:`queries.EAGER_KEYS` execute real work at
+        DataFrame-build time (streaming runs, commit/vacuum cycles,
+        scratch staging, an embedded Derby write) — explaining them means
+        RUNNING them. They are refused unless ``allow_side_effects=True``
+        so "show me the plan" can never silently execute a pipeline."""
+        from .queries import EAGER_KEYS, build_registry
 
         registry = build_registry()
         if query in registry:
+            if query in EAGER_KEYS and not allow_side_effects:
+                raise ValueError(
+                    f"registry key {query!r} executes real work at "
+                    f"DataFrame-build time (staging/streaming/commits); "
+                    f"explaining it runs the whole pipeline. Pass "
+                    f"allow_side_effects=True (CLI: --allow-side-effects) "
+                    f"to accept that."
+                )
             df = registry[query].fn(self.spark, self.zone_root)
         else:
             df = self.sql(query)

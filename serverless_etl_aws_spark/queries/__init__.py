@@ -72,6 +72,28 @@ PRIORITY_EXT: tuple[str, ...] = (
 )
 
 
+# Keys whose DataFrame BUILD already executes work: they stage scratch
+# inputs, run a streaming job to completion, perform real
+# commit/crash/vacuum cycles against the atomic table, or write an
+# embedded Derby database — the returned DataFrame is a read of the
+# result. "Show me the plan" for one of these silently executes the whole
+# pipeline, so introspection surfaces (Engine.explain, the CLI `explain`
+# subcommand) refuse them unless the caller opts in. Maintained by hand;
+# the rule for membership is "building the DataFrame mutates state or
+# runs a job", not the key's family name.
+EAGER_KEYS: frozenset[str] = frozenset({
+    "export_warehouse", "ingest_incremental", "join_bucketed", "join_dpp",
+    "maintenance_compact", "maintenance_delete_rows", "maintenance_vacuum",
+    "maintenance_zorder", "rollup_incremental", "rollup_upsert",
+    "scan_atomic_table", "scan_binaryfile", "scan_csv", "scan_jdbc",
+    "scan_json", "scan_merge_schema", "scan_orc", "scan_text", "scan_xml",
+    "sink_partitioned", "stream_cdc", "stream_dedup", "stream_join",
+    "stream_late_data", "stream_pydatasource", "stream_session",
+    "stream_sliding", "stream_stateful", "stream_stream_join",
+    "stream_tumbling",
+})
+
+
 def build_registry() -> dict[str, Query]:
     """Collect every query family. Import is deferred so a bug in one
     family doesn't take down the whole registry at import time."""

@@ -125,13 +125,16 @@ SF1_KEYS = [
     # round-5 fourth wave
     "win_ignore_nulls", "llm_bpe_encode", "maintenance_delete_rows",
     "llm_bigram_lm",
-    # round-5 fifth wave
-    "join_full_outer", "udtf_python", "llm_paragraph_dedup",
-    "mm_audio_window", "agg_heavy_hitters",
+    # round-5 fifth wave (llm_paragraph_dedup / agg_heavy_hitters already
+    # listed in the second wave — not repeated here)
+    "join_full_outer", "udtf_python", "mm_audio_window",
     # round-5 sixth wave: broaden sf1.0 coverage across remaining families
     "dq_expectations", "agg_funnel", "dim_scd2", "win_sessionize",
     "llm_tfidf", "llm_pii_scrub", "fn_json", "scan_csv",
+    # round-6 wave: the last unmeasured heavy keys (VERDICT r5 #3)
+    "llm_dedup_cluster", "stream_stateful",
 ]
+assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 
 
 def build_sf1() -> str:
@@ -249,7 +252,7 @@ def run_sf1(spark, only: list[str] | None = None) -> None:
                 f"not in SF1_KEYS (add them there first): {unknown}"
             )
     sf1 = build_sf1()
-    keys = [k for k in SF1_KEYS if not only or k in only]
+    keys = [k for k in dict.fromkeys(SF1_KEYS) if not only or k in only]
 
     def timed(sf_dir):
         times = {}

@@ -119,3 +119,23 @@ def test_engine_explain_registry_key_and_sql(spark, sf_dir):
         "SELECT r_name FROM region WHERE r_regionkey = 1", mode="simple"
     )
     assert "Scan" in sql_plan
+
+
+def test_engine_explain_refuses_eager_keys(spark, sf_dir):
+    """Keys that execute real work at DataFrame-build time (streaming
+    runs, commit/vacuum cycles, staged scans) must be refused by
+    explain() by default — "show me the plan" can never silently run a
+    pipeline — and every EAGER_KEYS entry must name a real registry
+    key."""
+    import pytest
+
+    from serverless_etl_aws_spark.engine import Engine
+    from serverless_etl_aws_spark.queries import EAGER_KEYS, build_registry
+
+    assert EAGER_KEYS <= set(build_registry())
+    eng = Engine(spark=spark, zone_root=sf_dir)
+    with pytest.raises(ValueError, match="side_effects"):
+        eng.explain("stream_cdc")
+    # opt-in still works (pick the cheapest eager key: a staged csv scan)
+    plan = eng.explain("scan_csv", allow_side_effects=True)
+    assert "Physical Plan" in plan
