@@ -97,7 +97,11 @@ def test_bpe_parallel_merge_equals_sequential_on_runs(docs, bpe_spark):
 
     orig_t = util.t
     try:
-        # point the key at the synthetic corpus
+        # point the key at the synthetic corpus; the session-level merge
+        # cache keys on (session, sf_dir) — swapping the corpus behind a
+        # fixed sf_dir requires dropping it (production code never does
+        # this; the monkeypatch does, once per hypothesis example)
+        e9._BPE_CACHE.clear()
         e9.t = lambda s, sf, name: df
         got = [
             (r.pair_a, r.pair_b, r.pair_count, r.merges, r.tokens_after)
@@ -120,6 +124,7 @@ def test_bpe_pair_exhaustion_matches_oracle(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     orig = e9.t
     try:
+        e9._BPE_CACHE.clear()  # corpus swapped behind a fixed sf_dir
         e9.t = lambda s, sf, name: df
         got = [
             (r.it, r.pair_a, r.pair_b, r.pair_count, r.merges,
