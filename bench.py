@@ -16,6 +16,17 @@ them first and make round-over-round diffs unattributable (round 2 showed
 Both runs are preserved per key in ``BENCH_DETAIL.json`` at the repo root
 (cold + warm), which is the machine-checkable artifact — the stdout JSON
 line stays small enough that log-tail truncation can't eat it.
+
+Wobble protocol (VERDICT r5 #7): keys whose first warm run exceeds
+``MEDIAN3_THRESHOLD`` get TWO extra warm runs; the reported warm time is
+the MEDIAN of the three and BENCH_DETAIL records every run plus the
+max-min ``spread`` — so a future round can mechanically distinguish a
+real regression (median moved, small spread) from shared-box variance
+(large spread straddling the old number). rollup_incremental's 3.8-6.4 s
+same-day wobble consumed audit effort three rounds running; the spread
+field answers it from the artifact. Fast keys stay single-warm-run: the
+suite-time cost of tripling all 163 keys would exceed the information
+gained about sub-second timings.
 """
 
 from __future__ import annotations
@@ -46,6 +57,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = build_registry()
+    # Keys slower than this on their first warm run get median-of-3 warm
+    # timing with the run-to-run spread recorded (wobble protocol).
+    MEDIAN3_THRESHOLD = 2.0
     timings: dict[str, float] = {}
     detail: dict[str, dict[str, float]] = {}
     # Warm the JVM + parquet footers once so per-query numbers reflect the
@@ -115,9 +129,18 @@ def main() -> None:
             flush_detail()
             continue
         try:
-            warm = run_once(q)
+            warm_runs = [run_once(q)]
+            if warm_runs[0] > MEDIAN3_THRESHOLD:
+                # wobble-prone territory: median-of-3 + recorded spread
+                warm_runs += [run_once(q), run_once(q)]
+            warm = sorted(warm_runs)[len(warm_runs) // 2]
             timings[key] = warm
             detail[key] = {"cold": cold, "warm": warm}
+            if len(warm_runs) > 1:
+                detail[key]["warm_runs"] = warm_runs
+                detail[key]["spread"] = round(
+                    max(warm_runs) - min(warm_runs), 3
+                )
         except Exception as exc:  # pragma: no cover
             timings[key] = -1.0
             detail[key] = {"cold": cold, "warm": -1.0}

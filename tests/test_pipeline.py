@@ -535,3 +535,59 @@ def test_rollup_upsert_preserves_null_partition(spark, tmp_path):
         (None, "a"): (3, 18),  # merged: 2+1 rows, 15+3 — NOT (1, 3)
         ("d1", "b"): (1, 7),   # untouched
     }
+
+
+def test_manifest_drives_derby_load_matching_gold_oracle(spark, sf_dir, tmp_path):
+    """VERDICT r5 #8: prove the COPY-manifest export format against a
+    SECOND SQL engine end-to-end. A warehouse loader's ONLY input is the
+    manifest path: read exactly the files it names, load them into the
+    embedded Derby through a real ``write.jdbc``, and query the
+    warehouse back — the result must equal the gold aggregate DuckDB
+    computes independently from the source parquet. A manifest that
+    mis-listed a part file, a loader that mangled a DOUBLE, or an export
+    that duplicated rows all fail this equality."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from serverless_etl_aws_spark.pipeline.export import WarehouseExporter
+    from serverless_etl_aws_spark.queries._util import dsum, sql_dsum
+
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    try:
+        spark._jvm.java.lang.Class.forName(props["driver"])
+    except Exception:
+        pytest.skip("Derby JDBC driver not on the Spark classpath")
+
+    gold = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            dsum("o_totalprice").alias("sum_totalprice"),
+        )
+    )
+    exp = WarehouseExporter(str(tmp_path / "wh"))
+    manifest = exp.export(gold, "gold_orders")
+
+    # ---- the loader: manifest → staged files → Derby ----
+    url = "jdbc:derby:memory:manifest_load;create=true"
+    exp.read_batch(spark, manifest).write.format("jdbc").option(
+        "url", url
+    ).option("dbtable", "gold_orders").option(
+        "driver", props["driver"]
+    ).save()
+    got = {
+        tuple(r)
+        for r in spark.read.jdbc(url, "gold_orders", properties=props).collect()
+    }
+
+    # ---- the oracle: an independent engine over the source parquet ----
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            f"SELECT o_orderpriority, COUNT(*) AS order_count, "
+            f"{sql_dsum('o_totalprice')} AS sum_totalprice "
+            f"FROM read_parquet('{sf_dir}/orders.parquet') GROUP BY 1"
+        ).fetchall()
+    }
+    assert got == want
