@@ -112,6 +112,7 @@ def build_registry() -> dict[str, Query]:
         extras10,
         extras11,
         extras12,
+        extras13,
         joins,
         llm,
         pipeline_ops,
@@ -146,6 +147,7 @@ def build_registry() -> dict[str, Query]:
         extras10,
         extras11,
         extras12,
+        extras13,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

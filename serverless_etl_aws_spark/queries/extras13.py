@@ -1,0 +1,271 @@
+"""Round-6 wave: dedup APPLICATION (cluster → canonical survivor),
+correlated LATERAL join, per-series gap detection, and n-gram novelty
+scoring.
+
+``llm_dedup_apply`` closes the dedup story end-to-end: every detection
+backend in the family emits pairs or clusters, but a training-data
+pipeline ultimately needs the SURVIVING corpus — one canonical document
+per duplicate group, everything else dropped. ``join_lateral`` covers
+the correlated-lateral-subquery operator (reference-class engines and
+warehouses expose it as LATERAL / CROSS APPLY); Catalyst decorrelates it
+into a WindowGroupLimit + broadcast join rather than a nested loop,
+which is the plan property the test pins. ``ts_gap_detect`` is the
+gaps-and-islands monitor (sessionize's dual: find the SILENCES);
+``llm_ngram_novelty`` scores each document by how much of its shingle
+set is unique to it — the boilerplate/template signal dedup pipelines
+threshold on before pair detection is even worth running.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import Query
+from ._util import t
+from .llm import _NGRAM_PAIRS_CTES
+
+# ------------------------------------------------------ llm_dedup_apply
+
+
+def llm_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply near-dup clustering to the corpus: keep ONE canonical
+    document per connected dup component — the longest (max ``n_chars``,
+    doc_id tie-break), the usual keep-the-most-complete-copy policy —
+    and report what the dedup removed. Builds on the exact cluster
+    assignment ``llm_dedup_cluster`` produces (same pair threshold,
+    same component closure), so detect and apply cannot disagree.
+
+    Scale: the survivor pick is one row_number window over the cluster
+    assignment (shuffle on cluster_id, O(docs) rows) on top of the
+    cluster plan's blocked pair join — no new corpus scan; the join back
+    to ``documents`` for n_chars is doc_id-keyed and column-pruned to
+    two columns."""
+    from .llm import llm_dedup_cluster
+
+    comp = llm_dedup_cluster(spark, sf_dir)  # doc_id, cluster_id, cluster_size
+    sizes = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        comp.join(sizes, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("cluster_size") - 1).cast("long").alias("n_removed"),
+        )
+    )
+
+
+LLM_DEDUP_APPLY_SQL = f"""
+WITH RECURSIVE {_NGRAM_PAIRS_CTES}, pairs AS (
+    SELECT doc_a, doc_b FROM scored_pairs WHERE jaccard >= 0.8
+), edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+    SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+), sized AS (
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp
+), ranked AS (
+    SELECT s.doc_id, s.cluster_id, s.cluster_size,
+           ROW_NUMBER() OVER (PARTITION BY s.cluster_id
+                              ORDER BY d.n_chars DESC, s.doc_id) AS rk
+    FROM sized s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT doc_id, cluster_id, cluster_size,
+       CAST(cluster_size - 1 AS BIGINT) AS n_removed
+FROM ranked WHERE rk = 1
+"""
+
+
+# --------------------------------------------------------- join_lateral
+
+LATERAL_TOP_K = 2
+
+
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join: for every nation, the top-2
+    customers by account balance (name tie-break) — the per-row
+    parameterized-subquery operator (LATERAL / CROSS APPLY in warehouse
+    dialects). Expressed as actual SQL LATERAL, NOT hand-rewritten to a
+    window: the point of the key is that Catalyst DECORRELATES the
+    per-nation ORDER BY ... LIMIT into a WindowGroupLimit (partial+final
+    per-group top-k, no global sort) feeding one broadcast hash join —
+    a nested-loop re-execution per outer row appears nowhere
+    (tests/test_plans.py pins the plan). That decorrelation is exactly
+    what makes the operator 100 TB-viable: cost is one shuffle of the
+    inner side by the correlation key, independent of outer-row count."""
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        f"""
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM nation n,
+        LATERAL (
+            SELECT c_name, c_acctbal FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name
+            LIMIT {LATERAL_TOP_K}
+        ) c
+        """
+    )
+
+
+JOIN_LATERAL_SQL = f"""
+SELECT n.n_name, c.c_name, c.c_acctbal
+FROM nation n,
+LATERAL (
+    SELECT c_name, c_acctbal FROM customer c
+    WHERE c.c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_name
+    LIMIT {LATERAL_TOP_K}
+) c
+"""
+
+
+# -------------------------------------------------------- ts_gap_detect
+
+#: A silence longer than this many microseconds is a reported gap.
+GAP_THRESHOLD_US = 24 * 3600 * 1_000_000
+
+
+def ts_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap detection — the dual of ``win_sessionize``: report
+    every silence longer than 24 h between consecutive events of the
+    same user (monitoring's "sensor went dark" / retention's "user went
+    dormant" primitive). One lag window per user (ts, event_id ordering
+    pins ties), gap arithmetic in integer MICROSECONDS end-to-end —
+    `unix_micros` here, `epoch_us` in the oracle — so no float rounding
+    or timezone rendering can drift between engines.
+
+    Scale: exactly one shuffle (window partition by user_id); output is
+    O(gaps). The lag state is one row."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    return (
+        ev.select(
+            "user_id",
+            prev.alias("gap_start_us"),
+            us.alias("gap_end_us"),
+        )
+        .withColumn("gap_us", F.col("gap_end_us") - F.col("gap_start_us"))
+        .filter(F.col("gap_us") > GAP_THRESHOLD_US)
+    )
+
+
+TS_GAP_DETECT_SQL = f"""
+WITH seq AS (
+    SELECT user_id,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS gap_start_us,
+           epoch_us(ts) AS gap_end_us
+    FROM events
+)
+SELECT user_id, gap_start_us, gap_end_us,
+       gap_end_us - gap_start_us AS gap_us
+FROM seq
+WHERE gap_end_us - gap_start_us > {GAP_THRESHOLD_US}
+"""
+
+
+# ---------------------------------------------------- llm_ngram_novelty
+
+
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document novelty score: the fraction of a document's distinct
+    word trigrams that occur in NO other document (corpus df = 1).
+    Low novelty = templated/boilerplate content — the cheap corpus-level
+    signal pipelines threshold on before running pair-level dedup at
+    all (a doc that is 90 % shared shingles is a dedup candidate; one
+    that is 95 % unique is not worth pairing). Ratio floor-quantized to
+    4 decimals (integer division into IEEE doubles — deterministic
+    cross-engine, same discipline as the Jaccard scores).
+
+    Scale: the df table is one map-side-combinable groupBy over the
+    shingle explode; the score join shuffles on the gram hash — the
+    identical shape (and skew profile) as the TF-IDF key, linear in
+    corpus shingles. Short docs (< 3 tokens) have no shingles and are
+    absent from the output in both engines."""
+    from ..operators.text import trigrams
+
+    docs = t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(trigrams("text")).alias("gram")
+    ).localCheckpoint(eager=False)  # feeds df counts AND the score join
+    df_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(df_counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+            (
+                F.floor(
+                    F.sum((F.col("df") == 1).cast("long"))
+                    * F.lit(10000.0)
+                    / F.count(F.lit(1))
+                )
+                / 10000.0
+            ).alias("novelty"),
+        )
+    )
+
+
+LLM_NGRAM_NOVELTY_SQL = """
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+    SELECT doc_id,
+           list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          for i in range(1, len(toks) - 1)]) AS grams
+    FROM d WHERE len(toks) >= 3
+), ex AS (
+    SELECT doc_id, unnest(grams) AS gram FROM g
+), dfc AS (
+    SELECT gram, COUNT(*) AS df FROM ex GROUP BY gram
+)
+SELECT e.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(CASE WHEN dfc.df = 1 THEN 1 END) AS BIGINT) AS n_unique,
+       floor(COUNT(CASE WHEN dfc.df = 1 THEN 1 END) * 10000.0
+             / COUNT(*)) / 10000.0 AS novelty
+FROM ex e JOIN dfc USING (gram)
+GROUP BY e.doc_id
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "llm_dedup_apply": Query(
+        llm_dedup_apply, LLM_DEDUP_APPLY_SQL,
+        "dedup application: one canonical survivor per dup cluster",
+    ),
+    "join_lateral": Query(
+        join_lateral, JOIN_LATERAL_SQL,
+        "correlated LATERAL top-k subquery (decorrelated, no nested loop)",
+    ),
+    "ts_gap_detect": Query(
+        ts_gap_detect, TS_GAP_DETECT_SQL,
+        "per-user >24h silence gaps (gaps-and-islands dual of sessionize)",
+    ),
+    "llm_ngram_novelty": Query(
+        llm_ngram_novelty, LLM_NGRAM_NOVELTY_SQL,
+        "fraction of per-doc shingles unique in the corpus (df=1)",
+    ),
+}

@@ -493,3 +493,40 @@ def test_atomic_table_read_is_partitioned_parquet_scan(spark, sf_dir):
     plan = plan_of(scan_atomic_table(spark, sf_dir))
     assert "Union" not in plan
     assert plan.count("FileScan parquet") == 1
+
+
+def test_lateral_join_decorrelates_to_group_limit(spark, sf_dir):
+    """The correlated LATERAL ORDER BY ... LIMIT must decorrelate into a
+    per-group top-k (WindowGroupLimit) + hash join — executing the
+    subquery once per outer row (nested loop / cartesian) would be
+    O(outer × inner) and is the plan the key exists to rule out."""
+    from serverless_etl_aws_spark.queries.extras13 import join_lateral
+
+    plan = plan_of(join_lateral(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the inner side is globally-unsorted: top-k per group, never a full sort
+    assert "Sort [c_acctbal" not in plan.split("Exchange")[0]
+
+
+def test_gap_detect_single_exchange(spark, sf_dir):
+    """Gap detection is ONE window pass: exactly one shuffle (the
+    user_id window partition), gap arithmetic stays in the projection."""
+    from serverless_etl_aws_spark.queries.extras13 import ts_gap_detect
+
+    plan = plan_of(ts_gap_detect(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ngram_novelty_shares_one_shingle_explode(spark, sf_dir):
+    """The shingle relation feeds both the df-count build side and the
+    score join probe side from ONE materialization (localCheckpoint) —
+    without it the corpus-wide split+explode executes twice."""
+    from serverless_etl_aws_spark.queries.extras13 import llm_ngram_novelty
+
+    plan = plan_of(llm_ngram_novelty(spark, sf_dir))
+    # after the checkpoint, the executed plan scans the checkpointed RDD,
+    # not the parquet, and contains no explode at all
+    assert plan.count("Generate explode") == 0
+    assert "Scan ExistingRDD" in plan
