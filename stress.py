@@ -133,6 +133,9 @@ SF1_KEYS = [
     "llm_tfidf", "llm_pii_scrub", "fn_json", "scan_csv",
     # round-6 wave: the last unmeasured heavy keys (VERDICT r5 #3)
     "llm_dedup_cluster", "stream_stateful",
+    # round-6 second wave: the new breadth keys
+    "llm_dedup_apply", "join_lateral", "ts_gap_detect",
+    "llm_ngram_novelty",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 
