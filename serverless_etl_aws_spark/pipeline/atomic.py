@@ -551,12 +551,21 @@ class AtomicPartitionedTable:
             if sid.isdigit() and int(sid) not in live_snaps:
                 fs.delete(self._jpath(self.DATA_DIR, name), True)
                 removed += 1
-        for name in self._list_names(self.MANIFEST_DIR):
+        man_path = self._jpath(self.MANIFEST_DIR)
+        man_statuses = (
+            fs.listStatus(man_path) if fs.exists(man_path) else []
+        )
+        for st in man_statuses:
+            name = st.getPath().getName()
             v = self._manifest_version(name)
-            if (
-                (v is not None and v < current)
-                or name.startswith(".tmp-")
-                or name.startswith(".probe-")
-            ):
+            is_scratch = name.startswith(".tmp-") or name.startswith(
+                ".probe-"
+            )
+            # a young .tmp- may be an in-flight publish about to rename;
+            # deleting it only costs the writer a retry, but the grace
+            # guard keeps vacuum zero-interference under concurrency
+            if is_scratch and st.getModificationTime() > cutoff_ms:
+                continue
+            if (v is not None and v < current) or is_scratch:
                 fs.delete(self._jpath(self.MANIFEST_DIR, name), False)
         return removed
