@@ -200,9 +200,16 @@ GROUP BY v.stage
 
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user running
-    profile across two pinned micro-batches. Deterministic rows (batch
-    split by event_id parity, mtime-ordered) — rows-only check since
-    cross-batch state is not SQL-expressible."""
+    profile across two pinned micro-batches (batch split by event_id
+    parity, mtime-ordered, maxFilesPerTrigger=1).
+
+    Graduated from rows-only to HASH-CHECKED in round 6: with pinned
+    batch boundaries the emitted rows are fully relational — batch 1 is
+    the b=0 slice, batch 2 aggregates both slices for users with b=1
+    rows — and the operator's value accounting was moved to integer
+    cents (floor(v*100+0.5): pure IEEE, identical in any engine; exact
+    int64 sums) precisely so the float column cannot drift with
+    summation order. The oracle replays that relational rule."""
     from ..streaming.stateful import running_user_profile
 
     out = run_stream_to_memory(
@@ -212,6 +219,40 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return out.orderBy("user_id", "total_events")
+
+
+_STATEFUL_TYPES = "'click','error','purchase','signup','view'"
+
+STREAM_STATEFUL_SQL = f"""
+WITH e AS (
+    SELECT user_id, event_id % 2 AS b, event_type,
+           CAST(FLOOR(COALESCE(value, 0.0) * 100.0 + 0.5) AS BIGINT)
+             AS cents
+    FROM events
+), r1 AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS batch_events,
+           CAST(COUNT(*) AS BIGINT) AS total_events,
+           SUM(cents) / 100.0 AS total_value,
+           CAST(COUNT(DISTINCT CASE WHEN event_type IN ({_STATEFUL_TYPES})
+                                    THEN event_type END) AS INT)
+             AS types_seen
+    FROM e WHERE b = 0 GROUP BY user_id
+), r2 AS (
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE b = 1) AS BIGINT) AS batch_events,
+           CAST(COUNT(*) AS BIGINT) AS total_events,
+           SUM(cents) / 100.0 AS total_value,
+           CAST(COUNT(DISTINCT CASE WHEN event_type IN ({_STATEFUL_TYPES})
+                                    THEN event_type END) AS INT)
+             AS types_seen
+    FROM e GROUP BY user_id
+    HAVING COUNT(*) FILTER (WHERE b = 1) > 0
+)
+SELECT user_id, batch_events, total_events, total_value, types_seen FROM r1
+UNION ALL
+SELECT user_id, batch_events, total_events, total_value, types_seen FROM r2
+"""
 
 
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -519,8 +560,11 @@ QUERIES: dict[str, Query] = {
                             "30min-gap session windows (streaming)"),
     "stream_late_data": Query(stream_late_data, STREAM_LATE_DATA_SQL,
                               "watermark closed-window emission"),
-    "stream_stateful": Query(stream_stateful, None,
-                             "applyInPandasWithState profile (rows-only)"),
+    "stream_stateful": Query(
+        stream_stateful, STREAM_STATEFUL_SQL,
+        "applyInPandasWithState running profile, hash-checked via the "
+        "pinned-batch relational rule + integer-cent accounting",
+    ),
     "stream_dedup": Query(stream_dedup, STREAM_DEDUP_SQL,
                           "streaming exact dedup (append mode)"),
     "stream_join": Query(stream_join, STREAM_JOIN_SQL,

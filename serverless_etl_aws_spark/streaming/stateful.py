@@ -27,7 +27,7 @@ OUTPUT_SCHEMA = (
     "user_id long, batch_events long, total_events long, "
     "total_value double, types_seen int"
 )
-STATE_SCHEMA = "total_events long, total_value double, type_mask int"
+STATE_SCHEMA = "total_events long, total_cents long, type_mask int"
 
 
 def _update(
@@ -35,28 +35,38 @@ def _update(
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
 ) -> Iterable[pd.DataFrame]:
-    total_events, total_value, type_mask = (
-        state.get if state.exists else (0, 0.0, 0)
+    import numpy as np
+
+    total_events, total_cents, type_mask = (
+        state.get if state.exists else (0, 0, 0)
     )
     batch_events = 0
     for pdf in pdfs:
         batch_events += len(pdf)
         total_events += len(pdf)
-        total_value += float(pdf["value"].fillna(0.0).sum())
+        # Value accounting is in INTEGER CENTS: floor(v*100 + 0.5) is
+        # pure IEEE arithmetic (mul, add, floor — no engine-specific
+        # half-rounding mode), so any engine computes the identical cent
+        # per event, and int64 summation is exact in any order. This is
+        # what makes the running profile HASH-CHECKABLE against a SQL
+        # oracle: a float accumulator's total depends on summation order
+        # (pandas pairwise vs SQL sequential), which can straddle a
+        # rounding boundary. State carries cents; /100.0 only at emit
+        # (bigint→double division, again bit-identical cross-engine).
+        v = pdf["value"].fillna(0.0).to_numpy(dtype="float64")
+        total_cents += int(
+            np.floor(v * 100.0 + 0.5).astype("int64").sum()
+        )
         for et in pdf["event_type"]:
             if et in EVENT_TYPES:
                 type_mask |= 1 << EVENT_TYPES.index(et)
-    # State carries the UNROUNDED sum; rounding happens only at emit.
-    # Accumulating on a rounded base drifts from the batch-equivalent
-    # total across micro-batches (two 0.004 batches: rounded-base total
-    # 0.0, true total rounds to 0.01).
-    state.update((total_events, total_value, type_mask))
+    state.update((total_events, total_cents, type_mask))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "batch_events": [batch_events],
             "total_events": [total_events],
-            "total_value": [round(total_value, 2)],
+            "total_value": [total_cents / 100.0],
             "types_seen": [bin(type_mask).count("1")],
         }
     )
