@@ -24,6 +24,15 @@ def ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     bronze files; run 2 (same checkpoint) finds nothing new — the
     reference's tag-skip semantics (s3_operations.py:30-33) from the
     streaming file-source checkpoint. Returns one row per run.
+
+    Graduated from rows-only to HASH-CHECKED in round 6: the
+    exactly-once contract IS relational — run 1 must ingest exactly
+    ``COUNT(*) FROM events`` rows (the two bronze files partition the
+    fixture), run 2 must ingest exactly 0, and the silver total must
+    equal the fixture count after BOTH runs (a double-append — the
+    reference's commit-in-``finally`` bug — would double it). The
+    oracle states those three numbers directly, so any reprocessing,
+    loss, or duplication hash-mismatches instead of merely "running".
     """
     base = fresh_dir(os.path.join(SCRATCH, "ingest_incremental"))
     bronze = os.path.join(base, "bronze")
@@ -59,6 +68,17 @@ def ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         schema="run int, rows_ingested long, silver_total long",
     )
+
+
+INGEST_INCREMENTAL_SQL = """
+SELECT CAST(1 AS INT) AS run,
+       CAST(COUNT(*) AS BIGINT) AS rows_ingested,
+       CAST(COUNT(*) AS BIGINT) AS silver_total
+FROM events
+UNION ALL
+SELECT CAST(2 AS INT), CAST(0 AS BIGINT),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events)
+"""
 
 
 def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,7 +306,9 @@ QUERIES: dict[str, Query] = {
         "incrementally-maintained silver→gold rollup",
     ),
     "ingest_incremental": Query(
-        ingest_incremental, None, "exactly-once incremental ingest (rows-only)"
+        ingest_incremental, INGEST_INCREMENTAL_SQL,
+        "exactly-once incremental ingest: run1 = all rows, run2 = 0, "
+        "silver never doubles (hash-checked)",
     ),
     "sink_partitioned": Query(
         sink_partitioned, SINK_PARTITIONED_SQL, "partitioned write + pruned read"
