@@ -317,9 +317,14 @@ def simhash64(texts: pd.Series) -> pd.Series:
         b = bit_cache.get(tok)
         if b is None:
             h = hashlib.md5(tok.encode("utf-8")).digest()[:8]
-            # little-endian unpack: bits[i] == (int(h) >> i) & 1
+            # bits[i] == (int.from_bytes(h, 'little') >> i) & 1 — i.e.
+            # the token integer IS DuckDB's md5_number_upper(tok), which
+            # is what lets the whole banded pipeline carry a SQL oracle
+            # (round 6 graduation): any fixed 64-bit token hash yields a
+            # valid SimHash, so the convention is chosen to be the one a
+            # second engine can compute natively.
             b = np.unpackbits(
-                np.frombuffer(h[::-1], dtype=np.uint8), bitorder="little"
+                np.frombuffer(h, dtype=np.uint8), bitorder="little"
             ).astype(np.int32)
             bit_cache[tok] = b
         return b

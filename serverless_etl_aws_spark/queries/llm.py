@@ -466,9 +466,60 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash band-blocked near-dup candidates (rows-only: banding is
-    approximate)."""
+    """SimHash band-blocked near-dup candidates. Graduated from
+    rows-only to HASH-CHECKED in round 6: the banding is approximate
+    relative to "all pairs with Hamming ≤ 6", but it is DETERMINISTIC —
+    the oracle replays the identical pipeline (md5-derived 64-bit token
+    hashes via DuckDB's native ``md5_number_upper``, per-bit majority
+    vote, 4×16-bit band blocking, popcount verify), so the exact pair
+    set is checkable even though the operator is an approximation."""
     return simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=6)
+
+
+LLM_DEDUP_SIMHASH_SQL = """
+WITH tok AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split(COALESCE(text, ''), ' '),
+                              x -> x <> '')) AS tk
+    FROM documents
+), nt AS (
+    SELECT doc_id, COUNT(*) AS n_toks FROM tok GROUP BY doc_id
+), bitvote AS (
+    SELECT doc_id, i.i AS i,
+           SUM(CASE WHEN (md5_number_upper(tk) >> i.i) & 1 = 1
+                    THEN 1 ELSE 0 END) AS ones
+    FROM tok CROSS JOIN (SELECT unnest(range(64)) AS i) i
+    GROUP BY doc_id, i.i
+), sig AS (
+    SELECT v.doc_id,
+           CAST(SUM(CASE WHEN v.ones * 2 > nt.n_toks
+                         THEN (CAST(1 AS UBIGINT) << CAST(v.i AS INT))
+                         ELSE CAST(0 AS UBIGINT) END)
+                AS UBIGINT) AS sig
+    FROM bitvote v JOIN nt USING (doc_id)
+    GROUP BY v.doc_id
+    UNION ALL
+    -- token-less docs (NULL/empty text) carry signature 0 in the engine
+    -- (the Pandas UDF emits 0) and DO enter the banding
+    SELECT d.doc_id, CAST(0 AS UBIGINT)
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM nt)
+), bands AS (
+    SELECT doc_id, sig, b.b AS band_idx,
+           (sig >> CAST(b.b * 16 AS INT)) & 65535 AS band_val
+    FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) b
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.sig AS sig_a, b.sig AS sig_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= 6
+"""
 
 
 def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1171,8 +1222,10 @@ QUERIES: dict[str, Query] = {
     ),
     "llm_dedup_minhash": Query(llm_dedup_minhash, None,
                                "MinHash-LSH pairs (rows-only)"),
-    "llm_dedup_simhash": Query(llm_dedup_simhash, None,
-                               "SimHash band pairs (rows-only)"),
+    "llm_dedup_simhash": Query(
+        llm_dedup_simhash, LLM_DEDUP_SIMHASH_SQL,
+        "SimHash band pairs, hash-checked via full oracle-side replay",
+    ),
     "llm_dedup_embedding": Query(llm_dedup_embedding, LLM_DEDUP_EMBEDDING_SQL,
                                  "embedding-cosine near-dups"),
     "llm_sim_search": Query(llm_sim_search, LLM_SIM_SEARCH_SQL,

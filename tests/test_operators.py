@@ -684,10 +684,15 @@ def test_brute_force_topk_missing_probe_raises(spark):
         brute_force_topk(emb, probe_vec_id=99, k=5)
 
 
-def test_stateful_update_state_carries_unrounded_sum():
-    """The cross-batch state must hold the unrounded running sum; two
-    sub-cent batches must round to the true total, not accumulate on a
-    rounded base."""
+def test_stateful_update_state_carries_exact_integer_cents():
+    """Round-6 contract (the graduation to a hash-checked oracle): value
+    accounting is PER-EVENT integer cents — floor(v*100 + 0.5), pure
+    IEEE, engine-independent — and the cross-batch state carries the
+    exact int64 cent total, so the running sum is identical under any
+    batch split and any summation order. Two 0.006 events quantize to
+    1 cent EACH (0.02 total), which distinguishes per-event cents from
+    the old unrounded-float-state semantics (round(0.012) = 0.01); and
+    a 0.004 event is 0 cents, never a drifting float residue."""
     import pandas as pd
 
     from serverless_etl_aws_spark.streaming.stateful import _update
@@ -706,10 +711,20 @@ def test_stateful_update_state_carries_unrounded_sum():
             self.exists = True
 
     st = FakeState()
-    batch = pd.DataFrame({"value": [0.004], "event_type": ["click"]})
+    batch = pd.DataFrame({"value": [0.006], "event_type": ["click"]})
     list(_update((7,), iter([batch]), st))
     out = list(_update((7,), iter([batch]), st))[0]
-    assert out["total_value"].iloc[0] == 0.01  # round(0.008), not round(0.0+0.004)
+    assert out["total_value"].iloc[0] == 0.02  # 1 cent + 1 cent
+    assert st.get[1] == 2  # state holds exact integer cents
+    out2 = list(
+        _update(
+            (7,),
+            iter([pd.DataFrame({"value": [0.004], "event_type": ["view"]})]),
+            st,
+        )
+    )[0]
+    assert out2["total_value"].iloc[0] == 0.02  # 0.004 → 0 cents
+    assert out2["types_seen"].iloc[0] == 2
 
 
 def test_pq_recall_fixture(spark, sf_dir):
