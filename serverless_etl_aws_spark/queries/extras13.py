@@ -251,6 +251,98 @@ GROUP BY e.doc_id
 """
 
 
+# ------------------------------------------------------ llm_prefix_dedup
+
+#: Blocking key width (chars) and hot-block cap. Docs shorter than the
+#: key are not prefix-dedup candidates by contract (tiny docs are the
+#: quality gate's job); blocks shared by more docs than the cap are
+#: boilerplate openings and dropped before the pair join — the same
+#: frequency-stop discipline as the ngram family's stop-shingle cap.
+PREFIX_KEY_CHARS = 32
+PREFIX_MAX_BLOCK_DF = 50
+
+
+def llm_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-truncation duplicates — the crawl-pipeline dup class the
+    shingle-Jaccard family underweights: a re-crawl or extraction bug
+    that TRUNCATES a page yields doc A = strict prefix of doc B, whose
+    Jaccard can sit far below any near-dup threshold when B is much
+    longer. Detection: block on the first ``PREFIX_KEY_CHARS``
+    characters (equal-prefix pairs necessarily share the block), drop
+    hot blocks (common openings) by the frequency cap, then verify
+    ``substr(b, 1, len(a)) = a`` with ``len(a) < len(b)`` inside each
+    block. Exact duplicates are excluded (that is ``llm_fingerprint``'s
+    contract — this key reports strict truncations only).
+
+    Scale: one block groupBy (map-side combinable) for the cap, one
+    equi-join on the 32-char block key with fan-out bounded by cap² per
+    block, and the verify is an O(len) substring compare on candidate
+    pairs only — never an all-pairs scan."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(
+            F.col("text").isNotNull()
+            & (F.length("text") >= PREFIX_KEY_CHARS)
+        )
+        .select(
+            "doc_id", "text",
+            F.length("text").alias("n"),
+            F.substring("text", 1, PREFIX_KEY_CHARS).alias("block"),
+        )
+    )
+    cold = (
+        docs.groupBy("block")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= PREFIX_MAX_BLOCK_DF)
+        .select("block")
+    )
+    kb = docs.join(F.broadcast(cold), "block")
+    a = kb.select(
+        F.col("block"), F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("ta"), F.col("n").alias("prefix_len"),
+    )
+    b = kb.select(
+        F.col("block"), F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("tb"), F.col("n").alias("full_len"),
+    )
+    return (
+        a.join(b, "block")
+        .filter(
+            (F.col("prefix_len") < F.col("full_len"))
+            # substring with a column-valued length needs the expr form
+            & (F.expr("substring(tb, 1, prefix_len)") == F.col("ta"))
+        )
+        .select(
+            "doc_a", "doc_b",
+            F.col("prefix_len").cast("long").alias("prefix_len"),
+            F.col("full_len").cast("long").alias("full_len"),
+        )
+    )
+
+
+LLM_PREFIX_DEDUP_SQL = f"""
+WITH d AS (
+    SELECT doc_id, text, length(text) AS n
+    FROM documents
+    WHERE text IS NOT NULL AND length(text) >= {PREFIX_KEY_CHARS}
+), blk AS (
+    SELECT doc_id, text, n,
+           substr(text, 1, {PREFIX_KEY_CHARS}) AS block
+    FROM d
+), cold AS (
+    SELECT block FROM blk GROUP BY block
+    HAVING COUNT(*) <= {PREFIX_MAX_BLOCK_DF}
+), kb AS (
+    SELECT blk.* FROM blk JOIN cold USING (block)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(a.n AS BIGINT) AS prefix_len,
+       CAST(b.n AS BIGINT) AS full_len
+FROM kb a JOIN kb b ON a.block = b.block AND a.n < b.n
+WHERE substr(b.text, 1, CAST(a.n AS INT)) = a.text
+"""
+
+
 QUERIES: dict[str, Query] = {
     "llm_dedup_apply": Query(
         llm_dedup_apply, LLM_DEDUP_APPLY_SQL,
@@ -267,5 +359,9 @@ QUERIES: dict[str, Query] = {
     "llm_ngram_novelty": Query(
         llm_ngram_novelty, LLM_NGRAM_NOVELTY_SQL,
         "fraction of per-doc shingles unique in the corpus (df=1)",
+    ),
+    "llm_prefix_dedup": Query(
+        llm_prefix_dedup, LLM_PREFIX_DEDUP_SQL,
+        "prefix-truncation duplicates via 32-char block join + verify",
     ),
 }

@@ -136,6 +136,9 @@ SF1_KEYS = [
     # round-6 second wave: the new breadth keys
     "llm_dedup_apply", "join_lateral", "ts_gap_detect",
     "llm_ngram_novelty",
+    # round-6 third wave: keys whose implementation changed this round
+    # (exact-regime GK accuracy; cent-quantized stateful profile)
+    "agg_approx_quantile",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 
