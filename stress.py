@@ -138,7 +138,7 @@ SF1_KEYS = [
     "llm_ngram_novelty",
     # round-6 third wave: keys whose implementation changed this round
     # (exact-regime GK accuracy; cent-quantized stateful profile)
-    "agg_approx_quantile",
+    "agg_approx_quantile", "llm_prefix_dedup",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 
