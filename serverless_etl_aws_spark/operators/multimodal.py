@@ -261,3 +261,50 @@ def audio_window(
             )
 
     return with_payloads.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+SCENE_SCHEMA = "doc_id long, frame_no int, diff_sum long, is_cut boolean"
+
+#: A frame-pair byte-delta above this is a scene cut. ASCII text bytes
+#: average ~10 abs-delta per byte → ~640 per 64-byte frame; the value
+#: only needs to be FIXED for the oracle, not tuned (a real build swaps
+#: the metric for a perceptual distance through the same batch flow).
+SCENE_CUT_THRESHOLD = 640
+
+
+def scene_cut(
+    with_payloads: DataFrame, frame: int = 64,
+    threshold: int = SCENE_CUT_THRESHOLD,
+) -> DataFrame:
+    """Scene-change detection over frame sequences: consecutive
+    ``frame``-byte frames are compared by summed per-byte absolute
+    delta; a pair above ``threshold`` marks a cut. Emits one row per
+    adjacent FULL-frame pair (trailing partial frames don't form a
+    pair). Integer deltas keep the stub exactly recomputable by the
+    relational oracle from the payload bytes — the same sufficient-
+    statistics discipline as audio_window; a real build swaps the u8
+    delta for a decoded-frame perceptual metric through the identical
+    Arrow batch flow. Fan-out: 1 payload → (bytes // frame − 1) rows,
+    O(bytes) work, no shuffle."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8)[8:]  # skip header
+                n_frames = len(b) // frame
+                if n_frames < 2:
+                    continue
+                cur = b[: n_frames * frame].astype(np.int64).reshape(
+                    n_frames, frame
+                )
+                diffs = np.abs(cur[1:] - cur[:-1]).sum(axis=1)
+                for f, d in enumerate(diffs):
+                    rows.append((doc_id, f, int(d), bool(d > threshold)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_no", "diff_sum", "is_cut"],
+            )
+
+    return with_payloads.mapInPandas(run, schema=SCENE_SCHEMA)

@@ -343,6 +343,190 @@ WHERE substr(b.text, 1, CAST(a.n AS INT)) = a.text
 """
 
 
+# ------------------------------------------------------------- agg_corr
+
+
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + population covariance per group — computed
+    from EXACT decimal moment sums (Σx, Σy, Σxy, Σx², Σy² accumulated
+    as decimals, so summation order cannot matter), combined in one
+    mirrored double expression. The built-in ``corr``/``covar_pop``
+    aggregate in any engine accumulates doubles in engine-specific order
+    — cross-engine drift by construction — so the engine takes the
+    moments route: the same shape as the rolling-variance discipline
+    (ARCHITECTURE.md "Float determinism"), and on a cluster the decimal
+    moments are map-side-combinable partial aggregates exactly like any
+    sum. Final values floor-quantized to 6 decimals."""
+    from ._util import dec, fquant
+
+    li = t(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec("l_quantity")).cast("double").alias("sx"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sy"),
+        F.sum(dec("l_quantity") * dec("l_extendedprice"))
+        .cast("double").alias("sxy"),
+        F.sum(dec("l_quantity") * dec("l_quantity"))
+        .cast("double").alias("sxx"),
+        F.sum(dec("l_extendedprice") * dec("l_extendedprice"))
+        .cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ) * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        fquant(num / den, 6).alias("corr_qty_price"),
+        fquant(num / (F.col("n") * F.col("n")), 6).alias("covar_pop"),
+    )
+
+
+# DECIMAL(19,4) casts, deliberately one digit wider than the Spark
+# side's DECIMAL(18,4): DuckDB multiplies <=18-wide decimals on an int64
+# fast path that overflows at runtime on price*price (raw 1e9 * 1e9);
+# width 19 forces the HUGEINT path. The values are identical either way
+# (4 fractional digits, exact), so both engines sum the same exact
+# products.
+AGG_CORR_SQL = """
+WITH m AS (
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                    * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)
+               AS sxy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                    * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                    * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)
+               AS syy
+    FROM lineitem
+    GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       floor((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             * 1000000.0) / 1000000.0 AS corr_qty_price,
+       floor((n * sxy - sx * sy) / (n * n) * 1000000.0) / 1000000.0
+           AS covar_pop
+FROM m
+"""
+
+
+# ------------------------------------------------------------ win_streak
+
+
+def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-ACTIVE-DAY streak per user — the
+    gaps-and-islands composition over the calendar axis (sessionize
+    groups by intra-day time gaps; this groups by day adjacency, the
+    retention/engagement metric). One distinct-days aggregate, one
+    ordinal window (day_number − row_number = island id), one island
+    aggregate, one top-1 per user — two shuffles total, all partitioned
+    by user_id. Ties on length resolve to the earliest streak."""
+    ev = t(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            "user_id", F.to_date("ts").alias("day")
+        )
+        .distinct()
+        .withColumn("ord", F.datediff(F.col("day"), F.lit("1970-01-01")))
+    )
+    w = Window.partitionBy("user_id").orderBy("ord")
+    islands = days.withColumn(
+        "island", F.col("ord") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("streak_days"),
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("streak_start"),
+    )
+    top = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), F.asc("streak_start")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(top))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "streak_days", "streak_start")
+    )
+
+
+WIN_STREAK_SQL = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), isl AS (
+    SELECT user_id, day,
+           datediff('day', DATE '1970-01-01', day)
+             - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+             AS island
+    FROM days
+), streaks AS (
+    SELECT user_id, island,
+           CAST(COUNT(*) AS BIGINT) AS streak_days,
+           strftime(MIN(day), '%Y-%m-%d') AS streak_start
+    FROM isl GROUP BY user_id, island
+)
+SELECT user_id, streak_days, streak_start
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY streak_days DESC, streak_start)
+              AS rn
+    FROM streaks
+)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------- mm_scene_cut
+
+
+def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-shaped scene-change detection over binary payloads:
+    consecutive 64-byte frames compared by summed per-byte absolute
+    delta, cut flagged above a fixed threshold (operators/multimodal.py
+    ::scene_cut — Arrow-batched mapInPandas, integer sufficient
+    statistics so the oracle recomputes the deltas exactly from the
+    payload bytes via hex-nibble decode, the mm_audio_window
+    discipline). A real build swaps the u8 delta for a decoded-frame
+    perceptual metric through the same batch flow."""
+    from ..operators import multimodal
+
+    docs = t(spark, sf_dir, "documents")
+    return multimodal.scene_cut(multimodal.synthesize_payloads(docs))
+
+
+MM_SCENE_CUT_SQL = """
+WITH h AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           CAST(octet_length(encode(text)) // 64 AS INT) AS n_frames
+    FROM documents WHERE text IS NOT NULL
+), d AS (
+    SELECT doc_id, CAST(u.j // 64 AS INT) AS frame_no,
+           abs(
+             (strpos('0123456789ABCDEF',
+                     substr(hx, CAST(u.j * 2 + 1 AS INT), 1)) - 1) * 16
+             + strpos('0123456789ABCDEF',
+                      substr(hx, CAST(u.j * 2 + 2 AS INT), 1)) - 1
+             - ((strpos('0123456789ABCDEF',
+                        substr(hx, CAST((u.j + 64) * 2 + 1 AS INT), 1)) - 1)
+                * 16
+                + strpos('0123456789ABCDEF',
+                         substr(hx, CAST((u.j + 64) * 2 + 2 AS INT), 1)) - 1)
+           ) AS delta
+    FROM h, UNNEST(range((n_frames - 1) * 64)) u(j)
+    WHERE n_frames >= 2
+)
+SELECT doc_id, frame_no,
+       CAST(SUM(delta) AS BIGINT) AS diff_sum,
+       SUM(delta) > 640 AS is_cut
+FROM d
+GROUP BY doc_id, frame_no
+"""
+
+
 QUERIES: dict[str, Query] = {
     "llm_dedup_apply": Query(
         llm_dedup_apply, LLM_DEDUP_APPLY_SQL,
@@ -363,5 +547,17 @@ QUERIES: dict[str, Query] = {
     "llm_prefix_dedup": Query(
         llm_prefix_dedup, LLM_PREFIX_DEDUP_SQL,
         "prefix-truncation duplicates via 32-char block join + verify",
+    ),
+    "agg_corr": Query(
+        agg_corr, AGG_CORR_SQL,
+        "Pearson corr + covar_pop from exact decimal moment sums",
+    ),
+    "win_streak": Query(
+        win_streak, WIN_STREAK_SQL,
+        "longest consecutive-active-day streak per user (islands)",
+    ),
+    "mm_scene_cut": Query(
+        mm_scene_cut, MM_SCENE_CUT_SQL,
+        "frame-delta scene-change detection over binary payloads",
     ),
 }
