@@ -530,3 +530,35 @@ def test_ngram_novelty_shares_one_shingle_explode(spark, sf_dir):
     # not the parquet, and contains no explode at all
     assert plan.count("Generate explode") == 0
     assert "Scan ExistingRDD" in plan
+
+
+def test_prefix_dedup_hot_blocks_broadcast(spark, sf_dir):
+    """The cold-block frequency stop joins as a BROADCAST (the block
+    list is cap-bounded small), and the pair join is an equi-join on the
+    block key — no nested loop anywhere in the plan."""
+    from serverless_etl_aws_spark.queries.extras13 import llm_prefix_dedup
+
+    plan = plan_of(llm_prefix_dedup(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_agg_corr_single_aggregate_pass(spark, sf_dir):
+    """All five decimal moments come out of ONE partial+final aggregate
+    over one scan — a formulation that re-scanned per moment would show
+    multiple FileScans."""
+    from serverless_etl_aws_spark.queries.extras13 import agg_corr
+
+    plan = plan_of(agg_corr(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scene_cut_is_single_map_pass(spark, sf_dir):
+    """Scene detection is payload-local: one scan, one mapInPandas, zero
+    shuffles (frame pairs never leave their payload's partition)."""
+    from serverless_etl_aws_spark.queries.extras13 import mm_scene_cut
+
+    plan = plan_of(mm_scene_cut(spark, sf_dir))
+    assert "Exchange" not in plan
