@@ -139,6 +139,8 @@ SF1_KEYS = [
     # round-6 third wave: keys whose implementation changed this round
     # (exact-regime GK accuracy; cent-quantized stateful profile)
     "agg_approx_quantile", "llm_prefix_dedup",
+    # round-6 fourth wave
+    "agg_corr", "win_streak", "mm_scene_cut",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 
