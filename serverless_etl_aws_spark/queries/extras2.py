@@ -74,20 +74,30 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 AGG_APPROX_QUANTILE_SQL = """
-WITH ranked AS (
+WITH nn AS (
+    -- the sketch sees only NON-NULL values: its n is the non-null count
+    -- (a NULL-heavy fixture shifts every rank otherwise), while n_rows
+    -- below counts ALL rows (Spark's count(lit(1)))
     SELECT l_returnflag, l_extendedprice AS p,
            ROW_NUMBER() OVER (PARTITION BY l_returnflag
                               ORDER BY l_extendedprice) AS rk,
            COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-    FROM lineitem
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
+), q AS (
+    SELECT l_returnflag,
+           MAX(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT) THEN p END)
+               AS q50,
+           MAX(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT) THEN p END)
+               AS q90,
+           MAX(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT) THEN p END)
+               AS q99
+    FROM nn GROUP BY l_returnflag
+), c AS (
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
 )
-SELECT l_returnflag,
-       MAX(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT) THEN p END) AS q50,
-       MAX(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT) THEN p END) AS q90,
-       MAX(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT) THEN p END) AS q99,
-       CAST(COUNT(*) AS BIGINT) AS n_rows
-FROM ranked
-GROUP BY l_returnflag
+SELECT c.l_returnflag, q.q50, q.q90, q.q99, c.n_rows
+FROM c LEFT JOIN q ON c.l_returnflag IS NOT DISTINCT FROM q.l_returnflag
 """
 
 
