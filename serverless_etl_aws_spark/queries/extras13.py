@@ -561,3 +561,97 @@ QUERIES: dict[str, Query] = {
         "frame-delta scene-change detection over binary payloads",
     ),
 }
+
+
+# -------------------------------------------------------- ts_anomaly_mad
+
+#: Exact-regime sketch accuracy (same pinning as agg_approx_quantile) and
+#: the classic 3×MAD outlier fence.
+MAD_ACCURACY = 1_000_000
+MAD_K = 3
+
+
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per event type: median / MAD (median
+    absolute deviation) and the count of values outside the 3×MAD fence
+    — the outlier detector that, unlike z-scores, is not itself dragged
+    by the outliers it hunts. Both medians come from the exact-regime GK
+    sketch (εn < 1 → the element at rank ⌈0.5·n⌉, the
+    agg_approx_quantile discipline), deviations are single IEEE ops on
+    identical doubles, and the fence count is an exact long — every
+    column hash-checkable with no float-order exposure.
+
+    Scale: two grouped sketch aggregates (mergeable partials) and two
+    broadcast joins of a #event-types-sized stats frame — the fact table
+    shuffles only for its own groupBy passes; nothing is ever sorted
+    globally."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.col("value").alias("x"))
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile_approx("x", 0.5, MAD_ACCURACY).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("x") - F.col("med"))
+    )
+    stats = dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vals"),
+        F.max("med").alias("med"),
+        F.percentile_approx("dev", 0.5, MAD_ACCURACY).alias("mad"),
+    )
+    return (
+        dev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_vals").alias("n_vals"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                (F.col("dev") > F.lit(MAD_K) * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+TS_ANOMALY_MAD_SQL = f"""
+WITH v AS (
+    SELECT event_type, value AS x FROM events WHERE value IS NOT NULL
+), r1 AS (
+    SELECT event_type, x,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS rk,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM v
+), med AS (
+    SELECT event_type,
+           MAX(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT) THEN x END)
+               AS med
+    FROM r1 GROUP BY event_type
+), dev AS (
+    SELECT v.event_type, med.med, abs(v.x - med.med) AS dev
+    FROM v JOIN med USING (event_type)
+), r2 AS (
+    SELECT event_type, med, dev,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rk,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM dev
+), stats AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_vals,
+           MAX(med) AS med,
+           MAX(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT) THEN dev END)
+               AS mad
+    FROM r2 GROUP BY event_type
+)
+SELECT d.event_type, s.n_vals, s.med, s.mad,
+       CAST(COUNT(CASE WHEN d.dev > {MAD_K} * s.mad THEN 1 END) AS BIGINT)
+           AS n_outliers
+FROM dev d JOIN stats s USING (event_type)
+GROUP BY d.event_type, s.n_vals, s.med, s.mad
+"""
+
+QUERIES["ts_anomaly_mad"] = Query(
+    ts_anomaly_mad, TS_ANOMALY_MAD_SQL,
+    "median/MAD robust outlier fence per event type (exact-regime sketch)",
+)
