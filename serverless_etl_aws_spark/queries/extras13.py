@@ -602,7 +602,8 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("dev", 0.5, MAD_ACCURACY).alias("mad"),
     )
     return (
-        dev.join(F.broadcast(stats), "event_type")
+        dev.drop("med")  # stats carries it; keeping both is ambiguous
+        .join(F.broadcast(stats), "event_type")
         .groupBy("event_type")
         .agg(
             F.max("n_vals").alias("n_vals"),
