@@ -165,3 +165,49 @@ def pagerank(
             )
         )
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 10,
+) -> DataFrame:
+    """Breadth-first shortest hop counts from ``source`` over an
+    undirected edge list. Frontier-at-a-time: each round joins the
+    CURRENT frontier (not the whole visited set) against the edge list
+    and anti-joins out already-visited nodes, so per-round work is
+    O(frontier × degree) and the loop runs exactly diameter rounds
+    (bounded by ``max_hops``). Driver state per round is one boolean
+    (``isEmpty`` on the new frontier — job-triggering but O(1) result);
+    ``localCheckpoint`` truncates lineage each round like the other
+    iterative operators in this module. Returns ``(node, hops)`` for
+    every node within ``max_hops`` of the source."""
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    visited = spark.createDataFrame(
+        [(source, 0)], "node long, hops int"
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier, sym["a"] == frontier["node"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).cast("int").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

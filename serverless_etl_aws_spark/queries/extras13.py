@@ -656,3 +656,68 @@ QUERIES["ts_anomaly_mad"] = Query(
     ts_anomaly_mad, TS_ANOMALY_MAD_SQL,
     "median/MAD robust outlier fence per event type (exact-regime sketch)",
 )
+
+
+# ------------------------------------------------------------- graph_bfs
+
+BFS_MAX_HOPS = 10
+
+
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest hop counts (BFS) from the smallest part key over the
+    co-order part graph (parts are adjacent when some order contains
+    both) — the traversal member of the graph family (PageRank = scoring,
+    LPA = communities, triangles = local structure, components =
+    reachability classes; BFS = DISTANCE). The engine runs
+    frontier-at-a-time rounds (operators/graph.py::bfs_hops): per round,
+    one frontier⋈edges join + one anti-join against visited — work is
+    O(frontier × degree), rounds = diameter, never O(V²). The oracle is
+    a recursive CTE whose UNION-dedup keeps (node, hops) rows distinct
+    and takes MIN(hops): exact shortest distances for every node within
+    the hop bound, identical by construction.
+
+    The source is the MIN part key — one O(1)-bounded scalar collect,
+    same justification as the BPE argmax."""
+    from ..operators.graph import bfs_hops
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    source = li.agg(F.min("l_partkey")).collect()[0][0]  # O(1) scalar
+    res = bfs_hops(edges, int(source), max_hops=BFS_MAX_HOPS)
+    return res.select(
+        F.col("node").alias("part"), F.col("hops").cast("int").alias("hops")
+    )
+
+
+GRAPH_BFS_SQL = f"""
+WITH RECURSIVE e0 AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), e AS (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+), walk(node, hops) AS (
+    SELECT (SELECT MIN(l_partkey) FROM lineitem), 0
+    UNION
+    SELECT e.dst, w.hops + 1
+    FROM walk w JOIN e ON e.src = w.node
+    WHERE w.hops < {BFS_MAX_HOPS}
+)
+SELECT node AS part, CAST(MIN(hops) AS INT) AS hops
+FROM walk GROUP BY node
+"""
+
+QUERIES["graph_bfs"] = Query(
+    graph_bfs, GRAPH_BFS_SQL,
+    "BFS shortest hops over the co-order part graph (frontier rounds)",
+)
