@@ -69,6 +69,11 @@ PRIORITY_EXT: tuple[str, ...] = (
     # round-5 graded additions (rotation candidates from round 7 on)
     "llm_paragraph_dedup", "llm_bpe_encode", "mm_audio_window",
     "agg_heavy_hitters",
+    # round-6 additions (dedup application/prefix class, robust stats,
+    # traversal, lateral decorrelation — all oracle-SQL-checked)
+    "llm_dedup_apply", "llm_prefix_dedup", "llm_ngram_novelty",
+    "ts_anomaly_mad", "ts_gap_detect", "win_streak", "agg_corr",
+    "join_lateral", "mm_scene_cut", "graph_bfs",
 )
 
 
