@@ -652,3 +652,64 @@ def test_eight_writer_contention_soak(spark, tmp_path):
         assert os.path.exists(p), p
     table.vacuum(grace_seconds=0)
     assert snapshot(table) == state
+
+
+def test_vacuum_runs_live_against_concurrent_writers(spark, tmp_path):
+    """The ADVICE-flagged race, exercised for real: vacuum loops with the
+    DEFAULT grace period while 4 writer threads commit — any vacuum pass
+    that deleted a staged-but-unpublished snapshot or a live reservation
+    marker would surface as a publish pointing at deleted files (read
+    error) or a lost update. Every commit must survive and the final
+    state must equal each writer's last value."""
+    import threading
+
+    from serverless_etl_aws_spark.pipeline.atomic import CommitConflict
+
+    table = AtomicPartitionedTable(spark, str(tmp_path / "tbl"), "day")
+    table.commit_overwrite_partitions(df_of(spark, [("seed", "a", 0)]))
+    n_writers, n_commits = 4, 3
+    errors: list = []
+    stop = threading.Event()
+
+    def writer(w: int):
+        try:
+            for c in range(1, n_commits + 1):
+                for _replay in range(6):
+                    try:
+                        table.commit_overwrite_partitions(
+                            df_of(spark, [(f"d{w}", "a", w * 100 + c)])
+                        )
+                        break
+                    except CommitConflict:
+                        continue
+                else:
+                    raise RuntimeError(f"writer {w} exhausted replays")
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    def vacuumer():
+        try:
+            while not stop.is_set():
+                table.vacuum()  # DEFAULT grace: must be writer-safe
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(w,)) for w in range(n_writers)
+    ]
+    vt = threading.Thread(target=vacuumer)
+    vt.start()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    vt.join()
+    assert not errors, errors
+    state = snapshot(table)
+    for w in range(n_writers):
+        assert state[(f"d{w}", "a")] == w * 100 + n_commits
+    assert state[("seed", "a")] == 0
+    # exclusive vacuum afterwards still leaves the same state
+    table.vacuum(grace_seconds=0)
+    assert snapshot(table) == state
