@@ -208,6 +208,9 @@ def bfs_hops(
         )
         if nxt.isEmpty():
             break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        # visited is a shallow union tree of already-checkpointed
+        # frontiers (depth = rounds) — checkpointing it again would cost
+        # one extra job per round for no lineage benefit
+        visited = visited.union(nxt)
         frontier = nxt
     return visited
