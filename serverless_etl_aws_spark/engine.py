@@ -69,7 +69,10 @@ class Engine:
         DataFrame-build time (streaming runs, commit/vacuum cycles,
         scratch staging, an embedded Derby write) — explaining them means
         RUNNING them. They are refused unless ``allow_side_effects=True``
-        so "show me the plan" can never silently execute a pipeline."""
+        so "show me the plan" can never silently execute a pipeline.
+        Keys in :data:`queries.COMPUTE_EAGER_KEYS` also compute at build
+        time (iterative loops, eager checkpoints, bounded collects) but
+        mutate nothing — they are allowed, just not instant."""
         from .queries import EAGER_KEYS, build_registry
 
         registry = build_registry()

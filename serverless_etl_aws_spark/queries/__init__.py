@@ -98,6 +98,22 @@ EAGER_KEYS: frozenset[str] = frozenset({
     "stream_tumbling",
 })
 
+# Second tier, documented rather than refused: keys whose DataFrame build
+# EXECUTES bounded computation (iterative loops with eager
+# localCheckpoints, O(1) argmax/bounds collects, driver-side sketch
+# training) but mutates NO state and stages NO scratch inputs —
+# re-running them is always safe, so Engine.explain allows them while
+# this list keeps the behavior discoverable. The distinction from
+# EAGER_KEYS is side effects, not cost.
+COMPUTE_EAGER_KEYS: frozenset[str] = frozenset({
+    "graph_bfs", "graph_label_propagation", "graph_pagerank",
+    "llm_bpe_encode", "llm_bpe_train",
+    "llm_dedup_apply", "llm_dedup_cluster", "llm_dedup_editdist",
+    "llm_dedup_embedding", "llm_dedup_minhash", "llm_dedup_ngram",
+    "llm_sim_search", "llm_sim_search_ivf", "llm_sim_search_pq",
+    "llm_tfidf", "ml_kmeans",
+})
+
 
 def build_registry() -> dict[str, Query]:
     """Collect every query family. Import is deferred so a bug in one

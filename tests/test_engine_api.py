@@ -132,7 +132,12 @@ def test_engine_explain_refuses_eager_keys(spark, sf_dir):
     from serverless_etl_aws_spark.engine import Engine
     from serverless_etl_aws_spark.queries import EAGER_KEYS, build_registry
 
-    assert EAGER_KEYS <= set(build_registry())
+    from serverless_etl_aws_spark.queries import COMPUTE_EAGER_KEYS
+
+    reg = set(build_registry())
+    assert EAGER_KEYS <= reg
+    assert COMPUTE_EAGER_KEYS <= reg
+    assert not (EAGER_KEYS & COMPUTE_EAGER_KEYS)  # tiers are disjoint
     eng = Engine(spark=spark, zone_root=sf_dir)
     with pytest.raises(ValueError, match="side_effects"):
         eng.explain("stream_cdc")
