@@ -78,12 +78,16 @@ def main(argv: list[str] | None = None) -> int:
         eng.sql(args.query).show(args.limit, truncate=False)
         return 0
     if args.cmd == "explain":
-        print(
-            eng.explain(
-                args.query, mode=args.mode,
-                allow_side_effects=args.allow_side_effects,
+        try:
+            print(
+                eng.explain(
+                    args.query, mode=args.mode,
+                    allow_side_effects=args.allow_side_effects,
+                )
             )
-        )
+        except ValueError as exc:  # eager-key refusal: message, not a trace
+            print(f"refused: {exc}", file=sys.stderr)
+            return 2
         return 0
     return 1
 

@@ -144,3 +144,18 @@ def test_engine_explain_refuses_eager_keys(spark, sf_dir):
     # opt-in still works (pick the cheapest eager key: a staged csv scan)
     plan = eng.explain("scan_csv", allow_side_effects=True)
     assert "Physical Plan" in plan
+
+
+def test_cli_explain_and_eager_refusal(capsys, sf_dir):
+    """CLI explain prints a plan for a lazy key; an eager key exits 2
+    with a one-line refusal on stderr (no traceback) unless
+    --allow-side-effects is passed."""
+    from serverless_etl_aws_spark.__main__ import main
+
+    assert main(["explain", "--zone", sf_dir, "filter_pred"]) == 0
+    assert "Physical Plan" in capsys.readouterr().out
+    assert main(["explain", "--zone", sf_dir, "stream_cdc"]) == 2
+    err = capsys.readouterr().err
+    assert err.startswith("refused:") and "side-effects" in err.replace(
+        "side_effects", "side-effects"
+    )
