@@ -562,3 +562,47 @@ def test_scene_cut_is_single_map_pass(spark, sf_dir):
 
     plan = plan_of(mm_scene_cut(spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_runtime_bloom_filter_injected_on_selective_shuffle_join(spark, sf_dir):
+    """The 100 TB shuffle-join accelerator, PROVEN not assumed: when the
+    build side of a fact⋈fact join is selective and broadcast is off,
+    Catalyst builds a bloom filter over the build-side keys
+    (`bloom_filter_agg`) and injects `might_contain` into the fact
+    side's scan filter — most fact rows are dropped before the shuffle.
+    Config thresholds are scoped and restored."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB",
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        od = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = plan_of(j)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
