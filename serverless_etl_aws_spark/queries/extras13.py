@@ -721,3 +721,78 @@ QUERIES["graph_bfs"] = Query(
     graph_bfs, GRAPH_BFS_SQL,
     "BFS shortest hops over the co-order part graph (frontier rounds)",
 )
+
+
+# --------------------------------------------------------------- agg_gini
+
+
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Gini impurity of the event-type distribution — the class-
+    imbalance / label-purity signal data-mix monitoring thresholds on
+    (a day whose traffic collapses into one event type goes to 0).
+    Deliberately RATIONAL: Gini = 1 − Σ(cᵢ/n)² needs no logs (unlike
+    entropy, whose ln is libm-dependent and banned from hash-checked
+    keys) — the count moments Σcᵢ² and n² are exact integers, the final
+    value is ONE double division both engines compute identically, then
+    floor-quantized. Two map-side-combinable groupBys, no joins."""
+    from ._util import fquant
+
+    ev = t(spark, sf_dir, "events").select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    )
+    cnt = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # moment arithmetic is overflow-proof by type, not by assumption:
+    # Σc² accumulates as DECIMAL(38,0) (exact far past any daily volume;
+    # a long would wrap at ~3e9 events/day), and n² is formed as
+    # double×double — the identical expression the oracle uses, so the
+    # values stay bit-equal even past 2^53 where squares round
+    ss = F.sum(
+        F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)")
+    )
+    return (
+        cnt.groupBy("day")
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            ss.alias("ss"),
+        )
+        .select(
+            "day",
+            "n_events",
+            "n_types",
+            fquant(
+                F.lit(1.0)
+                - F.col("ss").cast("double")
+                / (
+                    F.col("n_events").cast("double")
+                    * F.col("n_events").cast("double")
+                ),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
+AGG_GINI_SQL = """
+WITH cnt AS (
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+           COUNT(*) AS c
+    FROM events GROUP BY 1, 2
+)
+SELECT day,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       floor((1.0 - CAST(SUM(c * c) AS DOUBLE)
+                    / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)))
+             * 1000000.0)
+           / 1000000.0 AS gini
+FROM cnt GROUP BY day
+"""
+
+QUERIES["agg_gini"] = Query(
+    agg_gini, AGG_GINI_SQL,
+    "per-day Gini impurity of the event-type mix (rational, no logs)",
+)

@@ -141,7 +141,7 @@ SF1_KEYS = [
     "agg_approx_quantile", "llm_prefix_dedup",
     # round-6 fourth wave
     "agg_corr", "win_streak", "mm_scene_cut", "ts_anomaly_mad",
-    "graph_bfs",
+    "graph_bfs", "agg_gini",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 
