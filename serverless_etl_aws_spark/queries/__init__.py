@@ -74,6 +74,9 @@ PRIORITY_EXT: tuple[str, ...] = (
     "llm_dedup_apply", "llm_prefix_dedup", "llm_ngram_novelty",
     "ts_anomaly_mad", "ts_gap_detect", "win_streak", "agg_corr",
     "join_lateral", "mm_scene_cut", "graph_bfs",
+    # round-6 fourth wave (weighted sampling, exact mode, rolling
+    # median, weekly seasonality — all oracle-SQL-checked)
+    "sample_weighted", "agg_mode", "win_rolling_median", "ts_seasonal",
 )
 
 
@@ -134,6 +137,7 @@ def build_registry() -> dict[str, Query]:
         extras11,
         extras12,
         extras13,
+        extras14,
         joins,
         llm,
         pipeline_ops,
@@ -169,6 +173,7 @@ def build_registry() -> dict[str, Query]:
         extras11,
         extras12,
         extras13,
+        extras14,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

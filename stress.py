@@ -142,6 +142,9 @@ SF1_KEYS = [
     # round-6 fourth wave
     "agg_corr", "win_streak", "mm_scene_cut", "ts_anomaly_mad",
     "graph_bfs", "agg_gini",
+    # round-6 fifth wave: weighted sampling, exact mode, rolling
+    # median, weekly seasonality
+    "sample_weighted", "agg_mode", "win_rolling_median", "ts_seasonal",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 

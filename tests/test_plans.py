@@ -606,3 +606,54 @@ def test_runtime_bloom_filter_injected_on_selective_shuffle_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_sample_weighted_is_shuffle_free_filter(spark, sf_dir):
+    """Weighted sampling is a pure row-local predicate: the integer coin
+    and threshold evaluate inside the scan stage — the plan must contain
+    NO Exchange at all (the property that lets it compose with any
+    downstream pipeline for free at 100 TB)."""
+    from serverless_etl_aws_spark.queries.extras14 import sample_weighted
+
+    plan = plan_of(sample_weighted(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_agg_mode_windows_over_counts_not_events(spark, sf_dir):
+    """The mode pick runs over the (day, type) COUNT relation, never the
+    raw events: one count shuffle + one day-window shuffle, one scan —
+    a formulation that windowed the fact table itself would sort events
+    per day for no reason."""
+    from serverless_etl_aws_spark.queries.extras14 import agg_mode
+
+    plan = plan_of(agg_mode(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_rolling_median_single_window_pass(spark, sf_dir):
+    """The rolling median is ONE window pass (one shuffle on the
+    partition key); the frame sort/pick is per-row projection work, not
+    an extra exchange or join."""
+    from serverless_etl_aws_spark.queries.extras14 import win_rolling_median
+
+    plan = plan_of(win_rolling_median(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_ts_seasonal_single_fact_pass_broadcast_rejoin(spark, sf_dir):
+    """The seasonal profile reads and shuffles the fact table ONCE: the
+    overall means re-aggregate the checkpointed slot moments (decimal,
+    so reduction order is immaterial), and the rejoin broadcasts the
+    #types-sized frame — the executed plan scans the checkpoint RDD, no
+    second parquet scan, no sort-merge join."""
+    from serverless_etl_aws_spark.queries.extras14 import ts_seasonal
+
+    plan = plan_of(ts_seasonal(spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("FileScan parquet") == 0
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
