@@ -77,6 +77,9 @@ PRIORITY_EXT: tuple[str, ...] = (
     # round-6 fourth wave (weighted sampling, exact mode, rolling
     # median, weekly seasonality — all oracle-SQL-checked)
     "sample_weighted", "agg_mode", "win_rolling_median", "ts_seasonal",
+    # round-6 sixth wave (CUSUM drift, lag autocorrelation, NB trainer,
+    # collocation mining — all oracle-SQL-checked)
+    "ts_cusum", "ts_autocorr", "ml_naive_bayes", "llm_collocations",
 )
 
 
@@ -138,6 +141,7 @@ def build_registry() -> dict[str, Query]:
         extras12,
         extras13,
         extras14,
+        extras15,
         joins,
         llm,
         pipeline_ops,
@@ -174,6 +178,7 @@ def build_registry() -> dict[str, Query]:
         extras12,
         extras13,
         extras14,
+        extras15,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

@@ -145,6 +145,8 @@ SF1_KEYS = [
     # round-6 fifth wave: weighted sampling, exact mode, rolling
     # median, weekly seasonality
     "sample_weighted", "agg_mode", "win_rolling_median", "ts_seasonal",
+    # round-6 sixth wave: CUSUM, autocorr, NB trainer, collocations
+    "ts_cusum", "ts_autocorr", "ml_naive_bayes", "llm_collocations",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 

@@ -657,3 +657,58 @@ def test_ts_seasonal_single_fact_pass_broadcast_rejoin(spark, sf_dir):
     assert plan.count("FileScan parquet") == 0
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ts_cusum_one_shuffle_two_stacked_windows(spark, sf_dir):
+    """The CUSUM recursion is eliminated into a running sum + a running
+    min of that sum: two Window nodes over the SAME partitioning and
+    ordering — the executed plan must contain exactly one Exchange and
+    no join (the drawdown identity keeps the detector embarrassingly
+    partition-parallel)."""
+    from serverless_etl_aws_spark.queries.extras15 import ts_cusum
+
+    plan = plan_of(ts_cusum(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_ts_autocorr_agg_reuses_window_partitioning(spark, sf_dir):
+    """The moment aggregate groups by the lag window's own partition key
+    (event_type), so Catalyst plans NO second exchange: one shuffle
+    total for lag + exact-moment corr."""
+    from serverless_etl_aws_spark.queries.extras15 import ts_autocorr
+
+    plan = plan_of(ts_autocorr(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_naive_bayes_single_corpus_pass_no_smj(spark, sf_dir):
+    """The NB trainer tokenizes the corpus ONCE (checkpointed doc-level
+    relation feeds token counts AND class priors — the executed plan
+    reads ExistingRDD only, zero parquet re-scans), and every model
+    aggregate runs over the (lang, term) count relation; the 1-row
+    totals ride in as broadcasts — no sort-merge join, no cartesian."""
+    from serverless_etl_aws_spark.queries.extras15 import ml_naive_bayes
+
+    plan = plan_of(ml_naive_bayes(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_collocations_single_tokenize_no_smj(spark, sf_dir):
+    """Collocation mining materializes per-doc token arrays once; the
+    unigram and bigram counts both explode that checkpointed relation
+    (zero parquet scans in the executed plan), and the bigram groupBy
+    keys on the flat 'a b' gram string split only AFTER the support
+    filter."""
+    from serverless_etl_aws_spark.queries.extras15 import llm_collocations
+
+    plan = plan_of(llm_collocations(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
