@@ -80,6 +80,9 @@ PRIORITY_EXT: tuple[str, ...] = (
     # round-6 sixth wave (CUSUM drift, lag autocorrelation, NB trainer,
     # collocation mining — all oracle-SQL-checked)
     "ts_cusum", "ts_autocorr", "ml_naive_bayes", "llm_collocations",
+    # round-6 seventh wave (drawdown, shape moments, Pareto
+    # concentration, degree histogram — all oracle-SQL-checked)
+    "win_drawdown", "agg_skew_kurt", "win_pareto", "graph_degree_dist",
 )
 
 
@@ -142,6 +145,7 @@ def build_registry() -> dict[str, Query]:
         extras13,
         extras14,
         extras15,
+        extras16,
         joins,
         llm,
         pipeline_ops,
@@ -179,6 +183,7 @@ def build_registry() -> dict[str, Query]:
         extras13,
         extras14,
         extras15,
+        extras16,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

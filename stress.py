@@ -147,6 +147,8 @@ SF1_KEYS = [
     "sample_weighted", "agg_mode", "win_rolling_median", "ts_seasonal",
     # round-6 sixth wave: CUSUM, autocorr, NB trainer, collocations
     "ts_cusum", "ts_autocorr", "ml_naive_bayes", "llm_collocations",
+    # round-6 seventh wave
+    "win_drawdown", "agg_skew_kurt", "win_pareto", "graph_degree_dist",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 

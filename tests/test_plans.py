@@ -712,3 +712,52 @@ def test_collocations_single_tokenize_no_smj(spark, sf_dir):
     assert "Scan ExistingRDD" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_drawdown_one_shuffle_three_windows(spark, sf_dir):
+    """Running max, drawdown projection, and the argmax row_number are
+    window passes over the SAME user_id partitioning: one Exchange, no
+    join — the second ordering adds an in-partition sort only."""
+    from serverless_etl_aws_spark.queries.extras16 import win_drawdown
+
+    plan = plan_of(win_drawdown(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_skew_kurt_single_partial_agg_shuffle(spark, sf_dir):
+    """The four decimal power sums are one map-side-combinable groupBy:
+    exactly one Exchange, one scan, no join — the moment combination is
+    projection work on the 5-row aggregate."""
+    from serverless_etl_aws_spark.queries.extras16 import agg_skew_kurt
+
+    plan = plan_of(agg_skew_kurt(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_pareto_one_shuffle_exact_decimal_crossing(spark, sf_dir):
+    """Rank, running sum, and the partition totals share one event_type
+    shuffle, and the 80% crossing predicate is a decimal-times-integer
+    comparison evaluated in-partition — one Exchange, no join."""
+    from serverless_etl_aws_spark.queries.extras16 import win_pareto
+
+    plan = plan_of(win_pareto(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_degree_dist_equi_join_no_cartesian(spark, sf_dir):
+    """The adjacency materialization is an equi-join on orderkey (never
+    a cartesian/nested-loop pairing), and the histogram aggregates run
+    over node-sized relations."""
+    from serverless_etl_aws_spark.queries.extras16 import graph_degree_dist
+
+    plan = plan_of(graph_degree_dist(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("FileScan parquet") == 2
+    assert plan.count("Exchange hashpartitioning") <= 3
