@@ -83,6 +83,8 @@ PRIORITY_EXT: tuple[str, ...] = (
     # round-6 seventh wave (drawdown, shape moments, Pareto
     # concentration, degree histogram — all oracle-SQL-checked)
     "win_drawdown", "agg_skew_kurt", "win_pareto", "graph_degree_dist",
+    # round-6 eighth wave (Benford audit, Herfindahl concentration)
+    "dq_benford", "agg_hhi",
 )
 
 
@@ -146,6 +148,7 @@ def build_registry() -> dict[str, Query]:
         extras14,
         extras15,
         extras16,
+        extras17,
         joins,
         llm,
         pipeline_ops,
@@ -184,6 +187,7 @@ def build_registry() -> dict[str, Query]:
         extras14,
         extras15,
         extras16,
+        extras17,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

@@ -149,6 +149,8 @@ SF1_KEYS = [
     "ts_cusum", "ts_autocorr", "ml_naive_bayes", "llm_collocations",
     # round-6 seventh wave
     "win_drawdown", "agg_skew_kurt", "win_pareto", "graph_degree_dist",
+    # round-6 eighth wave
+    "dq_benford", "agg_hhi",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 

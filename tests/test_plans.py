@@ -761,3 +761,29 @@ def test_degree_dist_equi_join_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("FileScan parquet") == 2
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_benford_no_join_single_count_shuffle(spark, sf_dir):
+    """The Benford audit scans the corpus ONCE: one 9-group count, a
+    grand total as a window over that 9-row relation (a second
+    aggregation branch would duplicate the scan subtree), and the
+    expectation as a CASE projection of compile-time literals — no join
+    of any kind."""
+    from serverless_etl_aws_spark.queries.extras17 import dq_benford
+
+    plan = plan_of(dq_benford(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_hhi_two_tier_aggregate(spark, sf_dir):
+    """HHI re-aggregates the (day, type) count relation — two
+    map-side-combinable shuffles, one scan, no join (the same two-tier
+    shape as agg_gini/agg_mode)."""
+    from serverless_etl_aws_spark.queries.extras17 import agg_hhi
+
+    plan = plan_of(agg_hhi(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
