@@ -85,6 +85,9 @@ PRIORITY_EXT: tuple[str, ...] = (
     "win_drawdown", "agg_skew_kurt", "win_pareto", "graph_degree_dist",
     # round-6 eighth wave (Benford audit, Herfindahl concentration)
     "dq_benford", "agg_hhi",
+    # round-6 ninth wave (cohort retention, exact rank AUC, column
+    # profiler, shared-neighbor Jaccard — all oracle-SQL-checked)
+    "win_retention", "ml_auc", "dq_profile", "graph_jaccard",
 )
 
 
@@ -123,6 +126,7 @@ COMPUTE_EAGER_KEYS: frozenset[str] = frozenset({
     "llm_dedup_embedding", "llm_dedup_minhash", "llm_dedup_ngram",
     "llm_sim_search", "llm_sim_search_ivf", "llm_sim_search_pq",
     "llm_tfidf", "ml_kmeans",
+    "graph_jaccard",
 })
 
 
@@ -149,6 +153,7 @@ def build_registry() -> dict[str, Query]:
         extras15,
         extras16,
         extras17,
+        extras18,
         joins,
         llm,
         pipeline_ops,
@@ -188,6 +193,7 @@ def build_registry() -> dict[str, Query]:
         extras15,
         extras16,
         extras17,
+        extras18,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

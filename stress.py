@@ -151,6 +151,16 @@ SF1_KEYS = [
     "win_drawdown", "agg_skew_kurt", "win_pareto", "graph_degree_dist",
     # round-6 eighth wave
     "dq_benford", "agg_hhi",
+    # round-6 ninth wave. graph_jaccard is deliberately absent: the
+    # replicator shifts l_orderkey but neither l_suppkey nor l_partkey
+    # (the part/supplier dims aren't replicated, so shifting would break
+    # FKs), which DENSIFIES the supplier-part bipartite graph — per-part
+    # degree grows ~10×, pair-join work ~100× (8.7M → ~900M pair rows).
+    # That measures an input distribution shift, not the operator (the
+    # same quadratic artifact the documents token-salt exists to
+    # prevent); real corpus growth adds parts/suppliers at roughly
+    # constant degree, which is linear in the posting-list join.
+    "win_retention", "ml_auc", "dq_profile",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 

@@ -787,3 +787,59 @@ def test_hhi_two_tier_aggregate(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan
+
+
+def test_retention_windows_ride_collapsing_relations(spark, sf_dir):
+    """Cohort retention scans the corpus ONCE; every later exchange
+    moves a collapsing relation (user-days, then cohort cells). The
+    cohort-size share is a window over the cells — a join back to an
+    offset-0 aggregate would add a duplicate aggregation branch."""
+    from serverless_etl_aws_spark.queries.extras18 import win_retention
+
+    plan = plan_of(win_retention(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Window") == 2
+
+
+def test_auc_prefix_sum_over_buckets_not_corpus(spark, sf_dir):
+    """The exact AUC's only corpus-sized movement is the map-side
+    combinable bucket count (ONE hash exchange); the ordered prefix-sum
+    window and the final 1-row aggregate run on the bucket relation
+    (single-partition exchange moves buckets, not rows). No join, no
+    global sort of the corpus."""
+    from serverless_etl_aws_spark.queries.extras18 import ml_auc
+
+    plan = plan_of(ml_auc(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_profile_single_scan_expand(spark, sf_dir):
+    """The column profiler reads orders ONCE: the multi-column exact
+    distinct is Spark's Expand strategy over that single scan (the
+    documented exactness trade), not one aggregation branch per column
+    (which would be six scans)."""
+    from serverless_etl_aws_spark.queries.extras18 import dq_profile
+
+    plan = plan_of(dq_profile(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Expand") == 1
+    assert "Join" not in plan
+
+
+def test_jaccard_checkpointed_edges_broadcast_degrees(spark, sf_dir):
+    """The Jaccard similarity materializes the distinct edge relation
+    once (localCheckpoint) for its four consumers — without it Catalyst
+    duplicates the subtree into four full fact scans. Degrees are
+    node-sized and broadcast; the pair join is the per-part
+    posting-list equi-join, never a cartesian."""
+    from serverless_etl_aws_spark.queries.extras18 import graph_jaccard
+
+    plan = plan_of(graph_jaccard(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 0  # all reads hit the checkpoint
+    assert plan.count("Scan ExistingRDD") == 4
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
