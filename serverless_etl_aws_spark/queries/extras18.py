@@ -261,20 +261,29 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     publishes with every load (the approximate sibling is
     ``agg_approx_distinct``; the assertion form is ``dq_expectations``).
 
-    Scale: ONE scan. The multi-column exact distinct is Spark's Expand
-    strategy (one input row per profiled column — the documented price
-    of exactness, same trade as ``agg_multi_distinct``; at 100 TB the
-    HLL profile is the default and this is the audit path). Min/max/count
-    partials combine map-side; the result is six rows."""
+    Scale: TWO single-row passes joined 1×1 (the maintenance_analyze
+    split): the exact NDVs ride Spark's Expand-based multi-DISTINCT
+    plan alone, while counts and min/max take a separate plain
+    whole-stage-codegen pass — folding the STRING min/max into the
+    Expand aggregate reads once but drops them out of codegen, and the
+    interpreted fallback over the 6× expanded rows dwarfs the extra
+    scan (measured on maintenance_analyze: 10 s vs 2.9 s at sf0.1; this
+    key re-measured 4.5× → 2.0× at 10× data after the split). Exact NDV
+    is the audit path; at 100 TB the default profile flips to HLL
+    (``agg_approx_distinct`` / ``agg_sketch_merge``)."""
     orders = t(spark, sf_dir, "orders")
-    n_rows = F.count(F.lit(1))
-    aggs = [n_rows.alias("n_rows")]
+    ndv_row = orders.agg(
+        *[
+            F.countDistinct(c).alias(f"nd_{c}")
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, kind in _PROFILE_COLS:
         aggs.append(F.count(c).alias(f"nn_{c}"))
-        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
         aggs.append(_render(F.min(c), kind).alias(f"mn_{c}"))
         aggs.append(_render(F.max(c), kind).alias(f"mx_{c}"))
-    one = orders.agg(*aggs)
+    one = orders.agg(*aggs).crossJoin(ndv_row)  # 1×1
     stack = F.expr(
         "stack({n}, {args}) AS (column_name, n_nonnull, n_distinct,"
         " min_value, max_value)".format(

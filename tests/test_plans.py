@@ -816,17 +816,24 @@ def test_auc_prefix_sum_over_buckets_not_corpus(spark, sf_dir):
     assert "Join" not in plan
 
 
-def test_profile_single_scan_expand(spark, sf_dir):
-    """The column profiler reads orders ONCE: the multi-column exact
-    distinct is Spark's Expand strategy over that single scan (the
-    documented exactness trade), not one aggregation branch per column
-    (which would be six scans)."""
+def test_profile_split_passes_keep_codegen(spark, sf_dir):
+    """The column profiler takes the maintenance_analyze shape: the
+    Expand-based exact multi-distinct runs ALONE (string min/max inside
+    the Expand aggregate would drop out of whole-stage codegen — the
+    measured 5× cliff), counts/min/max take a plain codegen pass, and
+    the two single-row results meet in a 1×1 join. Two scans, not six
+    (one aggregation branch per column), and never an interpreted
+    fallback over expanded rows."""
     from serverless_etl_aws_spark.queries.extras18 import dq_profile
 
-    plan = plan_of(dq_profile(spark, sf_dir))
-    assert plan.count("FileScan parquet") == 1
+    df = dq_profile(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") == 2
     assert plan.count("Expand") == 1
-    assert "Join" not in plan
+    # min/max pass stays in whole-stage codegen: its HashAggregate is
+    # inside a WholeStageCodegen span (the Expand side's final agg with
+    # string firsts may fall back — that side carries no string extrema)
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
 
 
 def test_jaccard_checkpointed_edges_broadcast_degrees(spark, sf_dir):
