@@ -53,18 +53,19 @@ CONTRACT_2B: tuple[str, ...] = (
 # round 3: llm_dedup_ngram / llm_dedup_cluster / llm_dedup_simhash (green);
 # round 4: llm_dedup_embedding / llm_decontaminate / llm_knn_join (green);
 # round 5: llm_fingerprint / llm_lang_id / llm_quality_score (green);
-# round 6: llm_token_count / llm_tfidf / llm_pii_scrub.
-# Round 7 should rotate in llm_embed_quantize / llm_corpus_stats /
-# mm_decode_meta (next unaudited graded keys; the mm_* family has no
-# driver signal yet).
+# round 6: llm_token_count / llm_tfidf / llm_pii_scrub (green);
+# round 7: llm_embed_quantize / llm_corpus_stats / mm_decode_meta (the
+# mm_* family's first driver signal).
+# Round 8 should rotate in mm_frame_sample / mm_resize /
+# mm_feature_extract (continue converting the mm_* family).
 PRIORITY_EXT: tuple[str, ...] = (
+    "llm_embed_quantize", "llm_corpus_stats", "mm_decode_meta",
     "llm_token_count", "llm_tfidf", "llm_pii_scrub",
     "llm_fingerprint", "llm_lang_id", "llm_quality_score",
     "llm_dedup_embedding", "llm_decontaminate", "llm_knn_join",
     "llm_dedup_ngram", "llm_dedup_cluster", "llm_dedup_simhash",
     "llm_sim_search_ivf",
-    "llm_embed_quantize",
-    "llm_corpus_stats", "mm_decode_meta", "mm_frame_sample",
+    "mm_frame_sample",
     "mm_resize", "mm_feature_extract",
     # round-5 graded additions (rotation candidates from round 7 on)
     "llm_paragraph_dedup", "llm_bpe_encode", "mm_audio_window",

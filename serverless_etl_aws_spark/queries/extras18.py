@@ -162,15 +162,31 @@ def ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     npos = F.col("npos").cast("double")
     nneg = (F.col("n_total") - F.col("npos")).cast("double")
+    # Degenerate classes (no positives or no negatives) make the
+    # denominator 0; Spark's floor-of-NaN/Inf differs from DuckDB's, so
+    # gate the division — an absent/universal label yields NULL AUC
+    # identically on both engines instead of breaking parity.
+    auc = F.when(
+        (npos > 0) & (nneg > 0),
+        fquant(F.col("u2").cast("double") / (2.0 * npos * nneg), 6),
+    )
+    # Label-set drift guard: EVENT_TYPES is pinned at compile time, so a
+    # new label in the data would silently count as a negative for every
+    # class on BOTH engines and the parity gate could not see it.
+    # Surface the out-of-vocabulary row count in every output row —
+    # drift shows as n_other > 0, and tests/test_extras_waves.py pins it
+    # to 0 against the fixture.
+    n_other = F.col("n_total")
+    for ty in EVENT_TYPES:
+        n_other = n_other - F.col(f"p_{ty}")
     return (
-        tot.select("n_total", stack)
+        tot.select("n_total", n_other.cast("long").alias("n_other"), stack)
         .select(
             "event_type",
             F.col("npos").cast("long").alias("npos"),
             (F.col("n_total") - F.col("npos")).cast("long").alias("nneg"),
-            fquant(
-                F.col("u2").cast("double") / (2.0 * npos * nneg), 6
-            ).alias("auc"),
+            auc.alias("auc"),
+            "n_other",
         )
     )
 
@@ -194,13 +210,16 @@ def _auc_sql() -> str:
         f"SUM(c_{ty}) AS p_{ty}, SUM(u2_{ty}) AS u_{ty}"
         for ty in EVENT_TYPES
     )
+    other = " - ".join(["n_total", *(f"p_{ty}" for ty in EVENT_TYPES)])
     branches = "\nUNION ALL\n".join(
         f"SELECT '{ty}' AS event_type,"
         f" CAST(p_{ty} AS BIGINT) AS npos,"
         f" CAST(n_total - p_{ty} AS BIGINT) AS nneg,"
+        f" CASE WHEN p_{ty} > 0 AND n_total - p_{ty} > 0 THEN"
         f" floor(CAST(u_{ty} AS DOUBLE) / (2.0 * CAST(p_{ty} AS DOUBLE)"
         f" * CAST(n_total - p_{ty} AS DOUBLE)) * 1000000.0) / 1000000.0"
-        f" AS auc FROM tot"
+        f" END AS auc,"
+        f" CAST({other} AS BIGINT) AS n_other FROM tot"
         for ty in EVENT_TYPES
     )
     return f"""
@@ -248,7 +267,17 @@ _PROFILE_COLS = (
 
 def _render(col: Column, kind: str) -> Column:
     if kind == "double":
-        return col.cast("decimal(18,4)").cast("string")
+        # Floor-quantize BEFORE the decimal render (the fquant mirror):
+        # casting a raw double to DECIMAL(18,4) ROUNDS it, and Spark
+        # (BigDecimal.valueOf on the shortest decimal repr) and DuckDB
+        # (rounding the binary value) disagree at 5th-decimal half
+        # boundaries. A floor-quantized double sits ~1e-12 off the
+        # 4-decimal grid, never at a half boundary, so the subsequent
+        # cast is exact on both engines while keeping the fixed
+        # "x.xxxx" string form.
+        return (
+            fquant(col, 4).cast("decimal(18,4)").cast("string")
+        )
     if kind == "timestamp":
         return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
     return col.cast("string")
@@ -308,8 +337,14 @@ def _profile_sql() -> str:
     branches = []
     for c, kind in _PROFILE_COLS:
         if kind == "double":
-            mn = f"CAST(CAST(MIN({c}) AS DECIMAL(18,4)) AS VARCHAR)"
-            mx = f"CAST(CAST(MAX({c}) AS DECIMAL(18,4)) AS VARCHAR)"
+            mn = (
+                f"CAST(CAST(floor(MIN({c}) * 10000.0) / 10000.0"
+                f" AS DECIMAL(18,4)) AS VARCHAR)"
+            )
+            mx = (
+                f"CAST(CAST(floor(MAX({c}) * 10000.0) / 10000.0"
+                f" AS DECIMAL(18,4)) AS VARCHAR)"
+            )
         elif kind == "timestamp":
             mn = f"strftime(MIN({c}), '%Y-%m-%d %H:%M:%S')"
             mx = f"strftime(MAX({c}), '%Y-%m-%d %H:%M:%S')"

@@ -238,3 +238,34 @@ def test_embedding_label_blocks_stay_below_dedup_exact_path_cap():
             f"sub-clustering path and break its exact all-pairs oracle; "
             f"raise the cap (and this tripwire) deliberately instead"
         )
+
+
+def test_event_type_labels_match_pinned_vocabulary():
+    """ml_auc's one-vs-rest pivot pins EVENT_TYPES at compile time
+    (queries/extras18.py); a sixth label in the data would count as a
+    negative for EVERY class on BOTH engines, so the oracle-parity gate
+    is structurally blind to label-set drift (ADVICE r6). Fail loudly
+    here instead — the key also surfaces the out-of-vocabulary row count
+    as an ``n_other`` output column, pinned to 0 by this same contract."""
+    from serverless_etl_aws_spark.queries.extras18 import EVENT_TYPES
+
+    pinned = set(EVENT_TYPES)
+    dirs = _sf_dirs()
+    if not dirs:
+        pytest.skip(f"no testdata under {TESTDATA_ROOT}")
+    for sf_dir in dirs:
+        path = os.path.join(sf_dir, "events.parquet")
+        if not os.path.exists(path):
+            continue
+        labels = set(
+            pq.read_table(path, columns=["event_type"])["event_type"]
+            .to_pylist()
+        )
+        extra = labels - pinned
+        assert not extra, (
+            f"fixture drift: {sf_dir}/events carries event_type values "
+            f"{sorted(extra)} outside ml_auc's pinned EVENT_TYPES "
+            f"{sorted(pinned)} — those rows silently count as negatives "
+            f"for every class; extend EVENT_TYPES (and the oracle SQL "
+            f"generator) deliberately"
+        )

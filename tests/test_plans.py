@@ -818,22 +818,48 @@ def test_auc_prefix_sum_over_buckets_not_corpus(spark, sf_dir):
 
 def test_profile_split_passes_keep_codegen(spark, sf_dir):
     """The column profiler takes the maintenance_analyze shape: the
-    Expand-based exact multi-distinct runs ALONE (string min/max inside
-    the Expand aggregate would drop out of whole-stage codegen — the
-    measured 5× cliff), counts/min/max take a plain codegen pass, and
-    the two single-row results meet in a 1×1 join. Two scans, not six
-    (one aggregation branch per column), and never an interpreted
-    fallback over expanded rows."""
+    Expand-based exact multi-distinct runs ALONE, counts/min/max take a
+    separate single-scan pass, and the two single-row results meet in a
+    1×1 join. The codegen-critical path is the EXPAND chain — it
+    processes 6×N expanded rows, and folding string min/max into it is
+    the measured 4.5×-at-10× cliff (interpreted fallback over expanded
+    rows). Executed so AQE finalizes and the ``*(n)`` codegen markers
+    appear; then assert (a) no min/max partial rides the Expand side and
+    (b) the Expand and its dedup HashAggregate sit inside a
+    WholeStageCodegen span — the regression the split exists to
+    prevent cannot silently return."""
     from serverless_etl_aws_spark.queries.extras18 import dq_profile
 
     df = dq_profile(spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("FileScan parquet") == 2
     assert plan.count("Expand") == 1
-    # min/max pass stays in whole-stage codegen: its HashAggregate is
-    # inside a WholeStageCodegen span (the Expand side's final agg with
-    # string firsts may fall back — that side carries no string extrema)
     assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+    # the Expand (NDV) branch hangs under the BroadcastExchange; string
+    # extrema must stay on the stats branch
+    ndv_side = plan.split("BroadcastExchange", 1)[1]
+    assert "partial_min" not in ndv_side and "partial_max" not in ndv_side
+
+    df.collect()  # AQE must finalize for codegen stars to print
+    # keep only the "== Final Plan ==" section — the Initial Plan echo
+    # below it prints the same operators without codegen stars
+    final = plan_of(df).split("== Initial Plan ==")[0]
+    assert "== Final Plan ==" in final
+    import re
+
+    expand_line = next(
+        ln for ln in final.splitlines() if "Expand [" in ln
+    )
+    assert re.search(r"\*\(\d+\) Expand", expand_line), expand_line
+    # the expanded-rows dedup aggregate (keys include gid) is the hot
+    # operator — it must carry a codegen star too
+    hot_aggs = [
+        ln for ln in final.splitlines()
+        if "HashAggregate(keys=[" in ln and "gid" in ln
+    ]
+    assert hot_aggs and all(
+        re.search(r"\*\(\d+\) HashAggregate", ln) for ln in hot_aggs
+    ), "\n".join(hot_aggs)
 
 
 def test_jaccard_checkpointed_edges_broadcast_degrees(spark, sf_dir):
