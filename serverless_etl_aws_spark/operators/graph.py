@@ -23,6 +23,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: Session conf key opting iterative operators into RELIABLE checkpoints.
+#: ``localCheckpoint`` (the default) writes lineage-truncation blocks to
+#: executor-local storage — cheap, but a lost executor kills the lineage
+#: mid-iteration and the job cannot recompute (the truncated plan is
+#: gone). On a real cluster the posture is
+#: ``spark.sparkContext.setCheckpointDir(<hdfs/s3 path>)`` plus this conf
+#: set to "true": ``materialize`` then uses ``DataFrame.checkpoint``,
+#: which persists to the fault-tolerant checkpoint dir and survives
+#: executor loss at the cost of one distributed write per round.
+RELIABLE_CHECKPOINT_CONF = "spark.serverless_etl.graph.reliableCheckpoint"
+
+
+def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Truncate ``df``'s lineage for iterative reuse.
+
+    Local mode (default): ``localCheckpoint`` — executor-local blocks,
+    no configuration needed, the right single-box/bench posture.
+    Cluster mode: when the session sets ``RELIABLE_CHECKPOINT_CONF`` to
+    "true" AND a checkpoint dir is configured, use the reliable
+    ``DataFrame.checkpoint`` instead so iterative state survives
+    executor failure. Misconfiguration (flag on, no dir) fails loudly
+    rather than silently degrading to the lossy variant.
+    """
+    spark = df.sparkSession
+    if spark.conf.get(RELIABLE_CHECKPOINT_CONF, "false") != "true":
+        return df.localCheckpoint(eager=eager)
+    if spark.sparkContext.getCheckpointDir() is None:
+        raise RuntimeError(
+            f"{RELIABLE_CHECKPOINT_CONF}=true but no checkpoint dir is "
+            f"set — call spark.sparkContext.setCheckpointDir(<reliable "
+            f"path>) first (cluster posture), or unset the conf to use "
+            f"executor-local checkpoints (single-node posture)"
+        )
+    return df.checkpoint(eager=eager)
+
 
 def connected_components(
     nodes: DataFrame,
@@ -51,11 +86,11 @@ def connected_components(
         .distinct()
         # materialize once: the edge list is re-joined every round, and its
         # upstream plan (e.g. an n-gram similarity join) must not re-execute
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("component")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
 
     for _ in range(max_iter):
         # min over each node's neighbourhood labels (its own + neighbours')
@@ -76,7 +111,7 @@ def connected_components(
                     & (F.col("nbr_component") < F.col("component"))
                 ).alias("changed"),
             )
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         n_changed = updated.filter("changed").count()
         labels = updated.drop("changed")
         if n_changed == 0:
@@ -129,10 +164,10 @@ def pagerank(
             F.col(dst_col).alias("dst"),
             F.col(weight_col).cast("double").alias("w"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     outw = e.groupBy("src").agg(F.sum("w").alias("wout"))
-    ew = e.join(outw, "src").localCheckpoint(eager=True)
+    ew = e.join(outw, "src").transform(materialize)
 
     n_nodes = nodes.count()  # bounded: one scalar (table stats at scale)
     base = (1.0 - damping) / float(n_nodes)
@@ -173,6 +208,7 @@ def bfs_hops(
     src_col: str = "src",
     dst_col: str = "dst",
     max_hops: int = 10,
+    symmetric_materialized: bool = False,
 ) -> DataFrame:
     """Breadth-first shortest hop counts from ``source`` over an
     undirected edge list. Frontier-at-a-time: each round joins the
@@ -181,21 +217,34 @@ def bfs_hops(
     O(frontier × degree) and the loop runs exactly diameter rounds
     (bounded by ``max_hops``). Driver state per round is one boolean
     (``isEmpty`` on the new frontier — job-triggering but O(1) result);
-    ``localCheckpoint`` truncates lineage each round like the other
+    :func:`materialize` truncates lineage each round like the other
     iterative operators in this module. Returns ``(node, hops)`` for
-    every node within ``max_hops`` of the source."""
-    sym = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(
-            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+    every node within ``max_hops`` of the source.
+
+    ``symmetric_materialized=True`` declares that ``edges`` is ALREADY a
+    symmetric, distinct, lineage-truncated adjacency (e.g. the shared
+    session-memoized relation from ``queries/_util.py``); the
+    symmetrize/dedup/checkpoint pass is skipped — re-checkpointing a
+    checkpoint would copy the blocks again for no benefit."""
+    if symmetric_materialized:
+        sym = edges.select(
+            F.col(src_col).alias("a"), F.col(dst_col).alias("b")
         )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    else:
+        sym = (
+            edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+            .union(
+                edges.select(
+                    F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+                )
+            )
+            .distinct()
+            .transform(materialize)
+        )
     spark = edges.sparkSession
     visited = spark.createDataFrame(
         [(source, 0)], "node long, hops int"
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     frontier = visited
     for h in range(1, max_hops + 1):
         nxt = (
@@ -204,7 +253,7 @@ def bfs_hops(
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .select("node", F.lit(h).cast("int").alias("hops"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         if nxt.isEmpty():
             break

@@ -676,23 +676,22 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and takes MIN(hops): exact shortest distances for every node within
     the hop bound, identical by construction.
 
-    The source is the MIN part key — one O(1)-bounded scalar collect,
-    same justification as the BPE argmax."""
+    The adjacency is the session-memoized shared relation
+    (_util.co_order_part_adj — graph_degree_dist consumes the same
+    one), already symmetric/distinct/materialized, so this call adds no
+    edge-build work after the family's first touch. The source is the
+    MIN part key — one O(1)-bounded scalar collect, same justification
+    as the BPE argmax."""
     from ..operators.graph import bfs_hops
+    from ._util import co_order_part_adj
 
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    x, y = li.alias("x"), li.alias("y")
-    edges = (
-        x.join(y, "l_orderkey")
-        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .select(
-            F.col("x.l_partkey").alias("src"),
-            F.col("y.l_partkey").alias("dst"),
-        )
-        .distinct()
-    )
+    li = t(spark, sf_dir, "lineitem").select("l_partkey")
+    adj = co_order_part_adj(spark, sf_dir)
     source = li.agg(F.min("l_partkey")).collect()[0][0]  # O(1) scalar
-    res = bfs_hops(edges, int(source), max_hops=BFS_MAX_HOPS)
+    res = bfs_hops(
+        adj, int(source), src_col="node", dst_col="nbr",
+        max_hops=BFS_MAX_HOPS, symmetric_materialized=True,
+    )
     return res.select(
         F.col("node").alias("part"), F.col("hops").cast("int").alias("hops")
     )

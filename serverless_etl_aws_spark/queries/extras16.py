@@ -278,21 +278,14 @@ def graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     decides whether the other graph keys need skew handling, which
     makes it the family's capacity-planning diagnostic.
 
-    Scale: one self-equi-join of (orderkey, partkey) pairs on orderkey
-    (the standard adjacency materialization; hot orders are AQE
-    skew-split), one distinct to dedup multi-co-occurrence, then two
-    map-side-combinable aggregates over node-sized relations."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    x, y = li.alias("x"), li.alias("y")
-    nbrs = (
-        x.join(y, "l_orderkey")
-        .filter(F.col("x.l_partkey") != F.col("y.l_partkey"))
-        .select(
-            F.col("x.l_partkey").alias("node"),
-            F.col("y.l_partkey").alias("nbr"),
-        )
-        .distinct()
-    )
+    Scale: the adjacency is the session-memoized shared relation
+    (_util.co_order_part_adj — one lineitem self-join + distinct per
+    session for the whole graph family; hot orders are AQE skew-split
+    on its first build), then two map-side-combinable aggregates over
+    node-sized relations."""
+    from ._util import co_order_part_adj
+
+    nbrs = co_order_part_adj(spark, sf_dir)
     deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("long").alias("n_parts")

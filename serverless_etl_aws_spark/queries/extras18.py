@@ -378,21 +378,19 @@ def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts.
 
     Scale: the fact table collapses to DISTINCT (supplier, part) edges
-    first and is ``localCheckpoint``-materialized — edges feed FOUR
-    consumers (both pair-join sides and both degree lookups), and
-    without the checkpoint Catalyst duplicates the subtree into four
-    full fact scans (measured: 4× FileScan at plan time). The pair join
+    first and is materialized via the session-memoized shared relation
+    (_util.supplier_part_edges) — edges feed FOUR consumers (both
+    pair-join sides and both degree lookups), and without the
+    materialization Catalyst duplicates the subtree into four full fact
+    scans (measured: 4× FileScan at plan time). The pair join
     is per-part (cost Σ deg(part)², bounded because part fan-out is
     capped by the sourcing model — the hot-key frequency-stop lever
     from the ngram dedup applies verbatim if a part's supplier list
     explodes); degrees are a node-sized relation and broadcast to the
     pair stream."""
-    edges = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_suppkey", "l_partkey")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    from ._util import supplier_part_edges
+
+    edges = supplier_part_edges(spark, sf_dir)
     deg = edges.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).alias("deg")
     )

@@ -884,3 +884,51 @@ def test_editdist_dedup_catches_small_edits(spark, tmp_path):
     assert (1, 2) in pairs, pairs
     assert pairs[(1, 2)] < 0.05
     assert all(3 not in p for p in pairs)
+
+
+def test_bfs_reliable_checkpoint_mode(spark, tmp_path):
+    """operators.graph.materialize's cluster posture: with a reliable
+    checkpoint dir configured and the opt-in conf set, iterative
+    operators persist round state via DataFrame.checkpoint (survives
+    executor loss) instead of localCheckpoint (executor-local, lost
+    with the executor). Same answers in both modes; misconfiguration
+    (flag on, dir unset) fails loudly (ADVICE r6 #4)."""
+    from serverless_etl_aws_spark.operators.graph import (
+        RELIABLE_CHECKPOINT_CONF,
+        bfs_hops,
+        materialize,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    expect = {
+        (r["node"], r["hops"])
+        for r in bfs_hops(edges, 1, max_hops=5).collect()
+    }
+    assert expect == {(1, 0), (2, 1), (3, 2), (4, 3)}
+
+    sc = spark.sparkContext
+    had_dir = sc.getCheckpointDir() is not None
+    if not had_dir:
+        # misconfiguration path: flag on, no dir -> loud failure
+        spark.conf.set(RELIABLE_CHECKPOINT_CONF, "true")
+        try:
+            with pytest.raises(RuntimeError, match="checkpoint dir"):
+                materialize(edges)
+        finally:
+            spark.conf.unset(RELIABLE_CHECKPOINT_CONF)
+
+    sc.setCheckpointDir(str(tmp_path / "reliable_ckpt"))
+    spark.conf.set(RELIABLE_CHECKPOINT_CONF, "true")
+    try:
+        got = {
+            (r["node"], r["hops"])
+            for r in bfs_hops(edges, 1, max_hops=5).collect()
+        }
+        assert got == expect
+        # the reliable dir actually received checkpoint data
+        ckpt_root = tmp_path / "reliable_ckpt"
+        assert any(ckpt_root.rglob("*")), "no files under checkpoint dir"
+    finally:
+        spark.conf.unset(RELIABLE_CHECKPOINT_CONF)

@@ -751,16 +751,28 @@ def test_pareto_one_shuffle_exact_decimal_crossing(spark, sf_dir):
 
 
 def test_degree_dist_equi_join_no_cartesian(spark, sf_dir):
-    """The adjacency materialization is an equi-join on orderkey (never
-    a cartesian/nested-loop pairing), and the histogram aggregates run
-    over node-sized relations."""
+    """The adjacency comes from the session-memoized shared relation
+    (_util.co_order_part_adj): the consumer plan reads the materialized
+    checkpoint (zero fact scans here — the one-time build is an
+    equi-join on orderkey, asserted below), and the histogram aggregates
+    run over node-sized relations."""
     from serverless_etl_aws_spark.queries.extras16 import graph_degree_dist
 
     plan = plan_of(graph_degree_dist(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("FileScan parquet") == 2
+    # consumer reads the shared checkpoint, not the fact table
+    assert plan.count("FileScan parquet") == 0
+    assert plan.count("Scan ExistingRDD") == 1
     assert plan.count("Exchange hashpartitioning") <= 3
+
+    # the one-time build behind the memo is an equi-join on orderkey
+    from serverless_etl_aws_spark.queries._util import co_order_part_adj_plan
+
+    build = plan_of(co_order_part_adj_plan(spark, sf_dir))
+    assert "CartesianProduct" not in build
+    assert "BroadcastNestedLoopJoin" not in build
+    assert build.count("FileScan parquet") == 2  # the self-join's two scans
 
 
 def test_benford_no_join_single_count_shuffle(spark, sf_dir):
