@@ -87,7 +87,11 @@ GROUP BY o_orderpriority
 
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct users per event type — rows-only check (approx ≠
-    exact, and HLL estimates are engine-specific by design)."""
+    exact, and HLL estimates are engine-specific by design). Accuracy is
+    pinned locally instead: rsd=0.05 ⇒ relative error ≤ 3·rsd = 15%
+    (3-sigma; HLL is deterministic for fixed data), asserted vs exact
+    countDistinct at sf0.01 and sf0.1 in tests/test_operators.py::
+    test_approx_distinct_within_hll_error_bound."""
     ev = t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users")

@@ -932,3 +932,39 @@ def test_bfs_reliable_checkpoint_mode(spark, tmp_path):
         assert any(ckpt_root.rglob("*")), "no files under checkpoint dir"
     finally:
         spark.conf.unset(RELIABLE_CHECKPOINT_CONF)
+
+
+def test_approx_distinct_within_hll_error_bound(spark):
+    """agg_approx_distinct is rows-only in the driver audit (approx !=
+    exact by contract), so pin its accuracy locally instead: Spark's
+    HLL++ with rsd=0.05 guarantees a 5% relative standard deviation;
+    3-sigma (15%) is the conventional hard bound, and HLL is
+    deterministic for fixed data, so this is a stable assertion, not a
+    flaky statistical one. Checked per event_type at sf0.01 AND sf0.1 —
+    the larger factor exercises the dense HLL regime the sparse-path
+    sf0.001 fixtures never reach (mirrors the MinHash recall contract in
+    tests/test_minhash_recall.py; ADVICE r6 #8)."""
+    from serverless_etl_aws_spark.queries.aggregates import (
+        agg_approx_distinct,
+    )
+    from serverless_etl_aws_spark.queries._util import t
+
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        approx = {
+            r["event_type"]: r["approx_users"]
+            for r in agg_approx_distinct(spark, sf_dir).collect()
+        }
+        exact = {
+            r["event_type"]: r["n"]
+            for r in t(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        assert set(approx) == set(exact)
+        for ty, n_exact in exact.items():
+            rel = abs(approx[ty] - n_exact) / n_exact
+            assert rel <= 3 * 0.05, (
+                f"{sf_dir} {ty}: approx {approx[ty]} vs exact {n_exact} "
+                f"(rel err {rel:.3f} > 3*rsd)"
+            )
