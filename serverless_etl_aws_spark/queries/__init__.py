@@ -89,6 +89,11 @@ PRIORITY_EXT: tuple[str, ...] = (
     # round-6 ninth wave (cohort retention, exact rank AUC, column
     # profiler, shared-neighbor Jaccard — all oracle-SQL-checked)
     "win_retention", "ml_auc", "dq_profile", "graph_jaccard",
+    # round-7 tenth wave (operating-point/calibration eval, categorical
+    # drift, nonparametric trend, cross-table integrity, trade-graph
+    # components — all oracle-SQL-checked)
+    "ml_confusion", "ml_calibration", "ml_chi2", "ts_trend_mk",
+    "dq_referential", "graph_components",
 )
 
 
@@ -127,7 +132,7 @@ COMPUTE_EAGER_KEYS: frozenset[str] = frozenset({
     "llm_dedup_embedding", "llm_dedup_minhash", "llm_dedup_ngram",
     "llm_sim_search", "llm_sim_search_ivf", "llm_sim_search_pq",
     "llm_tfidf", "ml_kmeans",
-    "graph_jaccard",
+    "graph_jaccard", "graph_components",
 })
 
 
@@ -155,6 +160,7 @@ def build_registry() -> dict[str, Query]:
         extras16,
         extras17,
         extras18,
+        extras19,
         joins,
         llm,
         pipeline_ops,
@@ -195,6 +201,7 @@ def build_registry() -> dict[str, Query]:
         extras16,
         extras17,
         extras18,
+        extras19,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

@@ -161,6 +161,14 @@ SF1_KEYS = [
     # prevent); real corpus growth adds parts/suppliers at roughly
     # constant degree, which is linear in the posting-list join.
     "win_retention", "ml_auc", "dq_profile",
+    # round-7 tenth wave: eval/integrity analytics. All replication-safe:
+    # the events keys see 10× rows over the same day/bin/weekday grids,
+    # dq_referential's FK edges stay valid under the key-shift scheme
+    # (custkeys stride together; suppkeys aren't shifted and supplier is
+    # copied verbatim), and graph_components' relative threshold rides
+    # the uniformly-scaled pair counts.
+    "ml_confusion", "ml_calibration", "ml_chi2", "ts_trend_mk",
+    "dq_referential", "graph_components",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 

@@ -888,3 +888,53 @@ def test_jaccard_checkpointed_edges_broadcast_degrees(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") == 3
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_eval_keys_single_scan_single_shuffle(spark, sf_dir):
+    """ml_confusion / ml_calibration / ml_chi2 each scan the corpus ONCE
+    and shuffle ONCE (the score-bucket / bin / contingency groupBy —
+    map-side combinable); thresholds, base rates and row/col totals are
+    windows over the bucket-sized relation, never a join or a second
+    aggregation branch."""
+    from serverless_etl_aws_spark.queries.extras19 import (
+        ml_calibration,
+        ml_chi2,
+        ml_confusion,
+    )
+
+    for fn in (ml_confusion, ml_calibration, ml_chi2):
+        plan = plan_of(fn(spark, sf_dir))
+        assert plan.count("FileScan parquet") == 1, fn.__name__
+        assert plan.count("Exchange hashpartitioning") == 1, fn.__name__
+        assert "Join" not in plan, fn.__name__
+
+
+def test_trend_mk_pair_join_on_materialized_daily_relation(spark, sf_dir):
+    """ts_trend_mk collapses the corpus to the (type, day, count)
+    relation once and materializes it — its three consumers (both pair
+    join sides, tie histogram) must NOT each re-scan the corpus (the
+    duplicate-subtree class the ml_naive_bayes checkpoint fixed). The
+    pair join is an equi-join on event_type over the day-sized
+    relation."""
+    from serverless_etl_aws_spark.queries.extras19 import ts_trend_mk
+
+    plan = plan_of(ts_trend_mk(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 0  # daily is checkpointed
+    assert plan.count("Scan ExistingRDD") == 3  # its three consumers
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_referential_audit_broadcasts_parent_keys(spark, sf_dir):
+    """dq_referential: per FK edge the child collapses to a (key, count)
+    relation (map-side combinable) and LEFT-joins the parent's distinct
+    keys as a BROADCAST — the parent side is dimension-sized; nothing
+    row-sized crosses a second shuffle and no edge degenerates into a
+    nested-loop."""
+    from serverless_etl_aws_spark.queries.extras19 import dq_referential
+
+    plan = plan_of(dq_referential(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 4  # one per FK edge
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
