@@ -94,6 +94,9 @@ PRIORITY_EXT: tuple[str, ...] = (
     # components — all oracle-SQL-checked)
     "ml_confusion", "ml_calibration", "ml_chi2", "ts_trend_mk",
     "dq_referential", "graph_components",
+    # round-7 eleventh wave (stump trainer, k-core peeling, vocabulary
+    # saturation, two-sample KS drift — all oracle-SQL-checked)
+    "ml_stump", "graph_kcore", "llm_vocab_growth", "agg_ks_test",
 )
 
 
@@ -132,7 +135,8 @@ COMPUTE_EAGER_KEYS: frozenset[str] = frozenset({
     "llm_dedup_embedding", "llm_dedup_minhash", "llm_dedup_ngram",
     "llm_sim_search", "llm_sim_search_ivf", "llm_sim_search_pq",
     "llm_tfidf", "ml_kmeans",
-    "graph_jaccard", "graph_components",
+    "graph_jaccard", "graph_components", "graph_degree_dist",
+    "graph_kcore",
 })
 
 
@@ -161,6 +165,7 @@ def build_registry() -> dict[str, Query]:
         extras17,
         extras18,
         extras19,
+        extras20,
         joins,
         llm,
         pipeline_ops,
@@ -202,6 +207,7 @@ def build_registry() -> dict[str, Query]:
         extras17,
         extras18,
         extras19,
+        extras20,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

@@ -169,6 +169,12 @@ SF1_KEYS = [
     # the uniformly-scaled pair counts.
     "ml_confusion", "ml_calibration", "ml_chi2", "ts_trend_mk",
     "dq_referential", "graph_components",
+    # round-7 eleventh wave. graph_kcore IS replication-safe (unlike
+    # graph_jaccard): the replicator shifts l_orderkey only, so each
+    # replica contributes the SAME co-order edges — the distinct edge
+    # relation (and every peel round) is identical at 1x and 10x, and
+    # what is measured is the 10x dedup scan feeding it.
+    "ml_stump", "graph_kcore", "llm_vocab_growth", "agg_ks_test",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 

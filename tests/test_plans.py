@@ -938,3 +938,48 @@ def test_referential_audit_broadcasts_parent_keys(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stump_and_ks_single_scan_topk(spark, sf_dir):
+    """ml_stump / agg_ks_test: one corpus scan, one map-side-combinable
+    bucket shuffle, windows + impurity/gap arithmetic on the bucket
+    relation, and the argmin/argmax is TakeOrderedAndProject (top-1),
+    never a global sort of data. No join anywhere."""
+    from serverless_etl_aws_spark.queries.extras20 import (
+        agg_ks_test,
+        ml_stump,
+    )
+
+    for fn in (ml_stump, agg_ks_test):
+        plan = plan_of(fn(spark, sf_dir))
+        assert plan.count("FileScan parquet") == 1, fn.__name__
+        assert plan.count("Exchange hashpartitioning") == 1, fn.__name__
+        assert "TakeOrderedAndProject" in plan, fn.__name__
+        assert "Join" not in plan, fn.__name__
+
+
+def test_vocab_growth_two_shuffles_no_join(spark, sf_dir):
+    """llm_vocab_growth: the shingle explode shuffles ONCE (the
+    map-side-combinable gram→MIN(doc_id) groupBy); the checkpoint
+    histogram is the only other exchange, over the vocabulary-sized
+    first-occurrence relation. No join, one corpus scan."""
+    from serverless_etl_aws_spark.queries.extras20 import llm_vocab_growth
+
+    plan = plan_of(llm_vocab_growth(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+
+
+def test_kcore_rounds_read_checkpoints_only(spark, sf_dir):
+    """graph_kcore: the visible plan is the final degree aggregate over
+    the last peel round's lazily-checkpointed edge relation — zero fact
+    scans at the consumer (the shared adjacency build is the family's
+    one-time cost), one hash exchange for the node-sized degree count."""
+    from serverless_etl_aws_spark.queries.extras20 import graph_kcore
+
+    plan = plan_of(graph_kcore(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 0
+    assert plan.count("Scan ExistingRDD") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
