@@ -97,6 +97,9 @@ PRIORITY_EXT: tuple[str, ...] = (
     # round-7 eleventh wave (stump trainer, k-core peeling, vocabulary
     # saturation, two-sample KS drift — all oracle-SQL-checked)
     "ml_stump", "graph_kcore", "llm_vocab_growth", "agg_ks_test",
+    # round-7 twelfth wave (KM survival, winsorized mean, conversion
+    # latency — all oracle-SQL-checked)
+    "ml_survival_km", "agg_winsorized_mean", "agg_conversion_lag",
 )
 
 
@@ -166,6 +169,7 @@ def build_registry() -> dict[str, Query]:
         extras18,
         extras19,
         extras20,
+        extras21,
         joins,
         llm,
         pipeline_ops,
@@ -208,6 +212,7 @@ def build_registry() -> dict[str, Query]:
         extras18,
         extras19,
         extras20,
+        extras21,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

@@ -175,6 +175,9 @@ SF1_KEYS = [
     # relation (and every peel round) is identical at 1x and 10x, and
     # what is measured is the 10x dedup scan feeding it.
     "ml_stump", "graph_kcore", "llm_vocab_growth", "agg_ks_test",
+    # round-7 twelfth wave (events-only; user_id shifts keep per-user
+    # lifetimes/conversions identical per replica)
+    "ml_survival_km", "agg_winsorized_mean", "agg_conversion_lag",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 

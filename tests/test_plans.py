@@ -983,3 +983,37 @@ def test_kcore_rounds_read_checkpoints_only(spark, sf_dir):
     assert plan.count("Scan ExistingRDD") == 1
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_km_and_lag_collapse_before_windows(spark, sf_dir):
+    """ml_survival_km / agg_conversion_lag: ONE corpus scan and one
+    map-side-combinable per-user shuffle each; every window, fold and
+    final aggregate runs on the collapsed user/duration relation —
+    nothing row-sized crosses a second exchange, no join."""
+    from serverless_etl_aws_spark.queries.extras21 import (
+        agg_conversion_lag,
+        ml_survival_km,
+    )
+
+    for fn in (ml_survival_km, agg_conversion_lag):
+        plan = plan_of(fn(spark, sf_dir))
+        assert plan.count("FileScan parquet") == 1, fn.__name__
+        assert "Join" not in plan, fn.__name__
+        # user-collapse groupBy (+ KM's duration regroup); window
+        # exchanges are single-partition, not hash
+        assert plan.count("Exchange hashpartitioning") <= 2, fn.__name__
+
+
+def test_winsorized_mean_one_rank_sort(spark, sf_dir):
+    """agg_winsorized_mean: the rank window is the key's single per-type
+    sort (exact order-statistic bounds — the documented audit path);
+    one corpus scan, one hash exchange (the event_type partition both
+    the window and the final groupBy reuse), no join."""
+    from serverless_etl_aws_spark.queries.extras21 import (
+        agg_winsorized_mean,
+    )
+
+    plan = plan_of(agg_winsorized_mean(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
