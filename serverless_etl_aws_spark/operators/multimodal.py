@@ -308,3 +308,52 @@ def scene_cut(
             )
 
     return with_payloads.mapInPandas(run, schema=SCENE_SCHEMA)
+
+
+PHASH_SCHEMA = (
+    "doc_id bigint, n_bytes int, mean_b int, phash bigint"
+)
+
+
+def phash64(
+    with_payloads: DataFrame, width: int = 64
+) -> DataFrame:
+    """Perceptual average-hash over the payload body: the first
+    ``width`` (≤64) body bytes are compared against the integer mean of
+    that prefix; bit i is set when byte i exceeds the mean — the
+    classic aHash reduced to its byte-domain skeleton. A real build
+    decodes the image, resizes to 8×8 luma and thresholds against the
+    mean through this IDENTICAL Arrow batch flow; the byte-domain stub
+    keeps the hash exactly recomputable by the relational oracle from
+    hex nibbles (integer compares only — no float, no resampling
+    kernel to pin down).
+
+    Fan-out: 1 payload → 1 row, O(width) work, no shuffle; downstream
+    dup grouping is a hash-equality groupBy (a near-dup variant bands
+    the 64 bits like SimHash — operators/dedup.py::simhash_pairs)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8)[8:]  # header
+                p = b[:width].astype(np.int64)
+                if p.size == 0:
+                    rows.append((doc_id, 0, 0, 0))
+                    continue
+                mean = int(p.sum()) // p.size  # integer floor mean
+                h = 0
+                for i, v in enumerate(p):
+                    if int(v) > mean:
+                        h |= 1 << i
+                # keep the 64-bit pattern inside signed-long range the
+                # same way both engines will: wrap at 2^63
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                rows.append((doc_id, int(p.size), mean, h))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "mean_b", "phash"]
+            )
+
+    return with_payloads.mapInPandas(run, schema=PHASH_SCHEMA)

@@ -100,6 +100,9 @@ PRIORITY_EXT: tuple[str, ...] = (
     # round-7 twelfth wave (KM survival, winsorized mean, conversion
     # latency — all oracle-SQL-checked)
     "ml_survival_km", "agg_winsorized_mean", "agg_conversion_lag",
+    # round-7 thirteenth wave (assortativity, SPC control chart, NDCG,
+    # perceptual hash — all oracle-SQL-checked)
+    "graph_assortativity", "dq_spc", "ml_ndcg", "mm_phash",
 )
 
 
@@ -139,7 +142,7 @@ COMPUTE_EAGER_KEYS: frozenset[str] = frozenset({
     "llm_sim_search", "llm_sim_search_ivf", "llm_sim_search_pq",
     "llm_tfidf", "ml_kmeans",
     "graph_jaccard", "graph_components", "graph_degree_dist",
-    "graph_kcore",
+    "graph_kcore", "graph_assortativity",
 })
 
 
@@ -170,6 +173,7 @@ def build_registry() -> dict[str, Query]:
         extras19,
         extras20,
         extras21,
+        extras22,
         joins,
         llm,
         pipeline_ops,
@@ -213,6 +217,7 @@ def build_registry() -> dict[str, Query]:
         extras19,
         extras20,
         extras21,
+        extras22,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

@@ -373,15 +373,21 @@ def ts_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = F.col("n_days")
     var18 = nd * (nd - 1) * (2 * nd + 5) - F.col("tie_term")
+    # LEFT join from the tie histogram (which carries every type): a
+    # single-day series has NO day pairs, so the S relation omits it —
+    # an inner join would silently drop the type instead of reporting
+    # the honest degenerate answer (S=0, Var=0, no_trend). Found by the
+    # brute-force property sweep (tests/test_stats_property.py).
+    s0 = F.coalesce(F.col("s_stat"), F.lit(0))
     return (
-        s.join(ties, "event_type")
+        ties.join(s, "event_type", "left")
         .select(
             "event_type",
             nd.cast("long").alias("n_days"),
-            F.col("s_stat").cast("long").alias("s_stat"),
+            s0.cast("long").alias("s_stat"),
             var18.cast("long").alias("var18"),
-            F.when(F.col("s_stat") > 0, F.lit("increasing"))
-            .when(F.col("s_stat") < 0, F.lit("decreasing"))
+            F.when(s0 > 0, F.lit("increasing"))
+            .when(s0 < 0, F.lit("decreasing"))
             .otherwise(F.lit("no_trend"))
             .alias("trend"),
         )
@@ -407,15 +413,15 @@ WITH daily AS (
         FROM daily GROUP BY 1, 2
     ) GROUP BY 1
 )
-SELECT s.event_type,
+SELECT ties.event_type,
        CAST(n_days AS BIGINT) AS n_days,
-       CAST(s_stat AS BIGINT) AS s_stat,
+       CAST(COALESCE(s_stat, 0) AS BIGINT) AS s_stat,
        CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
             AS BIGINT) AS var18,
-       CASE WHEN s_stat > 0 THEN 'increasing'
-            WHEN s_stat < 0 THEN 'decreasing'
+       CASE WHEN COALESCE(s_stat, 0) > 0 THEN 'increasing'
+            WHEN COALESCE(s_stat, 0) < 0 THEN 'decreasing'
             ELSE 'no_trend' END AS trend
-FROM s JOIN ties USING (event_type)
+FROM ties LEFT JOIN s USING (event_type)
 """
 
 

@@ -178,6 +178,10 @@ SF1_KEYS = [
     # round-7 twelfth wave (events-only; user_id shifts keep per-user
     # lifetimes/conversions identical per replica)
     "ml_survival_km", "agg_winsorized_mean", "agg_conversion_lag",
+    # round-7 thirteenth wave. graph_assortativity shares graph_kcore's
+    # replication argument (identical distinct edge set at 1x/10x);
+    # mm_phash/dq_spc/ml_ndcg are per-payload/bucket/user-bound.
+    "graph_assortativity", "dq_spc", "ml_ndcg", "mm_phash",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 

@@ -1017,3 +1017,58 @@ def test_winsorized_mean_one_rank_sort(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_assortativity_checkpointed_adjacency_broadcast_degrees(spark, sf_dir):
+    """graph_assortativity is the fourth consumer of the session-shared
+    co-order adjacency: every read must hit the checkpoint (zero fact
+    re-scans), degrees are node-sized and broadcast into the edge
+    relation, and the moment reduction is a single aggregate — no
+    sort-merge shuffle of the edge list, no cartesian."""
+    from serverless_etl_aws_spark.queries.extras22 import graph_assortativity
+
+    plan = plan_of(graph_assortativity(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 0
+    assert plan.count("Scan ExistingRDD") == 3  # edges + two degree builds
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_spc_windows_over_daily_counts_not_events(spark, sf_dir):
+    """dq_spc collapses the corpus to the (type, day) count relation in
+    one map-side-combinable shuffle; the moment windows and 3-sigma
+    limits run on that days-sized relation (second, bounded exchange).
+    No join — limits are windows, not a stats-relation rejoin."""
+    from serverless_etl_aws_spark.queries.extras22 import dq_spc
+
+    plan = plan_of(dq_spc(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+
+
+def test_ndcg_single_user_shuffle(spark, sf_dir):
+    """ml_ndcg ranks and aggregates inside ONE user_id exchange (the
+    groupBy reuses the window's partitioning) and the discount weights
+    are compile-time literals — no join, no second shuffle, nothing
+    broadcast."""
+    from serverless_etl_aws_spark.queries.extras22 import ml_ndcg
+
+    plan = plan_of(ml_ndcg(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_phash_one_arrow_pass_one_signature_shuffle(spark, sf_dir):
+    """mm_phash computes signatures in a single Arrow mapInPandas pass
+    over one corpus scan; the collision count is one window exchange on
+    the 64-bit hash. No join, no second Python stage."""
+    from serverless_etl_aws_spark.queries.extras22 import mm_phash
+
+    plan = plan_of(mm_phash(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
