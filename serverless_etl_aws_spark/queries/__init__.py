@@ -103,6 +103,9 @@ PRIORITY_EXT: tuple[str, ...] = (
     # round-7 thirteenth wave (assortativity, SPC control chart, NDCG,
     # perceptual hash — all oracle-SQL-checked)
     "graph_assortativity", "dq_spc", "ml_ndcg", "mm_phash",
+    # round-7 fourteenth wave (clustering coefficient, lift table, Holt
+    # smoothing, freshness audit — all oracle-SQL-checked)
+    "graph_clustering_coeff", "ml_lift", "ts_holt", "dq_freshness",
 )
 
 
@@ -142,7 +145,7 @@ COMPUTE_EAGER_KEYS: frozenset[str] = frozenset({
     "llm_sim_search", "llm_sim_search_ivf", "llm_sim_search_pq",
     "llm_tfidf", "ml_kmeans",
     "graph_jaccard", "graph_components", "graph_degree_dist",
-    "graph_kcore", "graph_assortativity",
+    "graph_kcore", "graph_assortativity", "graph_clustering_coeff",
 })
 
 
@@ -174,6 +177,7 @@ def build_registry() -> dict[str, Query]:
         extras20,
         extras21,
         extras22,
+        extras23,
         joins,
         llm,
         pipeline_ops,
@@ -218,6 +222,7 @@ def build_registry() -> dict[str, Query]:
         extras20,
         extras21,
         extras22,
+        extras23,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

@@ -11,7 +11,7 @@ the cumulative-gains table every targeting/curation campaign reads —
 buckets play the ROC-histogram role so the corpus is collapsed before
 any window runs. ``ts_holt`` adds the trend-aware smoother (level +
 trend state) the flat-EWMA key cannot express, as one sequential
-struct-fold evaluated in identical order by both engines. ``dq_freshness``
+array-fold evaluated in identical order by both engines. ``dq_freshness``
 is the staleness monitor per ingestion partition — the lag-behind-max
 audit a 100 TB feed checks before publishing.
 
@@ -38,26 +38,34 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighborhood is to a clique, the density signal community detection
     and recommendation diversity checks start from.
 
-    Triangles are enumerated ONCE via degree orientation: each
-    undirected edge points from its (degree, key)-smaller endpoint to
-    the larger, making the graph a DAG where every triangle appears as
-    exactly one path x→y→z closed by x→z. Wedge work is Σ d⁺(v)² —
-    the orientation that provably minimizes it (compact-forward /
-    Chiba-Nishizeki); a naive per-node wedge join would be Σ d(v)²,
-    ~4× more here and unboundedly worse on skewed graphs. Each found
-    triangle credits its three corners via one explode; everything
-    stays integer until the single final division (exact → fquant 6).
+    Triangles are counted ONCE via degree orientation: each undirected
+    edge points from its (degree, key)-smaller endpoint to the larger,
+    making the graph a DAG where every triangle x→y→z appears exactly
+    once, anchored on its base edge (x, y) with z ∈ out(x) ∩ out(y).
+    The intersection runs as an in-memory array_intersect per edge
+    (the GraphFrames/array-adjacency pattern): per-node sorted
+    out-neighbor arrays are node-sized and broadcast onto the edge
+    relation, so NO wedge stream is ever materialized or shuffled — a
+    wedge join would move Σ d⁺(v)² rows (~40M at sf0.1) through an
+    exchange; this moves |E| rows through zero. Each triangle credits
+    its three corners via one array_repeat+explode; everything stays
+    integer until the single final division (exact → fquant 6).
 
     Scale: adjacency is the session-shared checkpoint (fifth consumer);
-    degrees are node-sized and broadcast; the triangle joins are
-    equi-joins on the oriented edge relation (AQE skew-splits hot
-    sources); nothing is ever all-pairs."""
+    out-lists are bounded by max degree. On a graph too large to
+    broadcast the node relation, the same plan degrades to two
+    equi-joins (AQE skew-splits hot nodes) — still never a wedge
+    shuffle and never all-pairs."""
+    from ..operators.graph import materialize
     from ._util import co_order_part_adj
 
     adj = co_order_part_adj(spark, sf_dir)
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-    # degree orientation: keep (node, nbr) only when (d, key) ascends
-    oe = (
+    # degree orientation: keep (node, nbr) only when (d, key) ascends.
+    # Materialized once — its two consumers (the out-list build and the
+    # edge stream) would otherwise each replay the degree joins (the
+    # duplicate-subtree class the graph family checkpoints against).
+    oe = materialize(
         adj.join(F.broadcast(deg), "node")
         .withColumnRenamed("d", "da")
         .join(
@@ -70,24 +78,51 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("da") < F.col("db"))
             | ((F.col("da") == F.col("db")) & (F.col("node") < F.col("nbr")))
         )
-        .select(F.col("node").alias("a"), F.col("nbr").alias("b"))
+        .select(F.col("node").alias("a"), F.col("nbr").alias("b")),
+        eager=False,
     )
-    w1 = oe.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    w2 = oe.select(F.col("a").alias("y2"), F.col("b").alias("z"))
-    w3 = oe.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
-    tri = (
-        w1.join(w2, F.col("y") == F.col("y2"))
-        .join(w3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
-        .select("x", "y", "z")
+    outl = oe.groupBy("a").agg(
+        F.sort_array(F.collect_list("b")).alias("nbrs")
     )
-    corners = tri.select(
-        F.explode(F.array("x", "y", "z")).alias("node")
+    zs = F.array_intersect("nx", "ny")
+    tri_e = (
+        oe.join(
+            F.broadcast(
+                outl.select(F.col("a").alias("x2"), F.col("nbrs").alias("nx"))
+            ),
+            F.col("a") == F.col("x2"),
+        )
+        .join(
+            F.broadcast(
+                outl.select(F.col("a").alias("y2"), F.col("nbrs").alias("ny"))
+            ),
+            F.col("b") == F.col("y2"),
+            "left",  # sinks have no out-list
+        )
+        .select(
+            "a",
+            "b",
+            F.when(
+                F.col("ny").isNotNull() & (F.size(zs) > 0), zs
+            ).alias("zs"),
+        )
+        .filter(F.col("zs").isNotNull())
+    )
+    tcount = F.size("zs")
+    corners = tri_e.select(
+        F.explode(
+            F.concat(
+                F.array_repeat(F.col("a"), tcount),
+                F.array_repeat(F.col("b"), tcount),
+                F.col("zs"),
+            )
+        ).alias("node")
     )
     tcnt = corners.groupBy("node").agg(F.count(F.lit(1)).alias("tri"))
     t0 = F.coalesce(F.col("tri"), F.lit(0))
     d = F.col("d")
     return (
-        deg.join(tcnt, "node", "left")
+        deg.join(F.broadcast(tcnt), "node", "left")
         .select(
             "node",
             d.cast("long").alias("degree"),
@@ -256,7 +291,7 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     forever; Holt's trend term closes the gap).
 
     Determinism: the recursion l' = α·x + (1−α)(l+b);
-    b' = β(l'−l) + (1−β)·b is ONE sequential struct-fold over the
+    b' = β(l'−l) + (1−β)·b is ONE sequential array-fold over the
     frame-ordered list, initialized at (l=x₁, b=0) and folded from x₂ —
     both engines evaluate the IDENTICAL expression tree in the
     IDENTICAL order on exactly-representable dyadic constants, so the
@@ -286,38 +321,38 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
     )
     a = F.lit(HOLT_ALPHA)
+    ca = F.lit(1.0 - HOLT_ALPHA)  # exact: dyadic constants
     bt = F.lit(HOLT_BETA)
-    init = F.struct(
-        F.element_at("vals", 1).cast("double").alias("l"),
-        F.lit(0.0).alias("b"),
+    cb = F.lit(1.0 - HOLT_BETA)
+    # 2-element ARRAY accumulator [level, trend] on BOTH engines:
+    # DuckDB 1.0's list_reduce mutates a STRUCT accumulator's fields
+    # sequentially (field 2 sees field 1 already overwritten — verified
+    # by probe), so the struct form silently computes a different
+    # recursion there; list accumulators fold correctly on both.
+    init = F.array(
+        F.element_at("vals", 1).cast("double"), F.lit(0.0)
     )
     rest = F.slice(
         F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))
     )
-    fold = F.aggregate(
-        rest,
-        init,
-        lambda acc, x: F.struct(
-            (a * x + (F.lit(1.0) - a) * (acc["l"] + acc["b"])).alias("l"),
-            (
-                bt
-                * (
-                    (a * x + (F.lit(1.0) - a) * (acc["l"] + acc["b"]))
-                    - acc["l"]
-                )
-                + (F.lit(1.0) - bt) * acc["b"]
-            ).alias("b"),
-        ),
-    )
+
+    def _step(acc, x):
+        lp, bp = F.element_at(acc, 1), F.element_at(acc, 2)
+        lnew = a * x + ca * (lp + bp)
+        return F.array(
+            lnew,
+            bt * ((a * x + ca * (lp + bp)) - lp) + cb * bp,
+        )
+
+    fold = F.aggregate(rest, init, _step)
+    lv, tr = F.element_at(fold, 1), F.element_at(fold, 2)
     n = F.size("vals")
     return per.select(
         "user_id",
         n.cast("long").alias("n_points"),
-        F.when(n >= 2, fquant(fold["l"], 6)).alias("level"),
-        F.when(n >= 2, fquant(fold["b"], 6)).alias("trend"),
-        F.when(n >= 2, fquant(fold["l"] + fold["b"], 6)).alias(
-            "forecast_1"
-        ),
+        F.when(n >= 2, fquant(lv, 6)).alias("level"),
+        F.when(n >= 2, fquant(tr, 6)).alias("trend"),
+        F.when(n >= 2, fquant(lv + tr, 6)).alias("forecast_1"),
     )
 
 
@@ -331,30 +366,32 @@ WITH s AS (
     SELECT user_id, len(vals) AS n,
            list_reduce(
              list_prepend(
-               {{'l': vals[1], 'b': CAST(0.0 AS DOUBLE)}},
+               [vals[1], CAST(0.0 AS DOUBLE)],
                list_transform(vals[2:],
-                              x -> {{'l': x, 'b': CAST(0.0 AS DOUBLE)}})
+                              x -> [x, CAST(0.0 AS DOUBLE)])
              ),
-             (acc, e) -> {{
-               'l': {HOLT_ALPHA} * e.l
-                    + (1.0 - {HOLT_ALPHA}) * (acc.l + acc.b),
-               'b': {HOLT_BETA}
-                    * (({HOLT_ALPHA} * e.l
-                        + (1.0 - {HOLT_ALPHA}) * (acc.l + acc.b))
-                       - acc.l)
-                    + (1.0 - {HOLT_BETA}) * acc.b
-             }}
+             (acc, e) -> [
+               CAST({HOLT_ALPHA} AS DOUBLE) * e[1]
+                 + CAST({1.0 - HOLT_ALPHA} AS DOUBLE)
+                   * (acc[1] + acc[2]),
+               CAST({HOLT_BETA} AS DOUBLE)
+                 * ((CAST({HOLT_ALPHA} AS DOUBLE) * e[1]
+                     + CAST({1.0 - HOLT_ALPHA} AS DOUBLE)
+                       * (acc[1] + acc[2]))
+                    - acc[1])
+                 + CAST({1.0 - HOLT_BETA} AS DOUBLE) * acc[2]
+             ]
            ) AS st
     FROM s
 )
 SELECT user_id,
        CAST(n AS BIGINT) AS n_points,
        CASE WHEN n >= 2 THEN
-         floor((st.l) * 1000000.0) / 1000000.0 END AS level,
+         floor((st[1]) * 1000000.0) / 1000000.0 END AS level,
        CASE WHEN n >= 2 THEN
-         floor((st.b) * 1000000.0) / 1000000.0 END AS trend,
+         floor((st[2]) * 1000000.0) / 1000000.0 END AS trend,
        CASE WHEN n >= 2 THEN
-         floor((st.l + st.b) * 1000000.0) / 1000000.0 END AS forecast_1
+         floor((st[1] + st[2]) * 1000000.0) / 1000000.0 END AS forecast_1
 FROM f
 """
 

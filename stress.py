@@ -182,6 +182,10 @@ SF1_KEYS = [
     # replication argument (identical distinct edge set at 1x/10x);
     # mm_phash/dq_spc/ml_ndcg are per-payload/bucket/user-bound.
     "graph_assortativity", "dq_spc", "ml_ndcg", "mm_phash",
+    # round-7 fourteenth wave. clustering_coeff shares the identical-
+    # distinct-edge-set replication argument; lift/holt/freshness are
+    # bucket/user/type-bound.
+    "graph_clustering_coeff", "ml_lift", "ts_holt", "dq_freshness",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 

@@ -1072,3 +1072,60 @@ def test_phash_one_arrow_pass_one_signature_shuffle(spark, sf_dir):
     assert plan.count("MapInPandas") == 1
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_clustering_coeff_array_intersect_no_wedge_shuffle(spark, sf_dir):
+    """graph_clustering_coeff must count triangles via broadcast
+    out-neighbor arrays (array_intersect per edge) — never by
+    materializing the wedge stream through an exchange. All reads hit
+    checkpoints (shared adjacency + the materialized oriented edges);
+    the node-sized out-lists and final triangle counts broadcast; no
+    sort-merge join, no cartesian."""
+    from serverless_etl_aws_spark.queries.extras23 import (
+        graph_clustering_coeff,
+    )
+
+    plan = plan_of(graph_clustering_coeff(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 0
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lift_windows_over_buckets_not_events(spark, sf_dir):
+    """ml_lift collapses the corpus to integer score buckets in ONE
+    map-side-combinable shuffle; the cumulative/total windows run on
+    the bucket relation. No join."""
+    from serverless_etl_aws_spark.queries.extras23 import ml_lift
+
+    plan = plan_of(ml_lift(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_holt_single_user_shuffle_no_python(spark, sf_dir):
+    """ts_holt folds level+trend inside ONE user_id exchange (the
+    collect_list window and the rn filter share the partitioning);
+    the recursion is a JVM-side array fold — no Python stage, no
+    join."""
+    from serverless_etl_aws_spark.queries.extras23 import ts_holt
+
+    plan = plan_of(ts_holt(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "Python" not in plan  # no ArrowEval/MapInPandas fallback
+
+
+def test_freshness_scalar_attach_broadcast(spark, sf_dir):
+    """dq_freshness attaches the 1-row watermark via broadcast (the
+    scalar-attach 1xN pattern) and aggregates per type in one
+    map-side-combinable shuffle — the nested-loop join must be the
+    1-row broadcast, never a shuffled join."""
+    from serverless_etl_aws_spark.queries.extras23 import dq_freshness
+
+    plan = plan_of(dq_freshness(spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
