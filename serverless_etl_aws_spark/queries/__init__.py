@@ -106,6 +106,9 @@ PRIORITY_EXT: tuple[str, ...] = (
     # round-7 fourteenth wave (clustering coefficient, lift table, Holt
     # smoothing, freshness audit — all oracle-SQL-checked)
     "graph_clustering_coeff", "ml_lift", "ts_holt", "dq_freshness",
+    # round-7 fifteenth wave (P/R@K, modularity, A/B z-test, Simpson
+    # diversity — all oracle-SQL-checked)
+    "ml_pr_at_k", "graph_modularity", "ml_ab_test", "agg_simpson",
 )
 
 
@@ -146,6 +149,7 @@ COMPUTE_EAGER_KEYS: frozenset[str] = frozenset({
     "llm_tfidf", "ml_kmeans",
     "graph_jaccard", "graph_components", "graph_degree_dist",
     "graph_kcore", "graph_assortativity", "graph_clustering_coeff",
+    "graph_modularity",
 })
 
 
@@ -178,6 +182,7 @@ def build_registry() -> dict[str, Query]:
         extras21,
         extras22,
         extras23,
+        extras24,
         joins,
         llm,
         pipeline_ops,
@@ -223,6 +228,7 @@ def build_registry() -> dict[str, Query]:
         extras21,
         extras22,
         extras23,
+        extras24,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

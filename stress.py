@@ -186,6 +186,10 @@ SF1_KEYS = [
     # distinct-edge-set replication argument; lift/holt/freshness are
     # bucket/user/type-bound.
     "graph_clustering_coeff", "ml_lift", "ts_holt", "dq_freshness",
+    # round-7 fifteenth wave. modularity shares the identical-distinct-
+    # edge-set replication argument; pr_at_k/ab_test are user-bound;
+    # simpson is nation-x-type-bound.
+    "ml_pr_at_k", "graph_modularity", "ml_ab_test", "agg_simpson",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 

@@ -1129,3 +1129,64 @@ def test_freshness_scalar_attach_broadcast(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_pr_at_k_single_user_shuffle(spark, sf_dir):
+    """ml_pr_at_k ranks and aggregates inside ONE user_id exchange —
+    the groupBy reuses the row_number window's partitioning exactly
+    like ml_ndcg (the pair must stay plan-identical in shape): no
+    join, no second shuffle."""
+    from serverless_etl_aws_spark.queries.extras24 import ml_pr_at_k
+
+    plan = plan_of(ml_pr_at_k(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_modularity_checkpointed_adjacency_broadcast_brands(spark, sf_dir):
+    """graph_modularity (sixth shared-adjacency consumer) must read
+    the co-order adjacency from the session checkpoint (zero lineitem
+    scans) and attach the brand map by BROADCAST on both endpoints —
+    never shuffling the edge relation through a sort-merge join. The
+    2m total is a window over the 25-community aggregate (the one
+    SinglePartition exchange), not a second corpus pass."""
+    from serverless_etl_aws_spark.queries.extras24 import graph_modularity
+
+    plan = plan_of(graph_modularity(spark, sf_dir))
+    scans = plan.count("FileScan parquet")
+    assert scans == 2 and "lineitem" not in plan.lower().split(
+        "filescan parquet"
+    )[0], "adjacency must come from the checkpoint, brands from part"
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_ab_test_two_bounded_shuffles_no_join(spark, sf_dir):
+    """ml_ab_test collapses events to per-user conversion flags in one
+    map-side-combinable shuffle, then to 2 arm rows in a second; the
+    z statistic is computed on a single 1-row aggregate — no join
+    anywhere, nothing corpus-sized past the first exchange."""
+    from serverless_etl_aws_spark.queries.extras24 import ml_ab_test
+
+    plan = plan_of(ml_ab_test(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+
+
+def test_simpson_broadcast_dims_two_bounded_shuffles(spark, sf_dir):
+    """agg_simpson joins all three dimensions by BROADCAST onto the
+    single fact scan and aggregates to (nation, type) counts in one
+    map-side-combinable shuffle; the diversity index is a second
+    aggregate over that <= nations*types relation. No sort-merge
+    join, no third exchange."""
+    from serverless_etl_aws_spark.queries.extras24 import agg_simpson
+
+    plan = plan_of(agg_simpson(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 4
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
