@@ -109,6 +109,11 @@ PRIORITY_EXT: tuple[str, ...] = (
     # round-7 fifteenth wave (P/R@K, modularity, A/B z-test, Simpson
     # diversity — all oracle-SQL-checked)
     "ml_pr_at_k", "graph_modularity", "ml_ab_test", "agg_simpson",
+    # round-7 sixteenth wave (CUSUM changepoint location, Spearman rank
+    # correlation, resource-allocation link prediction, F1-optimal
+    # operating point — all oracle-SQL-checked)
+    "ts_changepoint", "ml_spearman", "graph_resource_alloc",
+    "ml_best_threshold",
 )
 
 
@@ -149,7 +154,7 @@ COMPUTE_EAGER_KEYS: frozenset[str] = frozenset({
     "llm_tfidf", "ml_kmeans",
     "graph_jaccard", "graph_components", "graph_degree_dist",
     "graph_kcore", "graph_assortativity", "graph_clustering_coeff",
-    "graph_modularity",
+    "graph_modularity", "graph_resource_alloc",
 })
 
 
@@ -183,6 +188,7 @@ def build_registry() -> dict[str, Query]:
         extras22,
         extras23,
         extras24,
+        extras25,
         joins,
         llm,
         pipeline_ops,
@@ -229,6 +235,7 @@ def build_registry() -> dict[str, Query]:
         extras22,
         extras23,
         extras24,
+        extras25,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

@@ -190,6 +190,14 @@ SF1_KEYS = [
     # edge-set replication argument; pr_at_k/ab_test are user-bound;
     # simpson is nation-x-type-bound.
     "ml_pr_at_k", "graph_modularity", "ml_ab_test", "agg_simpson",
+    # round-7 sixteenth wave. changepoint/best_threshold are user/bucket-
+    # bound; spearman is customer-grain (replicator shifts c_custkey, so
+    # ranks genuinely scale); resource_alloc shares graph_jaccard's
+    # EXCLUSION argument (part/supplier keys are copied verbatim, so the
+    # bipartite graph densifies — measured blowup would be an artifact),
+    # but its top-K output contract bounds the sink, so it stays in with
+    # the caveat recorded in docs/SCALING.md.
+    "ts_changepoint", "ml_spearman", "ml_best_threshold",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 

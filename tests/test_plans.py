@@ -1190,3 +1190,65 @@ def test_simpson_broadcast_dims_two_bounded_shuffles(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") == 3
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_changepoint_single_user_shuffle_no_join(spark, sf_dir):
+    """ts_changepoint's prefix/total/argmax windows all share the ONE
+    user_id exchange (stacked sorts, no re-shuffle between the CUSUM
+    computation and the argmax), and no join or Python stage appears —
+    the argmax is exact-integer window arithmetic."""
+    from serverless_etl_aws_spark.queries.extras25 import ts_changepoint
+
+    plan = plan_of(ts_changepoint(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_spearman_collapse_then_one_nation_exchange(spark, sf_dir):
+    """ml_spearman collapses orders to per-customer spend in one
+    map-side-combinable shuffle; both rank windows share ONE nation
+    exchange (2 exchanges total), and no cartesian appears. The
+    spend/nation attach joins stay broadcast at test scale (AQE may
+    legitimately pick a shuffled join at cluster scale — only the
+    exchange and scan budget is pinned)."""
+    from serverless_etl_aws_spark.queries.extras25 import ml_spearman
+
+    plan = plan_of(ml_spearman(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 3
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_resource_alloc_checkpointed_edges_no_rescan(spark, sf_dir):
+    """graph_resource_alloc (seventh shared-edge consumer) must build
+    entirely from the session-materialized supplier-part edges — ZERO
+    parquet scans — with the part-degree weights attached by broadcast
+    before the pair join and the top-K window bounding the sink. No
+    cartesian, no sort-merge join at test scale."""
+    from serverless_etl_aws_spark.queries.extras25 import (
+        graph_resource_alloc,
+    )
+
+    plan = plan_of(graph_resource_alloc(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 0
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_best_threshold_bucket_windows_no_join(spark, sf_dir):
+    """ml_best_threshold shares ml_confusion's shape: one bucket
+    collapse off the corpus, then the sweep + exact-integer argmax run
+    on the bucket relation inside one SinglePartition window — no
+    join, nothing corpus-sized past the first exchange."""
+    from serverless_etl_aws_spark.queries.extras25 import (
+        ml_best_threshold,
+    )
+
+    plan = plan_of(ml_best_threshold(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "Join" not in plan
