@@ -114,6 +114,9 @@ PRIORITY_EXT: tuple[str, ...] = (
     # operating point — all oracle-SQL-checked)
     "ts_changepoint", "ml_spearman", "graph_resource_alloc",
     "ml_best_threshold",
+    # round-7 seventeenth wave (Theil-Sen slope, association rules,
+    # Wilson intervals, PK uniqueness audit — all oracle-SQL-checked)
+    "ts_theil_sen", "ml_assoc_rules", "ml_wilson_ci", "dq_uniqueness",
 )
 
 
@@ -154,7 +157,7 @@ COMPUTE_EAGER_KEYS: frozenset[str] = frozenset({
     "llm_tfidf", "ml_kmeans",
     "graph_jaccard", "graph_components", "graph_degree_dist",
     "graph_kcore", "graph_assortativity", "graph_clustering_coeff",
-    "graph_modularity", "graph_resource_alloc",
+    "graph_modularity", "graph_resource_alloc", "ml_assoc_rules",
 })
 
 
@@ -189,6 +192,7 @@ def build_registry() -> dict[str, Query]:
         extras23,
         extras24,
         extras25,
+        extras26,
         joins,
         llm,
         pipeline_ops,
@@ -236,6 +240,7 @@ def build_registry() -> dict[str, Query]:
         extras23,
         extras24,
         extras25,
+        extras26,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

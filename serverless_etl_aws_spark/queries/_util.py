@@ -220,6 +220,27 @@ def co_order_part_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adj
 
 
+def order_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct ``(l_orderkey, l_partkey)`` basket-membership edges —
+    the per-order item sets behind market-basket analysis
+    (ml_assoc_rules). Unlike :func:`co_order_part_adj` this KEEPS the
+    order key (pair support needs per-order counting, the adjacency's
+    global distinct loses it). Same memo/materialize contract."""
+    key = (spark.sparkContext.applicationId, sf_dir, "order_part")
+    hit = _GRAPH_EDGE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from ..operators.graph import materialize
+
+    edges = materialize(
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    _GRAPH_EDGE_CACHE[key] = edges
+    return edges
+
+
 def supplier_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct ``(l_suppkey, l_partkey)`` bipartite edges of the supply
     graph — graph_jaccard's posting lists. Same memo/materialize

@@ -198,6 +198,12 @@ SF1_KEYS = [
     # but its top-K output contract bounds the sink, so it stays in with
     # the caveat recorded in docs/SCALING.md.
     "ts_changepoint", "ml_spearman", "ml_best_threshold",
+    # round-7 seventeenth wave. theil_sen/wilson are day/type-bound;
+    # uniqueness is one count-shuffle per table; assoc_rules shares the
+    # order-key-shifted replication property (baskets replicate with
+    # SHIFTED order keys, so pair supports scale linearly and the rule
+    # space genuinely grows).
+    "ts_theil_sen", "ml_assoc_rules", "ml_wilson_ci", "dq_uniqueness",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 

@@ -1252,3 +1252,59 @@ def test_best_threshold_bucket_windows_no_join(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Exchange SinglePartition") == 1
     assert "Join" not in plan
+
+
+def test_theil_sen_days_relation_checkpointed_once(spark, sf_dir):
+    """ts_theil_sen's O(D^2) pair join must run on the lazily
+    checkpointed (type, day) relation — ONE corpus pass total, never a
+    duplicated scan+agg subtree per self-join side (the ml_naive_bayes
+    lineage-truncation pattern; without it the plan carried 2x
+    FileScan). The rank window shares the type partitioning."""
+    from serverless_etl_aws_spark.queries.extras26 import ts_theil_sen
+
+    plan = plan_of(ts_theil_sen(spark, sf_dir))
+    assert plan.count("FileScan parquet") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_assoc_rules_shared_edges_distributed_topk(spark, sf_dir):
+    """ml_assoc_rules builds entirely from the session-materialized
+    order-part membership relation (zero parquet scans), attaches item
+    supports by broadcast and the basket count as a 1-row
+    scalar-attach, and bounds the sink with a DISTRIBUTED
+    TakeOrderedAndProject — never a single-partition sort of the rule
+    space."""
+    from serverless_etl_aws_spark.queries.extras26 import ml_assoc_rules
+
+    plan = plan_of(ml_assoc_rules(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 0
+    assert plan.count("TakeOrderedAndProject") == 1
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row N attach
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_wilson_ci_one_shuffle_no_join(spark, sf_dir):
+    """ml_wilson_ci is one map-side-combinable collapse to
+    (type, n, s); the interval algebra runs on the types-sized
+    relation — no join, no second exchange."""
+    from serverless_etl_aws_spark.queries.extras26 import ml_wilson_ci
+
+    plan = plan_of(ml_wilson_ci(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_uniqueness_one_key_shuffle_per_table_no_join(spark, sf_dir):
+    """dq_uniqueness audits each declared key with exactly one
+    count-shuffle on that table's own key (7 specs -> 7 scans, 7 hash
+    exchanges), unioned — no join anywhere, so a 100 TB fact costs one
+    shuffle, not a comparison against anything."""
+    from serverless_etl_aws_spark.queries.extras26 import dq_uniqueness
+
+    plan = plan_of(dq_uniqueness(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 7
+    assert plan.count("Exchange hashpartitioning") == 7
+    assert "Join" not in plan
+    assert "Union" in plan
