@@ -117,6 +117,9 @@ PRIORITY_EXT: tuple[str, ...] = (
     # round-7 seventeenth wave (Theil-Sen slope, association rules,
     # Wilson intervals, PK uniqueness audit — all oracle-SQL-checked)
     "ts_theil_sen", "ml_assoc_rules", "ml_wilson_ci", "dq_uniqueness",
+    # round-7 eighteenth wave (IQR fences, calendar dim, hashing-trick
+    # features, cohort LTV — all oracle-SQL-checked)
+    "dq_iqr_outliers", "dim_calendar", "ml_feature_hash", "ml_ltv_cohort",
 )
 
 
@@ -193,6 +196,7 @@ def build_registry() -> dict[str, Query]:
         extras24,
         extras25,
         extras26,
+        extras27,
         joins,
         llm,
         pipeline_ops,
@@ -241,6 +245,7 @@ def build_registry() -> dict[str, Query]:
         extras24,
         extras25,
         extras26,
+        extras27,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

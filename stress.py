@@ -204,6 +204,12 @@ SF1_KEYS = [
     # SHIFTED order keys, so pair supports scale linearly and the rule
     # space genuinely grows).
     "ts_theil_sen", "ml_assoc_rules", "ml_wilson_ci", "dq_uniqueness",
+    # round-7 eighteenth wave. iqr/ltv are type/cohort-bound off the
+    # shifted-user events; feature_hash is doc-grain (salted replicas
+    # genuinely grow the hashed vocabulary); calendar is generated
+    # (sf-independent by construction — included as the fixed-cost
+    # floor probe).
+    "dq_iqr_outliers", "dim_calendar", "ml_feature_hash", "ml_ltv_cohort",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 

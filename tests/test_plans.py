@@ -1308,3 +1308,55 @@ def test_uniqueness_one_key_shuffle_per_table_no_join(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 7
     assert "Join" not in plan
     assert "Union" in plan
+
+
+def test_iqr_outliers_quartiles_ride_rank_window(spark, sf_dir):
+    """dq_iqr_outliers extracts both quartiles AND counts outliers
+    inside the ONE event_type exchange (rank window + max-of-case +
+    aggregate share the partitioning) — no self-join, no second scan,
+    no float in the fences (doubled-integer comparisons)."""
+    from serverless_etl_aws_spark.queries.extras27 import dq_iqr_outliers
+
+    plan = plan_of(dq_iqr_outliers(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_calendar_generated_zero_io(spark, sf_dir):
+    """dim_calendar is generated (sequence + explode): ZERO parquet
+    scans, zero exchanges, no join — the dimension is minted, not
+    derived."""
+    from serverless_etl_aws_spark.queries.extras27 import dim_calendar
+
+    plan = plan_of(dim_calendar(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 0
+    assert plan.count("Exchange") == 0
+    assert "Join" not in plan
+    assert plan.count("Generate") == 1  # the explode
+
+
+def test_feature_hash_pure_jvm_one_shuffle(spark, sf_dir):
+    """ml_feature_hash must stay entirely JVM-side (md5/substring/conv
+    inside codegen — NO Python stage) with one explode and one
+    map-side-combinable (doc, dim) shuffle."""
+    from serverless_etl_aws_spark.queries.extras27 import ml_feature_hash
+
+    plan = plan_of(ml_feature_hash(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Generate") == 1
+    assert "Python" not in plan
+    assert "Join" not in plan
+
+
+def test_ltv_cohort_single_scan_no_size_rejoin(spark, sf_dir):
+    """ml_ltv_cohort reads the corpus ONCE: cohort sizes ride the same
+    (cohort, age) aggregate as revenue (age-0 distinct count spread by
+    a window) instead of a separate sizes relation rejoined — the
+    duplicate-subtree trap the single-scan restructure removed."""
+    from serverless_etl_aws_spark.queries.extras27 import ml_ltv_cohort
+
+    plan = plan_of(ml_ltv_cohort(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
