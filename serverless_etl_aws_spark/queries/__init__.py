@@ -120,6 +120,9 @@ PRIORITY_EXT: tuple[str, ...] = (
     # round-7 eighteenth wave (IQR fences, calendar dim, hashing-trick
     # features, cohort LTV — all oracle-SQL-checked)
     "dq_iqr_outliers", "dim_calendar", "ml_feature_hash", "ml_ltv_cohort",
+    # round-7 nineteenth wave (MRR, TVD drift, forecast backtest,
+    # trade reciprocity — all oracle-SQL-checked)
+    "ml_mrr", "dq_tvd_drift", "ml_forecast_eval", "graph_reciprocity",
 )
 
 
@@ -197,6 +200,7 @@ def build_registry() -> dict[str, Query]:
         extras25,
         extras26,
         extras27,
+        extras28,
         joins,
         llm,
         pipeline_ops,
@@ -246,6 +250,7 @@ def build_registry() -> dict[str, Query]:
         extras25,
         extras26,
         extras27,
+        extras28,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

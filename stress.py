@@ -210,6 +210,10 @@ SF1_KEYS = [
     # (sf-independent by construction — included as the fixed-cost
     # floor probe).
     "dq_iqr_outliers", "dim_calendar", "ml_feature_hash", "ml_ltv_cohort",
+    # round-7 nineteenth wave. mrr is user-bound; tvd/forecast are
+    # type-x-day-bound; reciprocity collapses to <=25x25 nation pairs
+    # (the order-key-shifted fact join genuinely scales).
+    "ml_mrr", "dq_tvd_drift", "ml_forecast_eval", "graph_reciprocity",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 

@@ -1360,3 +1360,58 @@ def test_ltv_cohort_single_scan_no_size_rejoin(spark, sf_dir):
     plan = plan_of(ml_ltv_cohort(spark, sf_dir))
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan
+
+
+def test_mrr_single_user_shuffle_one_row_out(spark, sf_dir):
+    """ml_mrr ranks inside ONE user_id exchange (shared with the
+    per-user collapse) and reduces to a single row via one
+    SinglePartition aggregate — no join, nothing corpus-sized past the
+    first exchange."""
+    from serverless_etl_aws_spark.queries.extras28 import ml_mrr
+
+    plan = plan_of(ml_mrr(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_tvd_one_collapse_windows_on_tiny_relation(spark, sf_dir):
+    """dq_tvd_drift collapses the corpus to (type, day) counts in ONE
+    map-side-combinable shuffle; the split-point min/max, half totals
+    and TVD total are all windows over that tiny relation — no join,
+    no second corpus pass for the midpoint."""
+    from serverless_etl_aws_spark.queries.extras28 import dq_tvd_drift
+
+    plan = plan_of(dq_tvd_drift(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_forecast_eval_lags_on_days_relation(spark, sf_dir):
+    """ml_forecast_eval's lag windows and the per-type score aggregate
+    run on the (type, day) relation, never the corpus: one corpus
+    collapse, one type re-exchange, no join."""
+    from serverless_etl_aws_spark.queries.extras28 import ml_forecast_eval
+
+    plan = plan_of(ml_forecast_eval(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+
+
+def test_reciprocity_broadcast_dims_two_bounded_shuffles(spark, sf_dir):
+    """graph_reciprocity attaches every dimension by broadcast onto
+    the fact join and collapses to directed nation pairs (<= 25*25
+    rows) in one map-side-combinable shuffle; the unordered-pair
+    regroup is the second, pair-sized exchange. No cartesian, no
+    sort-merge join at test scale."""
+    from serverless_etl_aws_spark.queries.extras28 import (
+        graph_reciprocity,
+    )
+
+    plan = plan_of(graph_reciprocity(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 6
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
