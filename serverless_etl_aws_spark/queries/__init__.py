@@ -123,6 +123,10 @@ PRIORITY_EXT: tuple[str, ...] = (
     # round-7 nineteenth wave (MRR, TVD drift, forecast backtest,
     # trade reciprocity — all oracle-SQL-checked)
     "ml_mrr", "dq_tvd_drift", "ml_forecast_eval", "graph_reciprocity",
+    # round-7 twentieth wave (Cramér's V, Kendall tau, segment uplift,
+    # out-of-order audit — all oracle-SQL-checked)
+    "agg_cramers_v", "ml_kendall_tau", "ml_uplift_segments",
+    "dq_out_of_order",
 )
 
 
@@ -201,6 +205,7 @@ def build_registry() -> dict[str, Query]:
         extras26,
         extras27,
         extras28,
+        extras29,
         joins,
         llm,
         pipeline_ops,
@@ -251,6 +256,7 @@ def build_registry() -> dict[str, Query]:
         extras26,
         extras27,
         extras28,
+        extras29,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

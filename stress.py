@@ -214,6 +214,11 @@ SF1_KEYS = [
     # type-x-day-bound; reciprocity collapses to <=25x25 nation pairs
     # (the order-key-shifted fact join genuinely scales).
     "ml_mrr", "dq_tvd_drift", "ml_forecast_eval", "graph_reciprocity",
+    # round-7 twentieth wave. cramers_v collapses to a 5x5 grid off the
+    # shifted-custkey order join; kendall is day-bound; uplift/order
+    # audits are user-bound.
+    "agg_cramers_v", "ml_kendall_tau", "ml_uplift_segments",
+    "dq_out_of_order",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 

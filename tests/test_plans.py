@@ -1415,3 +1415,56 @@ def test_reciprocity_broadcast_dims_two_bounded_shuffles(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cramers_v_grid_windows_one_fact_shuffle(spark, sf_dir):
+    """agg_cramers_v broadcasts the customer dim onto the orders scan
+    and collapses to the <=5x5 contingency grid in ONE
+    map-side-combinable shuffle; totals, category counts and the
+    effect size all run on grid-sized relations."""
+    from serverless_etl_aws_spark.queries.extras29 import agg_cramers_v
+
+    plan = plan_of(agg_cramers_v(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 2
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_kendall_tau_pairs_on_checkpointed_days(spark, sf_dir):
+    """ml_kendall_tau's O(D^2) pair join runs on the lazily
+    checkpointed days relation (one corpus pass, zero duplicate scan
+    subtrees); the non-equi day join is a broadcast nested loop over
+    the calendar-bounded relation, never a cartesian of the corpus."""
+    from serverless_etl_aws_spark.queries.extras29 import ml_kendall_tau
+
+    plan = plan_of(ml_kendall_tau(spark, sf_dir))
+    assert plan.count("FileScan parquet") <= 1
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_uplift_segments_collapse_then_pivot(spark, sf_dir):
+    """ml_uplift_segments collapses to per-user flags in one
+    map-side-combinable shuffle, then to 2x5 (arm, segment) cells,
+    then the per-segment pivot — three bounded exchanges, no join."""
+    from serverless_etl_aws_spark.queries.extras29 import (
+        ml_uplift_segments,
+    )
+
+    plan = plan_of(ml_uplift_segments(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "Join" not in plan
+
+
+def test_out_of_order_running_max_one_user_shuffle(spark, sf_dir):
+    """dq_out_of_order is one user_id window shuffle (running integer
+    max, O(1) state per row) plus one per-type collapse — no join, no
+    self-comparison of the corpus."""
+    from serverless_etl_aws_spark.queries.extras29 import dq_out_of_order
+
+    plan = plan_of(dq_out_of_order(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
