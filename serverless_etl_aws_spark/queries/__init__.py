@@ -127,6 +127,10 @@ PRIORITY_EXT: tuple[str, ...] = (
     # out-of-order audit — all oracle-SQL-checked)
     "agg_cramers_v", "ml_kendall_tau", "ml_uplift_segments",
     "dq_out_of_order",
+    # round-7 twenty-first wave (Lorenz deciles, embedding audit,
+    # actives panel, burstiness — all oracle-SQL-checked)
+    "agg_lorenz", "dq_embedding_audit", "ts_active_users",
+    "ts_burstiness",
 )
 
 
@@ -206,6 +210,7 @@ def build_registry() -> dict[str, Query]:
         extras27,
         extras28,
         extras29,
+        extras30,
         joins,
         llm,
         pipeline_ops,
@@ -257,6 +262,7 @@ def build_registry() -> dict[str, Query]:
         extras27,
         extras28,
         extras29,
+        extras30,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

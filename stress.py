@@ -219,6 +219,11 @@ SF1_KEYS = [
     # audits are user-bound.
     "agg_cramers_v", "ml_kendall_tau", "ml_uplift_segments",
     "dq_out_of_order",
+    # round-7 twenty-first wave. lorenz ranks 10x customers (shifted
+    # custkeys); embedding audit is one pass over 10x vectors; actives
+    # and burstiness are user/day-bound.
+    "agg_lorenz", "dq_embedding_audit", "ts_active_users",
+    "ts_burstiness",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 

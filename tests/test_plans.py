@@ -1468,3 +1468,58 @@ def test_out_of_order_running_max_one_user_shuffle(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Join" not in plan
+
+
+def test_lorenz_global_rank_then_ten_rows(spark, sf_dir):
+    """agg_lorenz collapses orders to per-customer spend in one
+    map-side-combinable shuffle; the global rank runs in one ordered
+    exchange (range-partitioned sort at cluster scale) and everything
+    after is a 10-row relation. No join."""
+    from serverless_etl_aws_spark.queries.extras30 import agg_lorenz
+
+    plan = plan_of(agg_lorenz(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_embedding_audit_jvm_array_fold_one_shuffle(spark, sf_dir):
+    """dq_embedding_audit folds norms inside JVM higher-order array
+    functions (NO Python stage) with one per-label shuffle — the whole
+    audit is a single pass over the vectors."""
+    from serverless_etl_aws_spark.queries.extras30 import (
+        dq_embedding_audit,
+    )
+
+    plan = plan_of(dq_embedding_audit(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan
+    assert "Join" not in plan
+
+
+def test_active_users_checkpointed_userday_no_rescan(spark, sf_dir):
+    """ts_active_users derives DAU, WAU, new and cumulative actives
+    from ONE lazily checkpointed user-day relation — zero parquet
+    re-scans for the three consumers — and the WAU sliding distinct is
+    the explode-by-offset linear pass, never a range self-join of the
+    corpus (no cartesian; the only nested-loop is the 1-row span
+    attach)."""
+    from serverless_etl_aws_spark.queries.extras30 import ts_active_users
+
+    plan = plan_of(ts_active_users(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 0
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_burstiness_two_bounded_shuffles(spark, sf_dir):
+    """ts_burstiness is one corpus collapse to (type, day) counts and
+    one per-type aggregate — two bounded exchanges, no join, no
+    float until the two final divisions."""
+    from serverless_etl_aws_spark.queries.extras30 import ts_burstiness
+
+    plan = plan_of(ts_burstiness(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
