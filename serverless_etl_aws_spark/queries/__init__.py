@@ -131,6 +131,10 @@ PRIORITY_EXT: tuple[str, ...] = (
     # actives panel, burstiness — all oracle-SQL-checked)
     "agg_lorenz", "dq_embedding_audit", "ts_active_users",
     "ts_burstiness",
+    # round-7 twenty-second wave (temporal integrity, weighted median,
+    # diff-in-diff, share shift — all oracle-SQL-checked)
+    "dq_temporal_integrity", "agg_weighted_median", "ml_diff_in_diff",
+    "agg_share_shift",
 )
 
 
@@ -211,6 +215,7 @@ def build_registry() -> dict[str, Query]:
         extras28,
         extras29,
         extras30,
+        extras31,
         joins,
         llm,
         pipeline_ops,
@@ -263,6 +268,7 @@ def build_registry() -> dict[str, Query]:
         extras28,
         extras29,
         extras30,
+        extras31,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

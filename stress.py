@@ -224,6 +224,11 @@ SF1_KEYS = [
     # and burstiness are user/day-bound.
     "agg_lorenz", "dq_embedding_audit", "ts_active_users",
     "ts_burstiness",
+    # round-7 twenty-second wave. temporal integrity and weighted
+    # median ride the shifted-orderkey fact (work scales linearly);
+    # did/share_shift collapse to user/nation grids.
+    "dq_temporal_integrity", "agg_weighted_median", "ml_diff_in_diff",
+    "agg_share_shift",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 

@@ -1523,3 +1523,60 @@ def test_burstiness_two_bounded_shuffles(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Join" not in plan
+
+
+def test_temporal_integrity_one_fact_join_one_collapse(spark, sf_dir):
+    """dq_temporal_integrity is one orderkey-grain join (broadcast at
+    test scale; AQE-skew-split shuffle at cluster scale) and one
+    map-side-combinable per-priority collapse — no cartesian, no
+    second pass."""
+    from serverless_etl_aws_spark.queries.extras31 import (
+        dq_temporal_integrity,
+    )
+
+    plan = plan_of(dq_temporal_integrity(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_median_one_brand_window_shuffle(spark, sf_dir):
+    """agg_weighted_median broadcasts the part dim onto the fact scan
+    and runs BOTH the cumulative-weight window and the selection
+    window inside ONE brand exchange — no re-shuffle between the
+    cumsum and the pick."""
+    from serverless_etl_aws_spark.queries.extras31 import (
+        agg_weighted_median,
+    )
+
+    plan = plan_of(agg_weighted_median(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 2
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_diff_in_diff_one_user_shuffle_one_row(spark, sf_dir):
+    """ml_diff_in_diff collapses to per-user (conv, first_day) in one
+    shuffle; the midpoint, cells and the 1-row pivot all run on
+    user-or-smaller relations. No join."""
+    from serverless_etl_aws_spark.queries.extras31 import ml_diff_in_diff
+
+    plan = plan_of(ml_diff_in_diff(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_share_shift_broadcast_dims_grid_windows(spark, sf_dir):
+    """agg_share_shift attaches customer and nation by broadcast and
+    collapses to the <=25x2 (nation, half) grid in its first
+    aggregate; the share windows run on the grid. No sort-merge join,
+    no cartesian."""
+    from serverless_etl_aws_spark.queries.extras31 import agg_share_shift
+
+    plan = plan_of(agg_share_shift(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 3
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
