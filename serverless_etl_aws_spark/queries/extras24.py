@@ -221,13 +221,24 @@ FROM tot
 
 AB_Z_CRIT = 1.96
 
+#: Conversion = a purchase at or above this value. The plain
+#: "any purchase" definition is DEGENERATE on every fixture scale
+#: (100% of users convert, so the pooled SE is 0 and z is NULL
+#: everywhere); the value threshold makes the statistic real at
+#: sf >= 0.01 while the degenerate-pool guard still covers sf0.001.
+#: Shared by ml_uplift_segments (extras29) and ml_diff_in_diff
+#: (extras31) so the experiment family reads one conversion metric.
+AB_CONV_MIN = 300.0
+
 
 def ml_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion z-test on user-level conversion across a
     deterministic A/B split (user_id parity — the hash-mod assignment
     every experimentation platform uses): did arm B convert at a
     different rate than arm A? The readout an event pipeline publishes
-    per experiment; conversion = the user produced ≥1 purchase.
+    per experiment; conversion = the user produced ≥1 purchase of
+    value ≥ ``AB_CONV_MIN`` (the plain any-purchase definition is
+    degenerate on these fixtures — everyone converts).
 
     Determinism: arm sizes and conversion counts are exact integers
     from one per-user collapse; p̂_a, p̂_b, the pooled rate and
@@ -243,7 +254,11 @@ def ml_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= AB_CONV_MIN),
+                1,
+            ).otherwise(0)
         ).alias("conv")
     )
     arms = per_user.groupBy(
@@ -288,7 +303,8 @@ def ml_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 ML_AB_TEST_SQL = f"""
 WITH per_user AS (
     SELECT user_id,
-           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           MAX(CASE WHEN event_type = 'purchase'
+                     AND value >= {AB_CONV_MIN} THEN 1 ELSE 0 END)
              AS conv
     FROM events GROUP BY user_id
 ), arms AS (

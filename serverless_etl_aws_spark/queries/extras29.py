@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 
 from . import Query
 from ._util import fquant, t
+from .extras24 import AB_CONV_MIN
 
 # -------------------------------------------------------------- agg_cramers_v
 
@@ -279,7 +280,11 @@ def ml_uplift_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= AB_CONV_MIN),
+                1,
+            ).otherwise(0)
         ).alias("conv")
     )
     seg = per_user.groupBy(
@@ -315,7 +320,8 @@ def ml_uplift_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 ML_UPLIFT_SEGMENTS_SQL = f"""
 WITH per_user AS (
     SELECT user_id,
-           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           MAX(CASE WHEN event_type = 'purchase'
+                     AND value >= {AB_CONV_MIN} THEN 1 ELSE 0 END)
              AS conv
     FROM events GROUP BY user_id
 ), seg AS (

@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 
 from . import Query
 from ._util import dec, fquant, t
+from .extras24 import AB_CONV_MIN
 
 # ------------------------------------------------------ dq_temporal_integrity
 
@@ -258,7 +259,11 @@ def ml_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     per_user = ev.groupBy("user_id").agg(
         F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= AB_CONV_MIN),
+                1,
+            ).otherwise(0)
         ).alias("conv"),
         F.min(day).alias("first_day"),
     )
@@ -312,10 +317,11 @@ def ml_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ML_DIFF_IN_DIFF_SQL = """
+ML_DIFF_IN_DIFF_SQL = f"""
 WITH per_user AS (
     SELECT user_id,
-           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           MAX(CASE WHEN event_type = 'purchase'
+                     AND value >= {AB_CONV_MIN} THEN 1 ELSE 0 END)
              AS conv,
            MIN(date_diff('day', DATE '1970-01-01',
                          CAST(CAST(ts AS TIMESTAMP) AS DATE)))

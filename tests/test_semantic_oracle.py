@@ -1,0 +1,299 @@
+"""Independent SEMANTIC oracles for the statistical keys.
+
+The DuckDB oracle SQL is hand-mirrored from the Spark implementation,
+so a formula error shared by both sides sails through the hash gate.
+These tests recompute each statistic from the raw parquet with
+pandas/numpy — a third implementation that shares NO code and NO
+expression trees with either engine — and compare against the Spark
+result. Tolerances are loose (1e-4 relative) on purpose: the goal is
+catching wrong FORMULAS (swapped operands, off-by-one ranks, wrong
+denominators), not re-litigating the float discipline the exact
+cross-engine gate already pins.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events() -> pd.DataFrame:
+    df = pd.read_parquet(f"{SF}/events.parquet")
+    df["day"] = pd.to_datetime(df["ts"]).dt.floor("D")
+    return df
+
+
+def _spark_df(spark, key):
+    from serverless_etl_aws_spark.queries import build_registry
+
+    return build_registry()[key].fn(spark, SF).toPandas()
+
+
+def test_theil_sen_matches_numpy_brute_force(spark, events):
+    got = _spark_df(spark, "ts_theil_sen").set_index("event_type")
+    ev = events[events["value"].notna()]
+    for ty, grp in ev.groupby("event_type"):
+        daily = grp.groupby("day")["value"].apply(
+            lambda s: int((s * 10000).round().astype("int64").sum())
+        )
+        days = (daily.index - pd.Timestamp("1970-01-01")).days.to_numpy()
+        vals = daily.to_numpy()
+        slopes = []
+        for i in range(len(days)):
+            for j in range(i + 1, len(days)):
+                slopes.append(
+                    (vals[j] - vals[i]) / ((days[j] - days[i]) * 10000.0)
+                )
+        slopes.sort()
+        m = len(slopes)
+        expected = slopes[(m + 1) // 2 - 1]  # lower median, 1-indexed
+        assert got.loc[ty, "n_pairs"] == m
+        assert got.loc[ty, "theil_slope"] == pytest.approx(
+            expected, abs=2e-6
+        )
+
+
+def test_changepoint_matches_brute_force(spark, events):
+    got = _spark_df(spark, "ts_changepoint").set_index("user_id")
+    ev = events[events["value"].notna()].sort_values(["ts", "event_id"])
+    for uid, grp in ev.groupby("user_id"):
+        v = (grp["value"] * 10000).round().astype("int64").to_numpy()
+        n = len(v)
+        if n < 2:
+            assert uid not in got.index
+            continue
+        p = np.cumsum(v)
+        tot = p[-1]
+        dev = np.abs(n * p[:-1] - np.arange(1, n) * tot)
+        k = int(np.argmax(dev)) + 1  # earliest max (argmax is first)
+        assert got.loc[uid, "cp_index"] == k
+        assert got.loc[uid, "cusum_peak"] == pytest.approx(
+            dev[k - 1] / (n * 10000.0), abs=2e-6
+        )
+
+
+def test_spearman_matches_scipy_free_reference(spark):
+    got = _spark_df(spark, "ml_spearman").set_index("nation")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    spend = (
+        orders.groupby("o_custkey")["o_totalprice"].sum().rename("spend")
+    )
+    df = cust[cust["c_acctbal"].notna()].merge(
+        spend, left_on="c_custkey", right_index=True, how="left"
+    )
+    df["spend"] = df["spend"].fillna(0.0)
+    df = df.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    for name, grp in df.groupby("n_name"):
+        rb = grp.sort_values(["c_acctbal", "c_custkey"]).reset_index()
+        rb["rank_bal"] = np.arange(1, len(rb) + 1)
+        rs = rb.sort_values(["spend", "c_custkey"]).reset_index()
+        rs["rank_spend"] = np.arange(1, len(rs) + 1)
+        merged = rb.merge(
+            rs[["c_custkey", "rank_spend"]], on="c_custkey"
+        )
+        d2 = int(
+            ((merged["rank_bal"] - merged["rank_spend"]) ** 2).sum()
+        )
+        n = len(merged)
+        assert got.loc[name, "sum_d2"] == d2
+        if n >= 2:
+            rho = 1.0 - 6.0 * d2 / (n * (n * n - 1))
+            assert got.loc[name, "spearman_rho"] == pytest.approx(
+                rho, abs=2e-6
+            )
+
+
+def test_kendall_matches_brute_force(spark, events):
+    got = _spark_df(spark, "ml_kendall_tau").iloc[0]
+    daily = events.groupby("day").agg(
+        clicks=("event_type", lambda s: int((s == "click").sum())),
+        purchases=("event_type", lambda s: int((s == "purchase").sum())),
+    )
+    c = daily["clicks"].to_numpy()
+    p = daily["purchases"].to_numpy()
+    conc = disc = ties = 0
+    for i in range(len(c)):
+        for j in range(i + 1, len(c)):
+            s = (c[i] - c[j]) * (p[i] - p[j])
+            if s > 0:
+                conc += 1
+            elif s < 0:
+                disc += 1
+            else:
+                ties += 1
+    assert got["concordant"] == conc
+    assert got["discordant"] == disc
+    assert got["ties"] == ties
+    assert got["tau_a"] == pytest.approx(
+        (conc - disc) / (conc + disc + ties), abs=2e-6
+    )
+
+
+def test_wilson_matches_closed_form(spark, events):
+    got = _spark_df(spark, "ml_wilson_ci").set_index("event_type")
+    z = 1.96
+    for ty, grp in events.groupby("event_type"):
+        n = len(grp)
+        s = int((grp["value"].fillna(-1) >= 100.0).sum())
+        phat = s / n
+        denom = 1 + z * z / n
+        center = (phat + z * z / (2 * n)) / denom
+        half = (z / denom) * math.sqrt(
+            phat * (1 - phat) / n + z * z / (4 * n * n)
+        )
+        assert got.loc[ty, "rate"] == pytest.approx(phat, abs=2e-6)
+        assert got.loc[ty, "wilson_lo"] == pytest.approx(
+            center - half, abs=2e-6
+        )
+        assert got.loc[ty, "wilson_hi"] == pytest.approx(
+            center + half, abs=2e-6
+        )
+
+
+def test_ab_test_matches_closed_form(spark, events):
+    got = _spark_df(spark, "ml_ab_test").iloc[0]
+    conv = events.groupby("user_id").apply(
+        lambda g: int(
+            (
+                (g["event_type"] == "purchase")
+                & (g["value"].fillna(-1.0) >= 300.0)
+            ).any()
+        ),
+        include_groups=False,
+    )
+    arms = conv.groupby(conv.index % 2)
+    n_a, n_b = arms.count().get(0, 0), arms.count().get(1, 0)
+    c_a, c_b = arms.sum().get(0, 0), arms.sum().get(1, 0)
+    assert (got["n_a"], got["n_b"]) == (n_a, n_b)
+    assert (got["conv_a"], got["conv_b"]) == (c_a, c_b)
+    if 0 < c_a + c_b < n_a + n_b:
+        pa, pb = c_a / n_a, c_b / n_b
+        pool = (c_a + c_b) / (n_a + n_b)
+        se = math.sqrt(pool * (1 - pool) * (1 / n_a + 1 / n_b))
+        assert got["z_score"] == pytest.approx((pa - pb) / se, abs=2e-6)
+    else:
+        # degenerate pool (universal or absent conversion): the engine
+        # guard yields NULL, never NaN/Inf
+        assert pd.isna(got["z_score"])
+
+
+def test_iqr_outliers_match_brute_force(spark, events):
+    got = _spark_df(spark, "dq_iqr_outliers").set_index("event_type")
+    ev = events[events["value"].notna()]
+    for ty, grp in ev.groupby("event_type"):
+        v = np.sort(
+            (grp["value"] * 10000).round().astype("int64").to_numpy()
+        )
+        n = len(v)
+        q1 = v[(n + 3) // 4 - 1]
+        q3 = v[(3 * n + 3) // 4 - 1]
+        lo = (5 * q1 - 3 * q3) / 2.0
+        hi = (5 * q3 - 3 * q1) / 2.0
+        assert got.loc[ty, "q1"] == pytest.approx(q1 / 1e4)
+        assert got.loc[ty, "q3"] == pytest.approx(q3 / 1e4)
+        assert got.loc[ty, "n_low"] == int((v < lo).sum())
+        assert got.loc[ty, "n_high"] == int((v > hi).sum())
+
+
+def test_weighted_median_matches_brute_force(spark):
+    got = _spark_df(spark, "agg_weighted_median").set_index("brand")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    li = li[li["l_extendedprice"].notna() & li["l_quantity"].notna()]
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    df = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    for brand, grp in df.groupby("p_brand"):
+        g = grp.sort_values(
+            ["l_extendedprice", "l_orderkey", "l_linenumber"]
+        )
+        w = (g["l_quantity"] * 10000).round().astype("int64").to_numpy()
+        prices = g["l_extendedprice"].to_numpy()
+        cum = np.cumsum(w)
+        idx = int(np.searchsorted(2 * cum, cum[-1], side="left"))
+        assert got.loc[brand, "weighted_median_price"] == pytest.approx(
+            prices[idx], abs=1e-4
+        )
+
+
+def test_tvd_matches_fractions(spark, events):
+    from fractions import Fraction
+
+    got = _spark_df(spark, "dq_tvd_drift").iloc[0]
+    days = (events["day"] - pd.Timestamp("1970-01-01")).dt.days
+    mid = (int(days.min()) + int(days.max()) + 1) // 2
+    first = events[days < mid]
+    second = events[days >= mid]
+    n1, n2 = len(first), len(second)
+    tvd = Fraction(0)
+    for ty in events["event_type"].unique():
+        c1 = int((first["event_type"] == ty).sum())
+        c2 = int((second["event_type"] == ty).sum())
+        tvd += abs(Fraction(c1, n1) - Fraction(c2, n2))
+    assert got["tvd"] == pytest.approx(float(tvd / 2), abs=2e-9)
+
+
+def test_burstiness_matches_fractions(spark, events):
+    from fractions import Fraction
+
+    got = _spark_df(spark, "ts_burstiness").set_index("event_type")
+    for ty, grp in events.groupby("event_type"):
+        c = grp.groupby("day").size().to_numpy()
+        d, ct, c2 = len(c), int(c.sum()), int((c * c).sum())
+        fano = Fraction(d * c2 - ct * ct, d * ct)
+        assert got.loc[ty, "fano"] == pytest.approx(
+            float(fano), abs=2e-6
+        )
+        b = Fraction(d * c2 - ct * ct - d * ct, d * c2 - ct * ct + d * ct)
+        assert got.loc[ty, "burstiness"] == pytest.approx(
+            float(b), abs=2e-6
+        )
+
+
+def test_mrr_matches_brute_force(spark, events):
+    got = _spark_df(spark, "ml_mrr").iloc[0]
+    ev = events[events["value"].notna()].sort_values(
+        ["value", "event_id"], ascending=[False, True]
+    )
+    total = 0.0
+    hits = 0
+    users = ev["user_id"].nunique()
+    for _, grp in ev.groupby("user_id"):
+        rel = (grp["event_type"] == "purchase").to_numpy()
+        if rel.any():
+            hits += 1
+            total += 1.0 / (int(np.argmax(rel)) + 1)
+    assert got["n_users"] == users
+    assert got["n_with_hit"] == hits
+    if hits:
+        assert got["mrr"] == pytest.approx(total / hits, abs=2e-6)
+
+
+def test_simpson_matches_fractions(spark):
+    from fractions import Fraction
+
+    got = _spark_df(spark, "agg_simpson").set_index("nation")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    supp = pd.read_parquet(f"{SF}/supplier.parquet")
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    df = (
+        li.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+        .merge(part, left_on="l_partkey", right_on="p_partkey")
+    )
+    for name, grp in df.groupby("n_name"):
+        ni = grp.groupby("p_type").size().to_numpy()
+        n = int(ni.sum())
+        if n < 2:
+            continue
+        d = 1 - Fraction(int((ni * (ni - 1)).sum()), n * (n - 1))
+        assert got.loc[name, "simpson"] == pytest.approx(
+            float(d), abs=2e-6
+        )
