@@ -135,6 +135,10 @@ PRIORITY_EXT: tuple[str, ...] = (
     # diff-in-diff, share shift — all oracle-SQL-checked)
     "dq_temporal_integrity", "agg_weighted_median", "ml_diff_in_diff",
     "agg_share_shift",
+    # round-7 twenty-third wave (Markov transitions, cross-correlation,
+    # ECE, completeness trend — all oracle-SQL-checked)
+    "ml_markov_chain", "ts_cross_corr", "ml_ece",
+    "dq_completeness_trend",
 )
 
 
@@ -216,6 +220,7 @@ def build_registry() -> dict[str, Query]:
         extras29,
         extras30,
         extras31,
+        extras32,
         joins,
         llm,
         pipeline_ops,
@@ -269,6 +274,7 @@ def build_registry() -> dict[str, Query]:
         extras29,
         extras30,
         extras31,
+        extras32,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

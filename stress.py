@@ -229,6 +229,10 @@ SF1_KEYS = [
     # did/share_shift collapse to user/nation grids.
     "dq_temporal_integrity", "agg_weighted_median", "ml_diff_in_diff",
     "agg_share_shift",
+    # round-7 twenty-third wave. markov is one lag window over 10x
+    # rows; cross_corr/ece/completeness are day/bin-bound collapses.
+    "ml_markov_chain", "ts_cross_corr", "ml_ece",
+    "dq_completeness_trend",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 

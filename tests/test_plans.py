@@ -1580,3 +1580,54 @@ def test_share_shift_broadcast_dims_grid_windows(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_markov_chain_window_then_grid(spark, sf_dir):
+    """ml_markov_chain is one user_id window shuffle (lead is O(1)
+    state), one collapse onto the <=5x5 transition grid, and a
+    grid-sized normalizer window — no join."""
+    from serverless_etl_aws_spark.queries.extras32 import ml_markov_chain
+
+    plan = plan_of(ml_markov_chain(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 3
+
+
+def test_cross_corr_offset_equijoin_on_checkpointed_days(spark, sf_dir):
+    """ts_cross_corr turns the lag scan into ONE equi-join on the
+    shifted day key (explode by 15 offsets) over the lazily
+    checkpointed days relation — never a theta/cartesian join, one
+    corpus pass."""
+    from serverless_etl_aws_spark.queries.extras32 import ts_cross_corr
+
+    plan = plan_of(ts_cross_corr(spark, sf_dir))
+    assert plan.count("FileScan parquet") <= 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # equi-join, not theta
+
+
+def test_ece_bins_then_one_row(spark, sf_dir):
+    """ml_ece is one map-side-combinable collapse onto <=13 score bins
+    and a 1-row reduce — no join, nothing corpus-sized downstream."""
+    from serverless_etl_aws_spark.queries.extras32 import ml_ece
+
+    plan = plan_of(ml_ece(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_completeness_trend_pair_scan_on_days_only(spark, sf_dir):
+    """dq_completeness_trend runs its O(D^2) Mann-Kendall pair scan
+    and the 1-row S attach on the checkpointed days relation — zero
+    corpus re-scans, and the only nested-loop joins are the
+    days-bounded pair scan and the 1-row scalar attach."""
+    from serverless_etl_aws_spark.queries.extras32 import (
+        dq_completeness_trend,
+    )
+
+    plan = plan_of(dq_completeness_trend(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 0
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    assert "CartesianProduct" not in plan
