@@ -139,6 +139,10 @@ PRIORITY_EXT: tuple[str, ...] = (
     # ECE, completeness trend — all oracle-SQL-checked)
     "ml_markov_chain", "ts_cross_corr", "ml_ece",
     "dq_completeness_trend",
+    # round-7 twenty-fourth wave (weekday ANOVA, table checksums,
+    # feature screening, target encoding — all oracle-SQL-checked)
+    "ts_anova_weekday", "dq_table_checksum", "ml_feature_screen",
+    "ml_target_encode",
 )
 
 
@@ -221,6 +225,7 @@ def build_registry() -> dict[str, Query]:
         extras30,
         extras31,
         extras32,
+        extras33,
         joins,
         llm,
         pipeline_ops,
@@ -275,6 +280,7 @@ def build_registry() -> dict[str, Query]:
         extras30,
         extras31,
         extras32,
+        extras33,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

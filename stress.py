@@ -233,6 +233,11 @@ SF1_KEYS = [
     # rows; cross_corr/ece/completeness are day/bin-bound collapses.
     "ml_markov_chain", "ts_cross_corr", "ml_ece",
     "dq_completeness_trend",
+    # round-7 twenty-fourth wave. anova/ece-style collapses are
+    # weekday/bin-bound; checksum and screen are single-pass scans over
+    # 10x rows; target_encode rides the shifted-orderkey fact.
+    "ts_anova_weekday", "dq_table_checksum", "ml_feature_screen",
+    "ml_target_encode",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 

@@ -1631,3 +1631,57 @@ def test_completeness_trend_pair_scan_on_days_only(spark, sf_dir):
     assert plan.count("FileScan parquet") == 0
     assert plan.count("BroadcastNestedLoopJoin") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_anova_weekday_seven_groups_one_shuffle(spark, sf_dir):
+    """ts_anova_weekday collapses the corpus onto 7 weekday groups in
+    one map-side-combinable shuffle; the F assembly is 7-row
+    arithmetic. No join."""
+    from serverless_etl_aws_spark.queries.extras33 import ts_anova_weekday
+
+    plan = plan_of(ts_anova_weekday(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_table_checksum_zero_shuffles(spark, sf_dir):
+    """dq_table_checksum is one full scan per table with the checksum
+    folded map-side into a global aggregate — ZERO hash exchanges in
+    the whole plan (the canonical embarrassingly-parallel audit), no
+    join, pure JVM hashing."""
+    from serverless_etl_aws_spark.queries.extras33 import dq_table_checksum
+
+    plan = plan_of(dq_table_checksum(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 7
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_feature_screen_stack_one_scan(spark, sf_dir):
+    """ml_feature_screen unpivots the four measures via a compile-time
+    stack (ONE scan, one Generate) and collapses to 4 feature groups
+    in one map-side-combinable shuffle — never four scans, never a
+    Python stage."""
+    from serverless_etl_aws_spark.queries.extras33 import ml_feature_screen
+
+    plan = plan_of(ml_feature_screen(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Generate") == 1
+    assert "Join" not in plan
+
+
+def test_target_encode_broadcast_dim_grid_windows(spark, sf_dir):
+    """ml_target_encode broadcasts the part dim onto the fact scan,
+    collapses to the brands-sized relation in one shuffle, and
+    computes prior + encoding as windows over that grid — one
+    corpus pass, no sort-merge join."""
+    from serverless_etl_aws_spark.queries.extras33 import ml_target_encode
+
+    plan = plan_of(ml_target_encode(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 2
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
