@@ -297,3 +297,120 @@ def test_simpson_matches_fractions(spark):
         assert got.loc[name, "simpson"] == pytest.approx(
             float(d), abs=2e-6
         )
+
+
+def test_markov_chain_matches_brute_force(spark, events):
+    got = _spark_df(spark, "ml_markov_chain").set_index(
+        ["from_type", "to_type"]
+    )
+    ev = events.sort_values(["ts", "event_id"])
+    from collections import Counter
+
+    trans: Counter = Counter()
+    for _, grp in ev.groupby("user_id"):
+        types = grp["event_type"].tolist()
+        for a, b in zip(types, types[1:]):
+            trans[(a, b)] += 1
+    assert len(got) == len(trans)
+    from_tot: Counter = Counter()
+    for (a, _), n in trans.items():
+        from_tot[a] += n
+    for (a, b), n in trans.items():
+        assert got.loc[(a, b), "n"] == n
+        assert got.loc[(a, b), "prob"] == pytest.approx(
+            n / from_tot[a], abs=2e-6
+        )
+
+
+def test_cross_corr_matches_numpy(spark, events):
+    got = _spark_df(spark, "ts_cross_corr").set_index("lag")
+    daily = events.groupby("day").agg(
+        x=("event_type", lambda s: int((s == "click").sum())),
+        y=("event_type", lambda s: int((s == "purchase").sum())),
+    )
+    x = daily["x"].to_numpy(dtype=float)
+    y = daily["y"].to_numpy(dtype=float)
+    for lag in range(-7, 8):
+        if lag >= 0:
+            a, b = x[: len(x) - lag or None], y[lag:]
+        else:
+            a, b = x[-lag:], y[:lag]
+        assert got.loc[lag, "n_days"] == len(a)
+        if np.std(a) > 0 and np.std(b) > 0:
+            r = float(np.corrcoef(a, b)[0, 1])
+            assert got.loc[lag, "ccf"] == pytest.approx(r, abs=2e-6)
+
+
+def test_cramers_v_matches_scipy_free_reference(spark):
+    got = _spark_df(spark, "agg_cramers_v").iloc[0]
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    df = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    tab = pd.crosstab(df["c_mktsegment"], df["o_orderpriority"])
+    o = tab.to_numpy(dtype=float)
+    n = o.sum()
+    e = np.outer(o.sum(axis=1), o.sum(axis=0)) / n
+    chi2 = float(((o - e) ** 2 / e).sum())
+    r, c = tab.shape
+    assert got["n"] == int(n)
+    assert got["chi2"] == pytest.approx(chi2, abs=1e-3)
+    v = math.sqrt(chi2 / (n * min(r - 1, c - 1)))
+    assert got["cramers_v"] == pytest.approx(v, abs=2e-6)
+
+
+def test_anova_weekday_matches_numpy(spark, events):
+    got = _spark_df(spark, "ts_anova_weekday").iloc[0]
+    ev = events[events["value"].notna()].copy()
+    ev["dow"] = pd.to_datetime(ev["ts"]).dt.dayofweek  # Mon=0
+    groups = [g["value"].to_numpy() for _, g in ev.groupby("dow")]
+    allv = ev["value"].to_numpy()
+    grand = allv.mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    k, n = len(groups), len(allv)
+    assert got["k_groups"] == k and got["n"] == n
+    assert got["ss_between"] == pytest.approx(ssb, rel=1e-4, abs=0.01)
+    assert got["ss_within"] == pytest.approx(ssw, rel=1e-4)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert got["f_stat"] == pytest.approx(f, rel=1e-4)
+
+
+def test_target_encode_matches_fractions(spark):
+    from fractions import Fraction
+
+    got = _spark_df(spark, "ml_target_encode").set_index("brand")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    df = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    df["y"] = (df["l_returnflag"] == "R").astype(int)
+    n_tot = len(df)
+    c_tot = int(df["y"].sum())
+    for brand, grp in df.groupby("p_brand"):
+        n, c = len(grp), int(grp["y"].sum())
+        enc = Fraction(c * n_tot + 50 * c_tot, n_tot * (n + 50))
+        assert got.loc[brand, "n"] == n
+        assert got.loc[brand, "encoded"] == pytest.approx(
+            float(enc), abs=2e-6
+        )
+
+
+def test_out_of_order_matches_brute_force(spark, events):
+    got = _spark_df(spark, "dq_out_of_order").set_index("event_type")
+    ev = events.sort_values("event_id")
+    late_by_type: dict = {}
+    n_by_type: dict = {}
+    max_late: dict = {}
+    for _, grp in ev.groupby("user_id"):
+        run_max = pd.Timestamp.min
+        for _, row in grp.iterrows():
+            ty = row["event_type"]
+            n_by_type[ty] = n_by_type.get(ty, 0) + 1
+            if row["ts"] < run_max:
+                late_by_type[ty] = late_by_type.get(ty, 0) + 1
+                us = int((run_max - row["ts"]).total_seconds() * 1e6)
+                max_late[ty] = max(max_late.get(ty, 0), us)
+            run_max = max(run_max, row["ts"])
+    for ty in n_by_type:
+        assert got.loc[ty, "n"] == n_by_type[ty]
+        assert got.loc[ty, "n_late"] == late_by_type.get(ty, 0)
+        assert got.loc[ty, "max_late_us"] == max_late.get(ty, 0)
