@@ -143,6 +143,10 @@ PRIORITY_EXT: tuple[str, ...] = (
     # feature screening, target encoding — all oracle-SQL-checked)
     "ts_anova_weekday", "dq_table_checksum", "ml_feature_screen",
     "ml_target_encode",
+    # round-7 twenty-fifth wave (JSON schema discovery, mix-rate
+    # bridge, median CI, centroid separation — all oracle-SQL-checked)
+    "dq_json_schema", "agg_mix_rate_decomp", "agg_median_ci",
+    "ml_label_centroids",
 )
 
 
@@ -226,6 +230,7 @@ def build_registry() -> dict[str, Query]:
         extras31,
         extras32,
         extras33,
+        extras34,
         joins,
         llm,
         pipeline_ops,
@@ -281,6 +286,7 @@ def build_registry() -> dict[str, Query]:
         extras31,
         extras32,
         extras33,
+        extras34,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

@@ -238,6 +238,11 @@ SF1_KEYS = [
     # 10x rows; target_encode rides the shifted-orderkey fact.
     "ts_anova_weekday", "dq_table_checksum", "ml_feature_screen",
     "ml_target_encode",
+    # round-7 twenty-fifth wave. json_schema explodes 10x props rows;
+    # mix_rate/median_ci collapse to nation/type grids; centroids are
+    # label-bound (embeddings table is dims-copied under replication).
+    "dq_json_schema", "agg_mix_rate_decomp", "agg_median_ci",
+    "ml_label_centroids",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 

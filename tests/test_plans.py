@@ -1685,3 +1685,61 @@ def test_target_encode_broadcast_dim_grid_windows(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") == 1
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_json_schema_bounded_explode_one_collapse(spark, sf_dir):
+    """dq_json_schema explodes the per-row key map (bounded by JSON
+    width) and collapses per key in one shuffle; the row total is a
+    1-row scalar attach. The second scan reads ONLY the projected
+    props column (columnar pushdown) — cheaper than materializing the
+    strings for a single-pass checkpoint."""
+    from serverless_etl_aws_spark.queries.extras34 import dq_json_schema
+
+    plan = plan_of(dq_json_schema(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row attach
+    assert "Python" not in plan
+
+
+def test_mix_rate_decomp_zero_exchanges_after_broadcasts(spark, sf_dir):
+    """agg_mix_rate_decomp broadcasts both dims and collapses to the
+    nation grid with ZERO hash exchanges at test scale (partial
+    aggregation suffices on the broadcast-joined stream) — no
+    sort-merge join, no cartesian."""
+    from serverless_etl_aws_spark.queries.extras34 import (
+        agg_mix_rate_decomp,
+    )
+
+    plan = plan_of(agg_mix_rate_decomp(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 3
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_median_ci_shares_iqr_shape(spark, sf_dir):
+    """agg_median_ci selects median and both CI endpoints inside ONE
+    event_type exchange (the dq_iqr_outliers shape) — no join, no
+    second scan."""
+    from serverless_etl_aws_spark.queries.extras34 import agg_median_ci
+
+    plan = plan_of(agg_median_ci(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_label_centroids_checkpointed_pair_join(spark, sf_dir):
+    """ml_label_centroids builds the labels-sized centroid relation
+    ONCE (lazy checkpoint — the self-join would otherwise duplicate
+    the explode+collapse subtree) and pair-joins it label<label; the
+    nested loop runs over labels^2, never the vectors."""
+    from serverless_etl_aws_spark.queries.extras34 import (
+        ml_label_centroids,
+    )
+
+    plan = plan_of(ml_label_centroids(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 0
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
