@@ -147,6 +147,9 @@ PRIORITY_EXT: tuple[str, ...] = (
     # bridge, median CI, centroid separation — all oracle-SQL-checked)
     "dq_json_schema", "agg_mix_rate_decomp", "agg_median_ci",
     "ml_label_centroids",
+    # round-7 twenty-sixth wave (churn labels, spine fill, ABC bands,
+    # saturation audit — all oracle-SQL-checked)
+    "ml_churn_labels", "ts_gap_fill", "agg_abc_class", "dq_saturation",
 )
 
 
@@ -231,6 +234,7 @@ def build_registry() -> dict[str, Query]:
         extras32,
         extras33,
         extras34,
+        extras35,
         joins,
         llm,
         pipeline_ops,
@@ -287,6 +291,7 @@ def build_registry() -> dict[str, Query]:
         extras32,
         extras33,
         extras34,
+        extras35,
     ):
         for key, q in mod.QUERIES.items():
             if key in registry:

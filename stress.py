@@ -243,6 +243,10 @@ SF1_KEYS = [
     # label-bound (embeddings table is dims-copied under replication).
     "dq_json_schema", "agg_mix_rate_decomp", "agg_median_ci",
     "ml_label_centroids",
+    # round-7 twenty-sixth wave. churn/saturation collapse per
+    # user/type; gap_fill and abc_class ride the day/part grids off
+    # 10x facts.
+    "ml_churn_labels", "ts_gap_fill", "agg_abc_class", "dq_saturation",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 

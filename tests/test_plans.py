@@ -1743,3 +1743,53 @@ def test_label_centroids_checkpointed_pair_join(spark, sf_dir):
     assert plan.count("FileScan parquet") == 0
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_churn_labels_scalar_cutoff_one_user_collapse(spark, sf_dir):
+    """ml_churn_labels attaches the cutoff as a 1-row broadcast
+    scalar (NEVER a global window over raw corpus rows — that would
+    funnel everything through one partition) and computes features AND
+    label in ONE per-user collapse over the same scan."""
+    from serverless_etl_aws_spark.queries.extras35 import ml_churn_labels
+
+    plan = plan_of(ml_churn_labels(spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row cut
+    assert "Window" not in plan  # no global window on corpus rows
+    assert "CartesianProduct" not in plan
+
+
+def test_gap_fill_spine_generates_from_span(spark, sf_dir):
+    """ts_gap_fill generates the calendar spine from the 1-row span of
+    the checkpointed observed relation (zero corpus re-scans) and
+    left-joins observed counts onto it — all post-collapse relations
+    are calendar-bounded."""
+    from serverless_etl_aws_spark.queries.extras35 import ts_gap_fill
+
+    plan = plan_of(ts_gap_fill(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 0
+    assert plan.count("Generate") == 1  # the spine explode
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_abc_class_rank_then_three_rows(spark, sf_dir):
+    """agg_abc_class collapses to per-part revenue in one shuffle,
+    classifies inside one global ordered window (range-partitioned
+    sort at cluster scale), then reduces to 3 class rows. No join."""
+    from serverless_etl_aws_spark.queries.extras35 import agg_abc_class
+
+    plan = plan_of(agg_abc_class(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_saturation_shares_iqr_shape(spark, sf_dir):
+    """dq_saturation extracts min/max and counts the pile-up inside
+    ONE event_type exchange (the dq_iqr_outliers window-reuse shape) —
+    no join, no second scan."""
+    from serverless_etl_aws_spark.queries.extras35 import dq_saturation
+
+    plan = plan_of(dq_saturation(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
