@@ -126,6 +126,20 @@ class AtomicPartitionedTable:
         )
 
     def _scheme(self) -> str:
+        # Parsed from the root URI, NOT from an instantiated FileSystem:
+        # the allowlist refusal must fire even when the scheme's FS
+        # implementation isn't on the classpath (a driver without
+        # hadoop-aws pointed at s3a:// should get the clear
+        # UnsafeFilesystemError, not a ClassNotFoundException from
+        # FileSystem.get). The FS object is only materialized later, for
+        # schemes that pass the allowlist or are explicitly trusted.
+        jvm = self.spark._jvm
+        uri = jvm.org.apache.hadoop.fs.Path(self.root).toUri()
+        scheme = uri.getScheme()
+        if scheme is not None:
+            return str(scheme)
+        # No scheme on the path → whatever fs.defaultFS resolves to
+        # (file: on a local deploy, hdfs: on a cluster).
         return str(self._fs().getUri().getScheme() or "file")
 
     def _rename(self, src_jpath, dst_jpath) -> bool:

@@ -55,18 +55,20 @@ CONTRACT_2B: tuple[str, ...] = (
 # round 5: llm_fingerprint / llm_lang_id / llm_quality_score (green);
 # round 6: llm_token_count / llm_tfidf / llm_pii_scrub (green);
 # round 7: llm_embed_quantize / llm_corpus_stats / mm_decode_meta (the
-# mm_* family's first driver signal).
-# Round 8 should rotate in mm_frame_sample / mm_resize /
-# mm_feature_extract (continue converting the mm_* family).
+# mm_* family's first driver signal);
+# round 8: mm_frame_sample / mm_resize / mm_feature_extract (per the
+# round-7 VERDICT directive #1 — completes driver signal for the
+# multimodal decode/resize/feature trio).
+# Round 9 should rotate in mm_audio_window / mm_scene_cut / mm_phash
+# (finish converting the mm_* family, then return to the llm_* tail).
 PRIORITY_EXT: tuple[str, ...] = (
+    "mm_frame_sample", "mm_resize", "mm_feature_extract",
     "llm_embed_quantize", "llm_corpus_stats", "mm_decode_meta",
     "llm_token_count", "llm_tfidf", "llm_pii_scrub",
     "llm_fingerprint", "llm_lang_id", "llm_quality_score",
     "llm_dedup_embedding", "llm_decontaminate", "llm_knn_join",
     "llm_dedup_ngram", "llm_dedup_cluster", "llm_dedup_simhash",
     "llm_sim_search_ivf",
-    "mm_frame_sample",
-    "mm_resize", "mm_feature_extract",
     # round-5 graded additions (rotation candidates from round 7 on)
     "llm_paragraph_dedup", "llm_bpe_encode", "mm_audio_window",
     "agg_heavy_hitters",

@@ -1,0 +1,164 @@
+"""Cloud-posture tests (VERDICT r7 directive #3).
+
+The sandbox has no object store and no hadoop-aws jars — which is
+exactly the condition under test: every cloud-unsafe path must REFUSE
+with the designed error (UnsafeFilesystemError /
+UnsafeCheckpointLocation), never leak a ClassNotFoundException or
+silently fall back to local semantics, and the deploy-time confs must
+exist as auditable code rather than prose.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from serverless_etl_aws_spark.pipeline.atomic import (
+    AtomicPartitionedTable,
+    UnsafeFilesystemError,
+)
+from serverless_etl_aws_spark.pipeline.cloud import (
+    CHECKPOINT_SAFE_SCHEMES,
+    OBJECT_STORE_SCHEMES,
+    UnsafeCheckpointLocation,
+    apply_cloud_confs,
+    s3a_magic_committer_confs,
+    validate_checkpoint_dir,
+)
+
+
+# ---------------------------------------------------------------------
+# AtomicPartitionedTable vs a REAL s3a:// root URI
+# ---------------------------------------------------------------------
+
+
+def test_real_s3a_root_refused_without_fs_impl(spark):
+    """A table rooted at a genuine ``s3a://`` URI must raise the clean
+    UnsafeFilesystemError from the scheme allowlist — BEFORE Hadoop
+    tries to instantiate the (absent) S3AFileSystem. This is the
+    driver-without-hadoop-aws misconfiguration a real deploy hits
+    first; the failure mode must name the actual problem (no atomic
+    rename) instead of ClassNotFoundException."""
+    table = AtomicPartitionedTable(
+        spark, "s3a://some-bucket/warehouse/tbl", "day"
+    )
+    with pytest.raises(UnsafeFilesystemError, match="atomic rename"):
+        table.check_commit_safety()
+
+
+def test_real_s3a_root_refused_at_commit_surface(spark):
+    """Same refusal, reached through the public commit entrypoint, and
+    nothing local is created as a side effect."""
+    df = spark.createDataFrame([("d1", 1)], "day string, v long")
+    table = AtomicPartitionedTable(spark, "s3a://bkt/tbl", "day")
+    with pytest.raises(UnsafeFilesystemError, match="s3a"):
+        table.commit_overwrite_partitions(df)
+
+
+def test_unknown_scheme_refused_trust_optin_is_scoped(spark, tmp_path):
+    """gs:// (raw GCS) is refused too; the trust opt-in is per-table,
+    not global state, so a second untrusted table still refuses."""
+    t1 = AtomicPartitionedTable(spark, "gs://bkt/tbl", "day")
+    with pytest.raises(UnsafeFilesystemError):
+        t1.check_commit_safety()
+    # trusted LOCAL-rooted table (simulating an atomic-rename layer)
+    # commits fine, and its trust does not leak to t1
+    trusted = AtomicPartitionedTable(
+        spark, str(tmp_path / "tbl"), "day", trust_atomic_rename=True
+    )
+    df = spark.createDataFrame([("d1", 1)], "day string, v long")
+    trusted.commit_overwrite_partitions(df)
+    with pytest.raises(UnsafeFilesystemError):
+        t1.check_commit_safety()
+
+
+# ---------------------------------------------------------------------
+# S3A magic-committer confs
+# ---------------------------------------------------------------------
+
+
+def test_magic_committer_confs_exact():
+    confs = s3a_magic_committer_confs()
+    assert confs["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert confs["spark.hadoop.fs.s3a.committer.magic.enabled"] == "true"
+    assert (
+        confs["spark.hadoop.mapreduce.outputcommitter.factory.scheme.s3a"]
+        == "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory"
+    )
+    assert (
+        confs["spark.sql.sources.commitProtocolClass"]
+        == "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+    )
+    assert (
+        confs["spark.sql.parquet.output.committer.class"]
+        == "org.apache.spark.internal.io.cloud."
+        "BindingParquetOutputCommitter"
+    )
+    # hygiene settings the committers assume
+    assert (
+        confs["spark.hadoop.fs.s3a.committer.abort.pending.uploads"]
+        == "true"
+    )
+
+
+def test_apply_cloud_confs_folds_into_builder():
+    class FakeBuilder:
+        def __init__(self):
+            self.seen: dict[str, str] = {}
+
+        def config(self, k, v):
+            self.seen[k] = v
+            return self
+
+    b = FakeBuilder()
+    out = apply_cloud_confs(b, extra={"spark.executor.memory": "8g"})
+    assert out is b
+    assert b.seen["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert b.seen["spark.executor.memory"] == "8g"
+    # every documented conf landed
+    for k in s3a_magic_committer_confs():
+        assert k in b.seen
+
+
+# ---------------------------------------------------------------------
+# Streaming checkpoint location validation
+# ---------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "path",
+    [
+        "/tmp/ckpt",
+        "file:///tmp/ckpt",
+        "hdfs://nn:8020/ckpt",
+        "viewfs://cluster/ckpt",
+        "abfss://c@acct.dfs.core.windows.net/ckpt",
+    ],
+)
+def test_checkpoint_safe_locations_pass_through(path):
+    assert validate_checkpoint_dir(path) == path
+
+
+@pytest.mark.parametrize(
+    "path",
+    ["s3a://bkt/ckpt", "s3://bkt/ckpt", "gs://bkt/ckpt", "wasbs://c@a/ck"],
+)
+def test_checkpoint_object_store_refused(path):
+    with pytest.raises(UnsafeCheckpointLocation, match="atomic"):
+        validate_checkpoint_dir(path)
+
+
+def test_checkpoint_trust_optin_and_unknown_scheme():
+    assert (
+        validate_checkpoint_dir(
+            "s3a://bkt/ckpt", trust_atomic_rename=True
+        )
+        == "s3a://bkt/ckpt"
+    )
+    with pytest.raises(UnsafeCheckpointLocation, match="unknown scheme"):
+        validate_checkpoint_dir("weirdfs://x/ckpt")
+
+
+def test_scheme_sets_disjoint():
+    """A scheme must not be both checkpoint-safe and an object store —
+    overlap would make validate_checkpoint_dir order-dependent."""
+    assert not (CHECKPOINT_SAFE_SCHEMES & OBJECT_STORE_SCHEMES)
