@@ -414,3 +414,202 @@ def test_out_of_order_matches_brute_force(spark, events):
         assert got.loc[ty, "n"] == n_by_type[ty]
         assert got.loc[ty, "n_late"] == late_by_type.get(ty, 0)
         assert got.loc[ty, "max_late_us"] == max_late.get(ty, 0)
+
+
+# ---------------------------------------------------------------------
+# Round-8 additions (VERDICT r7 directive #6): the remaining
+# formula-bearing keys get a no-shared-code pandas/numpy recomputation.
+# ---------------------------------------------------------------------
+
+
+def _co_order_edges() -> pd.DataFrame:
+    """Directed co-order part edges (node, nbr), distinct, node != nbr —
+    recomputed from raw lineitem with pandas merges (no Spark, no SQL)."""
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ]
+    e = li.merge(li, on="l_orderkey", suffixes=("_a", "_b"))
+    e = e[e["l_partkey_a"] != e["l_partkey_b"]]
+    return (
+        e[["l_partkey_a", "l_partkey_b"]]
+        .drop_duplicates()
+        .rename(columns={"l_partkey_a": "node", "l_partkey_b": "nbr"})
+    )
+
+
+def test_ndcg_matches_true_log_discounts(spark, events):
+    """The engine uses integer-quantized discount weights
+    floor(1e9/log2(i+1)); the TRUE NDCG with exact 1/log2 discounts must
+    agree to well under the 2e-6 gate (quantization error is ~1e-9
+    relative) — this catches wrong rank indexing, wrong ideal-DCG
+    prefix, or an off-by-one in the top-K cut."""
+    got = _spark_df(spark, "ml_ndcg").set_index("user_id")
+    ev = events[events["value"].notna()]
+    K = 10
+    for uid, grp in ev.groupby("user_id"):
+        g = grp.sort_values(
+            ["value", "event_id"], ascending=[False, True]
+        )
+        rel = (g["event_type"] == "purchase").to_numpy().astype(int)
+        n_pos = int(rel.sum())
+        assert got.loc[uid, "n_events"] == len(g)
+        assert got.loc[uid, "n_pos"] == n_pos
+        if n_pos == 0:
+            assert pd.isna(got.loc[uid, "ndcg"])
+            continue
+        disc = 1.0 / np.log2(np.arange(2, K + 2))
+        dcg = float((rel[:K] * disc[: len(rel[:K])]).sum())
+        idcg = float(disc[: min(n_pos, K)].sum())
+        assert got.loc[uid, "ndcg"] == pytest.approx(
+            dcg / idcg, abs=2e-6
+        )
+
+
+def test_lift_matches_brute_force(spark, events):
+    got = _spark_df(spark, "ml_lift").set_index("bucket")
+    ev = events[events["value"].notna()].copy()
+    ev["bucket"] = np.floor(ev["value"]).astype("int64")
+    grp = ev.groupby("bucket").agg(
+        n=("event_id", "size"),
+        npos=("event_type", lambda s: int((s == "purchase").sum())),
+    )
+    grp = grp.sort_index(ascending=False)
+    cum_n = grp["n"].cumsum()
+    cum_pos = grp["npos"].cumsum()
+    tot_n, tot_pos = int(grp["n"].sum()), int(grp["npos"].sum())
+    assert set(got.index) == set(grp.index)
+    for b in grp.index:
+        assert got.loc[b, "n"] == grp.loc[b, "n"]
+        assert got.loc[b, "npos"] == grp.loc[b, "npos"]
+        assert got.loc[b, "cum_n"] == cum_n.loc[b]
+        assert got.loc[b, "cum_pos"] == cum_pos.loc[b]
+        assert got.loc[b, "capture"] == pytest.approx(
+            cum_pos.loc[b] / tot_pos, abs=2e-6
+        )
+        assert got.loc[b, "lift"] == pytest.approx(
+            (cum_pos.loc[b] / cum_n.loc[b]) / (tot_pos / tot_n),
+            abs=2e-6,
+        )
+
+
+def test_survival_km_matches_textbook_estimator(spark, events):
+    """Kaplan-Meier recomputed the textbook way: per-user lifetimes,
+    right-censoring at the corpus' final day, S(t) as the running
+    product over event times — catches censoring mistakes (the classic
+    churn overstatement) and at-risk off-by-ones."""
+    got = _spark_df(spark, "ml_survival_km").set_index("duration_days")
+    users = events.groupby("user_id")["day"].agg(["min", "max"])
+    last_day = users["max"].max()
+    dur = (users["max"] - users["min"]).dt.days.astype(int)
+    censored = users["max"] == last_day
+    durations = np.sort(dur.unique())
+    surv = 1.0
+    seen = []
+    for d in durations:
+        at_risk = int((dur >= d).sum())
+        deaths = int(((dur == d) & ~censored).sum())
+        if deaths == 0:
+            continue
+        surv *= 1.0 - deaths / at_risk
+        seen.append(d)
+        assert got.loc[d, "n_at_risk"] == at_risk
+        assert got.loc[d, "n_churned"] == deaths
+        assert got.loc[d, "km_survival"] == pytest.approx(
+            surv, abs=2e-6
+        )
+    assert sorted(got.index) == seen
+
+
+def test_lorenz_matches_brute_force(spark):
+    got = _spark_df(spark, "agg_lorenz").set_index("decile")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = (orders["o_totalprice"] * 10000).round().astype("int64")
+    spend = (
+        cents.groupby(orders["o_custkey"])
+        .sum()
+        .rename("s")
+        .reset_index()
+        .rename(columns={"o_custkey": "ck"})
+    )
+    spend = spend.sort_values(["s", "ck"]).reset_index(drop=True)
+    n = len(spend)
+    spend["decile"] = (np.arange(n) * 10) // n
+    per = spend.groupby("decile")["s"].agg(["size", "sum"])
+    tot = int(spend["s"].sum())
+    cum = per["sum"].cumsum()
+    for d in per.index:
+        assert got.loc[d, "n_cust"] == per.loc[d, "size"]
+        assert got.loc[d, "spend"] == pytest.approx(
+            per.loc[d, "sum"] / 1e4, abs=1e-4
+        )
+        assert got.loc[d, "share"] == pytest.approx(
+            per.loc[d, "sum"] / tot, abs=2e-6
+        )
+        assert got.loc[d, "cum_share"] == pytest.approx(
+            cum.loc[d] / tot, abs=2e-6
+        )
+
+
+def test_holt_matches_python_float_fold(spark, events):
+    got = _spark_df(spark, "ts_holt").set_index("user_id")
+    ev = events[events["value"].notna()].sort_values(["ts", "event_id"])
+    alpha, beta = 0.5, 0.25
+    for uid, grp in ev.groupby("user_id"):
+        v = grp["value"].astype(float).to_list()
+        assert got.loc[uid, "n_points"] == len(v)
+        if len(v) < 2:
+            assert pd.isna(got.loc[uid, "level"])
+            continue
+        level, trend = v[0], 0.0
+        for x in v[1:]:
+            lnew = alpha * x + (1 - alpha) * (level + trend)
+            trend = beta * (lnew - level) + (1 - beta) * trend
+            level = lnew
+        assert got.loc[uid, "level"] == pytest.approx(level, abs=2e-6)
+        assert got.loc[uid, "trend"] == pytest.approx(trend, abs=2e-6)
+        assert got.loc[uid, "forecast_1"] == pytest.approx(
+            level + trend, abs=2e-6
+        )
+
+
+def test_modularity_matches_newman_formula(spark):
+    got = _spark_df(spark, "graph_modularity").set_index("community")
+    edges = _co_order_edges()
+    brand = pd.read_parquet(f"{SF}/part.parquet")[
+        ["p_partkey", "p_brand"]
+    ]
+    lab = edges.merge(
+        brand, left_on="node", right_on="p_partkey"
+    ).merge(
+        brand,
+        left_on="nbr",
+        right_on="p_partkey",
+        suffixes=("_c", "_n"),
+    )
+    D = len(lab)
+    for bc, grp in lab.groupby("p_brand_c"):
+        deg_sum = len(grp)
+        internal = int((grp["p_brand_c"] == grp["p_brand_n"]).sum())
+        q = internal / D - (deg_sum / D) ** 2
+        assert got.loc[bc, "deg_sum"] == deg_sum
+        assert got.loc[bc, "internal_dir"] == internal
+        assert got.loc[bc, "n_nodes"] == grp["node"].nunique()
+        assert got.loc[bc, "q_contrib"] == pytest.approx(q, abs=2e-6)
+    # partition-quality sanity: contributions sum to Newman Q in [-1, 1]
+    total_q = float(got["q_contrib"].sum())
+    assert -1.0 <= total_q <= 1.0
+
+
+def test_assortativity_matches_numpy_corrcoef(spark):
+    """Degree assortativity IS the Pearson correlation of endpoint
+    degrees over directed edges — recompute with np.corrcoef (a
+    covariance/std implementation sharing nothing with the engine's
+    rational-moment form)."""
+    got = _spark_df(spark, "graph_assortativity").iloc[0]
+    edges = _co_order_edges()
+    deg = edges.groupby("node").size()
+    dx = deg.loc[edges["node"]].to_numpy(dtype=float)
+    dy = deg.loc[edges["nbr"]].to_numpy(dtype=float)
+    assert got["n_directed_edges"] == len(edges)
+    r = float(np.corrcoef(dx, dy)[0, 1])
+    assert got["assortativity"] == pytest.approx(r, abs=2e-6)
