@@ -32,6 +32,24 @@ def main(argv: list[str] | None = None) -> int:
     tables = sub.add_parser("tables", help="list known tables")
     tables.add_argument("--zone", required=True)
 
+    report = sub.add_parser(
+        "report",
+        help="write REPORT_r{N}.json: registry counts, live cross-engine "
+        "sweep, driver correctness/bench/scaling summaries",
+    )
+    report.add_argument(
+        "--round", type=int, default=None,
+        help="round number (default: latest driver CORRECTNESS round + 1)",
+    )
+    report.add_argument(
+        "--sweep-sf", default="/root/testdata/sf0.001",
+        help="fixture dir for the live cross-engine sweep",
+    )
+    report.add_argument(
+        "--no-sweep", action="store_true",
+        help="collate artifacts only; skip the live sweep (no JVM boot)",
+    )
+
     explain = sub.add_parser(
         "explain",
         help="show the physical plan of a registry key or SQL",
@@ -59,6 +77,27 @@ def main(argv: list[str] | None = None) -> int:
 
         print("\n".join(sorted(schemas.TABLES)))
         return 0
+
+    if args.cmd == "report":
+        from .roundreport import write_report
+
+        path = write_report(
+            round_num=args.round,
+            sweep_sf=None if args.no_sweep else args.sweep_sf,
+        )
+        with open(path) as f:
+            report = f.read()
+        print(report)
+        print(f"# written to {path}", file=sys.stderr)
+        swept = "sweep_local" in report
+        import json as _json
+
+        failures = []
+        rep = _json.loads(report)
+        if swept:
+            failures += rep["sweep_local"]["failures"]
+        failures += rep.get("correctness_driver", {}).get("failures", [])
+        return 1 if failures else 0
 
     from .engine import Engine
 
