@@ -247,6 +247,21 @@ SF1_KEYS = [
     # user/type; gap_fill and abc_class ride the day/part grids off
     # 10x facts.
     "ml_churn_labels", "ts_gap_fill", "agg_abc_class", "dq_saturation",
+    # round-8 wave: the nontrivially-shaped keys still without sf1.0
+    # rows. mm_* are per-payload mapInPandas over 10x salted documents
+    # (frame fan-out constant per doc); join_asof partitions by shifted
+    # user_id (per-user structure identical per replica); join_salted
+    # rides the shifted-orderkey fact; cube/grouping_sets are Expand
+    # over 10x rows (fixed expansion factor); llm_sim_search scans 10x
+    # vectors for a fixed probe/top-k; sketch_merge is partial-HLL
+    # merge over 10x rows. join_range is deliberately ABSENT: both band
+    # sides densify under replication (values don't shift), so
+    # candidate pairs and true output grow ~100x — the same input-
+    # distribution artifact graph_jaccard documents; real growth adds
+    # new value mass, keeping band occupancy roughly constant.
+    "mm_decode_meta", "mm_frame_sample", "mm_resize",
+    "mm_feature_extract", "join_asof", "join_salted", "agg_cube",
+    "agg_grouping_sets", "llm_sim_search", "agg_sketch_merge",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 
