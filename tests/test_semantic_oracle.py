@@ -613,3 +613,477 @@ def test_assortativity_matches_numpy_corrcoef(spark):
     assert got["n_directed_edges"] == len(edges)
     r = float(np.corrcoef(dx, dy)[0, 1])
     assert got["assortativity"] == pytest.approx(r, abs=2e-6)
+
+
+def test_auc_matches_midrank_formula(spark, events):
+    """The engine computes one-vs-rest AUC in doubled Mann-Whitney U
+    form over score buckets; recompute with the MIDRANK formulation
+    AUC = (R_pos − npos(npos+1)/2) / (npos·nneg) via pandas
+    rank(method='average') — a different textbook identity."""
+    got = _spark_df(spark, "ml_auc").set_index("event_type")
+    ev = events[events["value"].notna()].copy()
+    ev["bkt"] = np.floor(ev["value"] * 100).astype("int64")
+    ranks = ev["bkt"].rank(method="average")
+    n_total = len(ev)
+    assert int(got["n_other"].iloc[0]) == 0
+    for ty in ("click", "error", "purchase", "signup", "view"):
+        pos = ev["event_type"] == ty
+        npos, nneg = int(pos.sum()), n_total - int(pos.sum())
+        assert got.loc[ty, "npos"] == npos
+        assert got.loc[ty, "nneg"] == nneg
+        if npos == 0 or nneg == 0:
+            assert pd.isna(got.loc[ty, "auc"])
+            continue
+        auc = (float(ranks[pos].sum()) - npos * (npos + 1) / 2) / (
+            npos * nneg
+        )
+        assert got.loc[ty, "auc"] == pytest.approx(auc, abs=2e-6)
+
+
+def test_calibration_matches_brute_force(spark, events):
+    got = _spark_df(spark, "ml_calibration").set_index("bin_lo")
+    ev = events[events["value"].notna()].copy()
+    ev["bin_lo"] = (np.floor(ev["value"] / 50) * 50).astype("int64")
+    ev["is_pos"] = (ev["event_type"] == "purchase").astype(int)
+    base = ev["is_pos"].sum() / len(ev)
+    for b, grp in ev.groupby("bin_lo"):
+        n, pos = len(grp), int(grp["is_pos"].sum())
+        assert got.loc[b, "n"] == n
+        assert got.loc[b, "pos"] == pos
+        assert got.loc[b, "mean_score"] == pytest.approx(
+            grp["value"].mean(), abs=2e-4
+        )
+        assert got.loc[b, "pos_rate"] == pytest.approx(
+            pos / n, abs=2e-6
+        )
+        assert got.loc[b, "base_rate"] == pytest.approx(base, abs=2e-6)
+        assert got.loc[b, "lift"] == pytest.approx(
+            (pos / n) / base, abs=2e-6
+        )
+
+
+def test_chi2_matches_scipy_free_contingency(spark, events):
+    """χ² per event type recomputed from the raw contingency table with
+    numpy outer-product expected counts."""
+    got = _spark_df(spark, "ml_chi2").set_index("event_type")
+    ev = events.copy()
+    ev["isodow"] = pd.to_datetime(ev["ts"]).dt.dayofweek + 1
+    tab = ev.groupby(["event_type", "isodow"]).size().unstack(fill_value=0)
+    rt = tab.sum(axis=1).to_numpy(dtype=float)
+    ct = tab.sum(axis=0).to_numpy(dtype=float)
+    nn = tab.to_numpy().sum()
+    expected = np.outer(rt, ct) / nn
+    obs = tab.to_numpy(dtype=float)
+    # zero-count cells exist in the engine only if the (type, dow) pair
+    # appears; expected>0 cells with obs 0 contribute only when present
+    for i, ty in enumerate(tab.index):
+        mask = obs[i] > 0
+        chi = (((obs[i] - expected[i]) ** 2) / expected[i])[mask].sum()
+        assert got.loc[ty, "n_rows"] == int(rt[i])
+        assert got.loc[ty, "chi2_part"] == pytest.approx(chi, abs=1e-4)
+        assert got.loc[ty, "dof"] == 6
+
+
+def test_ks_matches_numpy_cdf_gap(spark, events):
+    got = _spark_df(spark, "agg_ks_test").iloc[0]
+    ev = events[events["value"].notna()].copy()
+    ev["bkt"] = np.floor(ev["value"]).astype("int64")
+    pos = ev[ev["event_type"] == "purchase"]["bkt"]
+    neg = ev[ev["event_type"] != "purchase"]["bkt"]
+    assert got["n_pos"] == len(pos)
+    assert got["n_neg"] == len(neg)
+    buckets = np.sort(ev["bkt"].unique())
+    cdf_p = np.searchsorted(np.sort(pos.to_numpy()), buckets, "right") / len(pos)
+    cdf_n = np.searchsorted(np.sort(neg.to_numpy()), buckets, "right") / len(neg)
+    gaps = np.abs(cdf_p - cdf_n)
+    d = gaps.max()
+    at = int(buckets[np.argmax(gaps)])  # argmax = first ⇒ smallest bucket
+    assert got["d_stat"] == pytest.approx(d, abs=2e-6)
+    assert got["at_value"] == at
+
+
+def test_benford_matches_math_log10(spark, events):
+    got = _spark_df(spark, "dq_benford").set_index("digit")
+    ev = events[(events["value"].notna()) & (events["value"] > 0)]
+    # first significant digit of the scale-4 decimal rendering
+    digits = (
+        ev["value"]
+        .map(lambda v: int(next(c for c in f"{v:.4f}" if c in "123456789")))
+    )
+    counts = digits.value_counts()
+    total = int(counts.sum())
+    for d in counts.index:
+        assert got.loc[d, "n"] == counts[d]
+        assert got.loc[d, "obs_share"] == pytest.approx(
+            counts[d] / total, abs=2e-6
+        )
+        assert got.loc[d, "benford_share"] == pytest.approx(
+            math.log10(1 + 1 / d), abs=2e-6
+        )
+        assert got.loc[d, "deviation"] == pytest.approx(
+            counts[d] / total - math.log10(1 + 1 / d), abs=3e-6
+        )
+
+
+def test_ece_matches_brute_force(spark, events):
+    got = _spark_df(spark, "ml_ece").iloc[0]
+    ev = events[events["value"].notna()].copy()
+    ev["bin"] = np.floor(ev["value"] / 50).astype(int)
+    ev["is_pos"] = (ev["event_type"] == "purchase").astype(int)
+    n_total = len(ev)
+    ece = 0.0
+    for _, grp in ev.groupby("bin"):
+        acc = grp["is_pos"].mean()
+        conf = grp["value"].mean() / 600.0
+        ece += (len(grp) / n_total) * abs(acc - conf)
+    assert got["n_bins"] == ev["bin"].nunique()
+    assert got["n_total"] == n_total
+    # each bin's gap is floor-quantized to 1e-6 BEFORE the weighted sum
+    # (documented downward bias < 1e-6) plus the final 1e-6 fquant
+    assert got["ece"] == pytest.approx(ece, abs=3e-6)
+
+
+def test_gini_hhi_match_probability_form(spark, events):
+    """Gini impurity 1 − Σp² and HHI Σp² recomputed from per-day type
+    SHARES (float probabilities), not the engines' integer-moment
+    rearrangement."""
+    gini = _spark_df(spark, "agg_gini").set_index("day")
+    hhi = _spark_df(spark, "agg_hhi").set_index("day")
+    ev = events.copy()
+    ev["d"] = ev["day"].dt.strftime("%Y-%m-%d")
+    for d, grp in ev.groupby("d"):
+        p = grp["event_type"].value_counts(normalize=True).to_numpy()
+        ssq = float((p**2).sum())
+        assert gini.loc[d, "n_events"] == len(grp)
+        assert gini.loc[d, "n_types"] == grp["event_type"].nunique()
+        assert gini.loc[d, "gini"] == pytest.approx(1.0 - ssq, abs=2e-6)
+        assert hhi.loc[d, "hhi"] == pytest.approx(ssq, abs=2e-6)
+
+
+def test_corr_matches_numpy(spark):
+    got = _spark_df(spark, "agg_corr").set_index("l_returnflag")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    for flag, grp in li.groupby("l_returnflag"):
+        x = (grp["l_quantity"] * 10000).round().to_numpy() / 1e4
+        y = (grp["l_extendedprice"] * 10000).round().to_numpy() / 1e4
+        assert got.loc[flag, "n_rows"] == len(grp)
+        assert got.loc[flag, "corr_qty_price"] == pytest.approx(
+            float(np.corrcoef(x, y)[0, 1]), abs=2e-6
+        )
+        cov = float(((x - x.mean()) * (y - y.mean())).mean())
+        assert got.loc[flag, "covar_pop"] == pytest.approx(
+            cov, rel=1e-6, abs=2e-6
+        )
+
+
+def test_skew_kurt_match_numpy_central_moments(spark, events):
+    got = _spark_df(spark, "agg_skew_kurt").set_index("event_type")
+    ev = events[events["value"].notna()]
+    for ty, grp in ev.groupby("event_type"):
+        v = (grp["value"] * 10000).round().to_numpy() / 1e4
+        d = v - v.mean()
+        m2, m3, m4 = (d**2).mean(), (d**3).mean(), (d**4).mean()
+        assert got.loc[ty, "n_rows"] == len(v)
+        assert got.loc[ty, "skewness"] == pytest.approx(
+            m3 / m2**1.5, abs=2e-6
+        )
+        assert got.loc[ty, "kurtosis_excess"] == pytest.approx(
+            m4 / m2**2 - 3.0, abs=2e-6
+        )
+
+
+def test_cusum_matches_textbook_recursion(spark, events):
+    """The engine computes CUSUM via the drawdown identity over prefix
+    sums; replay the TEXTBOOK recursion S_t = max(0, S_{t-1} + x_t − K)
+    sequentially in Python and compare every row."""
+    got = _spark_df(spark, "ts_cusum")
+    got = got.set_index("event_id")
+    K, H = 75.0, 300.0
+    ev = events[events["value"].notna()].sort_values(["ts", "event_id"])
+    for ty, grp in ev.groupby("event_type"):
+        s = 0.0
+        for eid, val in zip(grp["event_id"], grp["value"]):
+            s = max(0.0, s + (float(val) - K))
+            assert got.loc[eid, "cusum"] == pytest.approx(s, abs=2e-4)
+            assert bool(got.loc[eid, "alert"]) == (s > H)
+
+
+def test_autocorr_matches_numpy(spark, events):
+    got = _spark_df(spark, "ts_autocorr").set_index("event_type")
+    ev = events[events["value"].notna()].sort_values(["ts", "event_id"])
+    for ty, grp in ev.groupby("event_type"):
+        v = (grp["value"] * 10000).round().to_numpy() / 1e4
+        x, y = v[1:], v[:-1]
+        assert got.loc[ty, "n_pairs"] == len(x)
+        assert got.loc[ty, "autocorr_lag1"] == pytest.approx(
+            float(np.corrcoef(x, y)[0, 1]), abs=2e-6
+        )
+
+
+def test_trend_mk_matches_brute_force(spark, events):
+    got = _spark_df(spark, "ts_trend_mk").set_index("event_type")
+    for ty, grp in events.groupby("event_type"):
+        c = grp.groupby("day").size().sort_index().to_numpy()
+        n = len(c)
+        s = sum(
+            int(np.sign(c[j] - c[i]))
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        _, counts = np.unique(c, return_counts=True)
+        tie = int(sum(t * (t - 1) * (2 * t + 5) for t in counts))
+        var18 = n * (n - 1) * (2 * n + 5) - tie
+        assert got.loc[ty, "n_days"] == n
+        assert got.loc[ty, "s_stat"] == s
+        assert got.loc[ty, "var18"] == var18
+        assert got.loc[ty, "trend"] == (
+            "increasing" if s > 0 else "decreasing" if s < 0 else "no_trend"
+        )
+
+
+def test_seasonal_matches_means(spark, events):
+    got = _spark_df(spark, "ts_seasonal").set_index(
+        ["event_type", "isodow"]
+    )
+    ev = events[events["value"].notna()].copy()
+    ev["isodow"] = pd.to_datetime(ev["ts"]).dt.dayofweek + 1
+    for ty, grp in ev.groupby("event_type"):
+        overall = grp["value"].mean()
+        for dow, sl in grp.groupby("isodow"):
+            assert got.loc[(ty, dow), "n_events"] == len(sl)
+            assert got.loc[(ty, dow), "mean_value"] == pytest.approx(
+                sl["value"].mean(), abs=2e-4
+            )
+            assert got.loc[(ty, dow), "seasonal_index"] == pytest.approx(
+                sl["value"].mean() / overall, abs=2e-5
+            )
+
+
+def test_ewma_matches_explicit_weights(spark, events):
+    """The engine folds acc·a + x over the trailing 16-row frame;
+    recompute with EXPLICIT weight vectors a^m / Σa^m (the definition,
+    not the fold) on a sample of users."""
+    got = _spark_df(spark, "ts_ewma").set_index("event_id")
+    a, W = 0.5, 16
+    ev = events.sort_values(["ts", "event_id"])
+    for uid, grp in list(ev.groupby("user_id"))[:40]:
+        vals = grp["value"].fillna(0.0).to_list()
+        for i, eid in enumerate(grp["event_id"]):
+            frame = vals[max(0, i - W + 1) : i + 1]
+            weights = np.array([a ** (len(frame) - 1 - j) for j in range(len(frame))])
+            expected = float((weights * np.array(frame)).sum() / weights.sum())
+            assert got.loc[eid, "ewma_q6"] == pytest.approx(
+                expected, abs=2e-6
+            )
+
+
+def test_spc_matches_three_sigma(spark, events):
+    got = _spark_df(spark, "dq_spc").set_index(["event_type", "day"])
+    ev = events.copy()
+    ev["d"] = ev["day"].dt.strftime("%Y-%m-%d")
+    for ty, grp in ev.groupby("event_type"):
+        daily = grp.groupby("d").size()
+        mean = daily.mean()
+        sigma = float(daily.std(ddof=0))
+        for d, c in daily.items():
+            row = got.loc[(ty, d)]
+            assert row["n_events"] == c
+            assert row["center"] == pytest.approx(mean, abs=2e-4)
+            assert row["ucl"] == pytest.approx(mean + 3 * sigma, abs=2e-4)
+            assert row["lcl"] == pytest.approx(mean - 3 * sigma, abs=2e-4)
+            assert bool(row["out_of_control"]) == (
+                c > mean + 3 * sigma or c < mean - 3 * sigma
+            )
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """3-iteration damped PageRank on the nation trade graph recomputed
+    with numpy dense matrix-vector products (no quantization, no SQL)."""
+    got = _spark_df(spark, "graph_pagerank").set_index("nationkey")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_orderkey", "l_suppkey"]
+    ]
+    orders = pd.read_parquet(f"{SF}/orders.parquet")[
+        ["o_orderkey", "o_custkey"]
+    ]
+    cust = pd.read_parquet(f"{SF}/customer.parquet")[
+        ["c_custkey", "c_nationkey"]
+    ]
+    supp = pd.read_parquet(f"{SF}/supplier.parquet")[
+        ["s_suppkey", "s_nationkey"]
+    ]
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    pairs = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    )
+    w = (
+        pairs.groupby(["c_nationkey", "s_nationkey"])
+        .size()
+        .rename("w")
+        .reset_index()
+    )
+    n = len(nat)
+    keys = sorted(nat["n_nationkey"])
+    idx = {k: i for i, k in enumerate(keys)}
+    A = np.zeros((n, n))
+    for _, r in w.iterrows():
+        A[idx[r["c_nationkey"]], idx[r["s_nationkey"]]] = r["w"]
+    wout = A.sum(axis=1)
+    P = np.divide(A, wout[:, None], where=wout[:, None] > 0)
+    d = 0.85
+    pr = np.full(n, 1.0 / n)
+    for _ in range(3):
+        pr = (1.0 - d) / n + d * (P.T @ pr)  # dangling mass leaks
+    for k in keys:
+        assert got.loc[k, "pagerank"] == pytest.approx(
+            pr[idx[k]], abs=2e-6
+        )
+
+
+def test_kcore_matches_iterative_peel(spark):
+    got = _spark_df(spark, "graph_kcore").set_index("part")
+    edges = _co_order_edges()
+    e = edges.copy()
+    for _ in range(4):  # KCORE_ROUNDS
+        deg = e.groupby("node").size()
+        keep = set(deg[deg >= 3].index)  # KCORE_K
+        e = e[e["node"].isin(keep) & e["nbr"].isin(keep)]
+    deg = e.groupby("node").size()
+    assert sorted(got.index) == sorted(deg.index)
+    for node, d in deg.items():
+        assert got.loc[node, "degree"] == d
+
+
+def test_linreg_matches_numpy_polyfit(spark):
+    got = _spark_df(spark, "ml_linreg").set_index("o_orderpriority")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    x_per = li.groupby("l_orderkey").size()
+    df = orders.copy()
+    df["x"] = (
+        df["o_orderkey"].map(x_per).fillna(0).astype(float)
+    )
+    for pri, grp in df.groupby("o_orderpriority"):
+        assert got.loc[pri, "n_orders"] == len(grp)
+        if grp["x"].nunique() < 2:
+            continue
+        slope, intercept = np.polyfit(
+            grp["x"].to_numpy(), grp["o_totalprice"].to_numpy(), 1
+        )
+        assert got.loc[pri, "slope"] == pytest.approx(slope, abs=2e-4)
+        assert got.loc[pri, "intercept"] == pytest.approx(
+            intercept, abs=2e-2
+        )
+
+
+def test_agg_stats_matches_numpy(spark):
+    got = _spark_df(spark, "agg_stats").set_index("l_returnflag")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    for flag, grp in li.groupby("l_returnflag"):
+        q = grp["l_quantity"].to_numpy(dtype=float)
+        p = grp["l_extendedprice"].to_numpy(dtype=float)
+        d = grp["l_discount"].to_numpy(dtype=float)
+        assert got.loc[flag, "n_rows"] == len(grp)
+        assert got.loc[flag, "corr_qty_price"] == pytest.approx(
+            float(np.corrcoef(q, p)[0, 1]), abs=2e-6
+        )
+        assert got.loc[flag, "stddev_pop_discount"] == pytest.approx(
+            float(d.std(ddof=0)), abs=2e-6
+        )
+
+
+def test_winsorized_mean_matches_clamped_average(spark, events):
+    got = _spark_df(spark, "agg_winsorized_mean").set_index("event_type")
+    ev = events[events["value"].notna()]
+    for ty, grp in ev.groupby("event_type"):
+        g = grp.sort_values(["value", "event_id"]).reset_index()
+        n = len(g)
+        lo_rank = (n * 1 + 9) // 10   # ceil(n/10), 1-indexed
+        hi_rank = (n * 9 + 9) // 10   # ceil(9n/10)
+        lo = float(g.loc[lo_rank - 1, "value"])
+        hi = float(g.loc[hi_rank - 1, "value"])
+        clamped = g["value"].clip(lo, hi)
+        assert got.loc[ty, "n"] == n
+        assert got.loc[ty, "lo"] == pytest.approx(lo)
+        assert got.loc[ty, "hi"] == pytest.approx(hi)
+        assert got.loc[ty, "winsorized_mean"] == pytest.approx(
+            clamped.mean(), abs=2e-4
+        )
+        assert got.loc[ty, "raw_mean"] == pytest.approx(
+            g["value"].mean(), abs=2e-4
+        )
+
+
+def test_median_ci_matches_order_statistics(spark, events):
+    got = _spark_df(spark, "agg_median_ci").set_index("event_type")
+    ev = events[events["value"].notna()]
+    z = 1.96
+    for ty, grp in ev.groupby("event_type"):
+        g = grp.copy()
+        g["v"] = (g["value"] * 10000).round().astype("int64")
+        g = g.sort_values(["v", "event_id"]).reset_index()
+        n = len(g)
+        med = g.loc[(n + 1) // 2 - 1, "v"]
+        lo_rank = max(1, math.floor((n - z * math.sqrt(n)) / 2))
+        hi_rank = min(n, math.ceil((n + z * math.sqrt(n)) / 2 + 1))
+        assert got.loc[ty, "n"] == n
+        assert got.loc[ty, "median"] == pytest.approx(med / 1e4)
+        assert got.loc[ty, "ci_lo"] == pytest.approx(
+            g.loc[lo_rank - 1, "v"] / 1e4
+        )
+        assert got.loc[ty, "ci_hi"] == pytest.approx(
+            g.loc[hi_rank - 1, "v"] / 1e4
+        )
+        assert got.loc[ty, "ci_lo"] <= got.loc[ty, "median"]
+        assert got.loc[ty, "median"] <= got.loc[ty, "ci_hi"]
+
+
+def test_best_threshold_matches_brute_force_f1(spark, events):
+    got = _spark_df(spark, "ml_best_threshold").iloc[0]
+    ev = events[events["value"].notna()].copy()
+    ev["is_pos"] = (ev["event_type"] == "purchase").astype(int)
+    v = np.floor(ev["value"]).astype("int64")
+    best = None
+    for thr in sorted(v.unique(), reverse=True):
+        sel = v >= thr
+        tp = int(ev.loc[sel, "is_pos"].sum())
+        fp = int(sel.sum()) - tp
+        fn = int(ev["is_pos"].sum()) - tp
+        if 2 * tp + fp + fn == 0:
+            continue
+        f1 = 2 * tp / (2 * tp + fp + fn)
+        # scaled-integer compare, lower threshold wins ties
+        key = (2 * tp * 1_000_000_000_000) // (2 * tp + fp + fn)
+        if best is None or key > best[0] or (key == best[0] and thr < best[1]):
+            best = (key, thr, tp, fp, fn, f1)
+    _, thr, tp, fp, fn, f1 = best
+    assert got["threshold"] == thr
+    assert (got["tp"], got["fp"], got["fn"]) == (tp, fp, fn)
+    assert got["f1"] == pytest.approx(f1, abs=2e-6)
+
+
+def test_pr_at_k_matches_brute_force(spark, events):
+    got = _spark_df(spark, "ml_pr_at_k").set_index("user_id")
+    ev = events[events["value"].notna()]
+    K = 10
+    for uid, grp in ev.groupby("user_id"):
+        g = grp.sort_values(
+            ["value", "event_id"], ascending=[False, True]
+        )
+        rel = (g["event_type"] == "purchase").to_numpy().astype(int)
+        n_pos = int(rel.sum())
+        hits = int(rel[:K].sum())
+        assert got.loc[uid, "n_events"] == len(g)
+        assert got.loc[uid, "n_pos"] == n_pos
+        assert got.loc[uid, "hits_at_k"] == hits
+        assert got.loc[uid, "precision_at_k"] == pytest.approx(
+            hits / min(len(g), K), abs=2e-6
+        )
+        if n_pos:
+            assert got.loc[uid, "recall_at_k"] == pytest.approx(
+                hits / n_pos, abs=2e-6
+            )
+        else:
+            assert pd.isna(got.loc[uid, "recall_at_k"])
