@@ -1087,3 +1087,449 @@ def test_pr_at_k_matches_brute_force(spark, events):
             )
         else:
             assert pd.isna(got.loc[uid, "recall_at_k"])
+
+
+def test_stump_matches_brute_force_gini_sweep(spark, events):
+    got = _spark_df(spark, "ml_stump").iloc[0]
+    ev = events[events["value"].notna()].copy()
+    ev["is_pos"] = (ev["event_type"] == "purchase").astype(int)
+    v = np.floor(ev["value"]).astype("int64")
+    nn = len(ev)
+    pos_tot = int(ev["is_pos"].sum())
+
+    def gini(n, p):
+        q = n - p
+        return 1.0 - (p * p + q * q) / (n * n)
+
+    best = None
+    for thr in sorted(v.unique()):
+        sel = v >= thr
+        n_ge = int(sel.sum())
+        n_lt = nn - n_ge
+        if n_ge == 0 or n_lt == 0:
+            continue
+        pos_ge = int(ev.loc[sel, "is_pos"].sum())
+        pos_lt = pos_tot - pos_ge
+        wg = (n_ge * gini(n_ge, pos_ge) + n_lt * gini(n_lt, pos_lt)) / nn
+        if best is None or wg < best[0] - 1e-15 or (
+            abs(wg - best[0]) <= 1e-15 and thr < best[1]
+        ):
+            best = (wg, thr, n_ge, pos_ge, n_lt, pos_lt)
+    wg, thr, n_ge, pos_ge, n_lt, pos_lt = best
+    parent = gini(nn, pos_tot)
+    assert got["threshold"] == thr
+    assert (got["n_ge"], got["pos_ge"]) == (n_ge, pos_ge)
+    assert (got["n_lt"], got["pos_lt"]) == (n_lt, pos_lt)
+    assert got["split_gini"] == pytest.approx(wg, abs=2e-6)
+    assert got["parent_gini"] == pytest.approx(parent, abs=2e-6)
+    assert got["gain"] == pytest.approx(parent - wg, abs=3e-6)
+
+
+def test_zscore_outlier_matches_numpy(spark, events):
+    got = _spark_df(spark, "agg_zscore_outlier").set_index("event_type")
+    ev = events[events["value"].notna()]
+    for ty, grp in ev.groupby("event_type"):
+        x = (grp["value"] * 10000).round().to_numpy() / 1e4
+        mean, var = x.mean(), x.var(ddof=0)
+        n_out = int((((x - mean) ** 2) > 4.0 * var).sum())
+        assert got.loc[ty, "n_values"] == len(x)
+        assert got.loc[ty, "n_outliers"] == n_out
+        assert got.loc[ty, "mean_value"] == pytest.approx(
+            mean, abs=2e-4
+        )
+
+
+def test_rolling_zscore_matches_pandas_rolling(spark, events):
+    got = _spark_df(spark, "ts_rolling_zscore").set_index(
+        ["event_type", "day"]
+    )
+    ev = events.copy()
+    daily = (
+        ev.groupby(["event_type", ev["day"].dt.strftime("%Y-%m-%d")])[
+            "value"
+        ]
+        .apply(lambda s: round(float(s.fillna(0).sum()), 2))
+        .rename("v")
+        .reset_index()
+    )
+    for ty, grp in daily.groupby("event_type"):
+        g = grp.sort_values("day").reset_index(drop=True)
+        roll = g["v"].rolling(window=7, min_periods=1)
+        mean = roll.mean()
+        std = roll.std(ddof=0)
+        n = roll.count()
+        for i in range(len(g)):
+            row = got.loc[(ty, g.loc[i, "day"])]
+            assert row["rolling_mean"] == pytest.approx(
+                mean[i], abs=2e-4
+            )
+            if n[i] >= 3:
+                z = (g.loc[i, "v"] - mean[i]) / std[i]
+                assert row["zscore"] == pytest.approx(z, abs=2e-4)
+                assert bool(row["is_anomaly"]) == (abs(z) > 2.0)
+            else:
+                assert pd.isna(row["zscore"])
+
+
+def test_naive_bayes_matches_sklearn_free_counts(spark):
+    got = _spark_df(spark, "ml_naive_bayes")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    docs = docs[docs["text"].notna() & docs["lang"].notna()]
+    rows = []
+    for _, r in docs.iterrows():
+        for tok in r["text"].split(" "):
+            if tok:
+                rows.append((r["lang"], tok))
+    tf = pd.DataFrame(rows, columns=["lang", "term"])
+    ct = tf.groupby(["lang", "term"]).size().rename("c")
+    gt = ct.groupby("term").sum()
+    vocab = set(gt[gt >= 5].index)
+    n_c = ct.groupby("lang").sum()
+    V = len(vocab)
+    prior = docs.groupby("lang").size() / len(docs)
+    expected = {
+        (lang, term): (c + 1) / (n_c[lang] + V)
+        for (lang, term), c in ct.items()
+        if term in vocab
+    }
+    assert len(got) == len(expected)
+    for _, r in got.iterrows():
+        key = (r["lang"], r["term"])
+        assert r["c_tc"] == ct[key]
+        assert r["p_term_given_lang"] == pytest.approx(
+            expected[key], abs=2e-9
+        )
+        assert r["p_lang"] == pytest.approx(prior[r["lang"]], abs=2e-9)
+
+
+def test_assoc_rules_match_brute_force(spark):
+    got = _spark_df(spark, "ml_assoc_rules")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    n_baskets = li["l_orderkey"].nunique()
+    supp = li.groupby("l_partkey").size()
+    pairs = li.merge(li, on="l_orderkey", suffixes=("_a", "_b"))
+    pairs = pairs[pairs["l_partkey_a"] < pairs["l_partkey_b"]]
+    ps = pairs.groupby(["l_partkey_a", "l_partkey_b"]).size()
+    ps = ps[ps >= 2]
+    ranked = sorted(
+        (
+            (
+                (int(c) * n_baskets * 1_000_000)
+                // (int(supp[a]) * int(supp[b])),
+                int(c),
+                a,
+                b,
+            )
+            for (a, b), c in ps.items()
+        ),
+        key=lambda t: (-t[0], -t[1], t[2], t[3]),
+    )[: len(got)]
+    for row, (lift_scaled, c, a, b) in zip(got.itertuples(), ranked):
+        assert (row.part_a, row.part_b) == (a, b)
+        assert row.supp_ab == c
+        assert (row.supp_a, row.supp_b) == (supp[a], supp[b])
+        assert row.conf_a_to_b == pytest.approx(c / supp[a], abs=2e-6)
+        assert row.conf_b_to_a == pytest.approx(c / supp[b], abs=2e-6)
+        assert row.lift == pytest.approx(
+            lift_scaled / 1e6, abs=2e-6
+        )
+
+
+def test_conversion_lag_matches_brute_force(spark, events):
+    got = _spark_df(spark, "agg_conversion_lag").iloc[0]
+    ev = events.copy()
+    ev["us"] = (
+        pd.to_datetime(ev["ts"]).astype("datetime64[ns]").astype("int64")
+        // 1000
+    )
+    per = ev.pivot_table(
+        index="user_id",
+        columns="event_type",
+        values="us",
+        aggfunc="min",
+    )
+    ok = per.dropna(subset=["view", "purchase"])
+    lags = (ok["purchase"] - ok["view"]).astype("int64")
+    lags = lags[lags > 0].sort_values().to_numpy()
+    n = len(lags)
+    assert got["n_converted"] == n
+    assert got["min_lag_us"] == lags[0]
+    assert got["max_lag_us"] == lags[-1]
+    assert got["mean_lag_us"] == pytest.approx(lags.mean(), abs=0.01)
+    assert got["p50_lag_us"] == lags[(n + 1) // 2 - 1]
+
+
+def test_forecast_eval_matches_brute_force(spark, events):
+    got = _spark_df(spark, "ml_forecast_eval").set_index("event_type")
+    ev = events[events["value"].notna()].copy()
+    daily = (
+        ev.groupby(["event_type", "day"])["value"]
+        .apply(lambda s: int((s * 10000).round().astype("int64").sum()))
+        .rename("v")
+        .reset_index()
+    )
+    for ty, grp in daily.groupby("event_type"):
+        g = grp.sort_values("day").reset_index(drop=True)
+        v = g["v"].to_numpy()
+        e1 = np.abs(v[1:] - v[:-1])
+        assert got.loc[ty, "n_days"] == len(v)
+        assert got.loc[ty, "mae_naive"] == pytest.approx(
+            e1.mean() / 1e4, abs=2e-6
+        )
+        if len(v) > 7:
+            e7 = np.abs(v[7:] - v[:-7])
+            assert got.loc[ty, "mae_snaive"] == pytest.approx(
+                e7.mean() / 1e4, abs=2e-6
+            )
+        # MAPE (percent): per-term floor(1e6·|e|/prev), summed, then
+        # averaged over non-skipped terms and rescaled to percent
+        terms = [
+            math.floor(abs(int(v[i]) - int(v[i - 1])) * 1_000_000 / v[i - 1])
+            for i in range(1, len(v))
+            if v[i - 1] > 0
+        ]
+        if terms:
+            assert got.loc[ty, "mape_naive_pct"] == pytest.approx(
+                sum(terms) / (len(terms) * 1e4), abs=3e-4
+            )
+
+
+def test_diff_in_diff_matches_four_cells(spark, events):
+    got = _spark_df(spark, "ml_diff_in_diff").iloc[0]
+    ev = events.copy()
+    ev["d"] = (ev["day"] - pd.Timestamp("1970-01-01")).dt.days
+    conv = ev.assign(
+        c=(
+            (ev["event_type"] == "purchase")
+            & (ev["value"].fillna(-1.0) >= 300.0)
+        ).astype(int)
+    ).groupby("user_id").agg(conv=("c", "max"), first_day=("d", "min"))
+    mid = (conv["first_day"].min() + conv["first_day"].max() + 1) // 2
+    conv["arm"] = conv.index % 2
+    conv["period"] = (conv["first_day"] >= mid).astype(int)
+    rates = {}
+    for (a, p), grp in conv.groupby(["arm", "period"]):
+        rates[(int(a), int(p))] = (len(grp), grp["conv"].mean())
+    # empty cells (tiny fixtures put every user in one period) must be
+    # NULL on the engine side, never a fabricated 0
+    for ncol, rcol, key in [
+        ("n_a1", "rate_a1", (0, 0)), ("n_a2", "rate_a2", (0, 1)),
+        ("n_b1", "rate_b1", (1, 0)), ("n_b2", "rate_b2", (1, 1)),
+    ]:
+        if key in rates:
+            assert got[ncol] == rates[key][0]
+            assert got[rcol] == pytest.approx(rates[key][1], abs=2e-6)
+        else:
+            assert pd.isna(got[ncol]) and pd.isna(got[rcol])
+    if all(k in rates for k in [(0, 0), (0, 1), (1, 0), (1, 1)]):
+        did = (rates[(1, 1)][1] - rates[(1, 0)][1]) - (
+            rates[(0, 1)][1] - rates[(0, 0)][1]
+        )
+        assert got["did"] == pytest.approx(did, abs=3e-6)
+    else:
+        assert pd.isna(got["did"])
+
+
+def test_ltv_cohort_matches_brute_force(spark, events):
+    got = _spark_df(spark, "ml_ltv_cohort").set_index(
+        ["cohort_week", "age_weeks"]
+    )
+    ev = events.copy()
+    ev["wk"] = (ev["day"] - pd.Timestamp("1970-01-01")).dt.days // 7
+    ev["rev"] = np.where(
+        (ev["event_type"] == "purchase") & ev["value"].notna(),
+        ev["value"].fillna(0.0),
+        0.0,
+    )
+    first = ev.groupby("user_id")["wk"].min().rename("cohort")
+    ev = ev.merge(first, left_on="user_id", right_index=True)
+    ev["age"] = ev["wk"] - ev["cohort"]
+    size = ev[ev["age"] == 0].groupby("cohort")["user_id"].nunique()
+    for coh, grp in ev.groupby("cohort"):
+        cum = 0.0
+        for age in sorted(grp["age"].unique()):
+            cum += float(grp.loc[grp["age"] == age, "rev"].sum())
+            row = got.loc[(coh, age)]
+            assert row["cohort_users"] == size[coh]
+            assert row["cum_revenue"] == pytest.approx(cum, abs=1e-2)
+            assert row["ltv_per_user"] == pytest.approx(
+                cum / size[coh], abs=1e-2
+            )
+
+
+def test_uplift_segments_match_brute_force(spark, events):
+    got = _spark_df(spark, "ml_uplift_segments").set_index("segment")
+    conv = (
+        events.assign(
+            c=(
+                (events["event_type"] == "purchase")
+                & (events["value"].fillna(-1.0) >= 300.0)
+            ).astype(int)
+        )
+        .groupby("user_id")["c"]
+        .max()
+    )
+    df = conv.reset_index()
+    df["segment"] = (df["user_id"] // 2) % 5
+    df["arm"] = df["user_id"] % 2
+    for seg, grp in df.groupby("segment"):
+        a = grp[grp["arm"] == 0]
+        b = grp[grp["arm"] == 1]
+        row = got.loc[seg]
+        if len(a):
+            assert row["n_a"] == len(a)
+            assert row["conv_a"] == a["c"].sum()
+            assert row["rate_a"] == pytest.approx(a["c"].mean(), abs=2e-6)
+        else:
+            assert pd.isna(row["n_a"])
+        if len(b):
+            assert row["n_b"] == len(b)
+            assert row["rate_b"] == pytest.approx(b["c"].mean(), abs=2e-6)
+        if len(a) and len(b):
+            assert row["uplift"] == pytest.approx(
+                b["c"].mean() - a["c"].mean(), abs=3e-6
+            )
+
+
+def test_feature_screen_matches_numpy_pointbiserial(spark):
+    got = _spark_df(spark, "ml_feature_screen").set_index("feature")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet").dropna(
+        subset=["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    y = (li["l_returnflag"] == "R").to_numpy(dtype=float)
+    for feat, col in [
+        ("quantity", "l_quantity"),
+        ("extendedprice", "l_extendedprice"),
+        ("discount", "l_discount"),
+        ("tax", "l_tax"),
+    ]:
+        x = (li[col] * 10000).round().to_numpy(dtype=float)
+        assert got.loc[feat, "n"] == len(li)
+        assert got.loc[feat, "n_returns"] == int(y.sum())
+        assert got.loc[feat, "point_biserial_r"] == pytest.approx(
+            float(np.corrcoef(x, y)[0, 1]), abs=2e-6
+        )
+
+
+def test_mix_rate_decomp_matches_identity(spark):
+    """Volume/rate/cross effects recomputed from raw halves, plus the
+    waterfall identity: the three effects must sum to ΔRevenue."""
+    got = _spark_df(spark, "agg_mix_rate_decomp").set_index("nation")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    df = orders.merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    ).merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    d = (
+        pd.to_datetime(df["o_orderdate"]) - pd.Timestamp("1970-01-01")
+    ).dt.days
+    mid = (d.min() + d.max() + 1) // 2
+    df["half"] = (d >= mid).astype(int)
+    df["rev"] = (df["o_totalprice"] * 10000).round().astype("int64")
+    for name, grp in df.groupby("n_name"):
+        h1 = grp[grp["half"] == 0]
+        h2 = grp[grp["half"] == 1]
+        row = got.loc[name]
+        assert (row["n1"], row["n2"]) == (len(h1), len(h2))
+        if not len(h1) or not len(h2):
+            assert pd.isna(row["volume_effect"])
+            continue
+        r1 = h1["rev"].sum() / len(h1) / 1e4
+        r2 = h2["rev"].sum() / len(h2) / 1e4
+        dn = len(h2) - len(h1)
+        vol, rate_e, cross = dn * r1, len(h1) * (r2 - r1), dn * (r2 - r1)
+        assert row["volume_effect"] == pytest.approx(vol, abs=2e-4)
+        assert row["rate_effect"] == pytest.approx(rate_e, abs=2e-4)
+        assert row["cross_effect"] == pytest.approx(cross, abs=2e-4)
+        # waterfall identity (exact in R): effects sum to Δrevenue
+        delta = (h2["rev"].sum() - h1["rev"].sum()) / 1e4
+        assert vol + rate_e + cross == pytest.approx(delta, abs=1e-6)
+
+
+def test_label_centroids_match_numpy(spark):
+    got = _spark_df(spark, "ml_label_centroids").set_index(
+        ["label_a", "label_b"]
+    )
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    cents = {}
+    for lab, grp in emb.groupby("label"):
+        m = np.stack(grp["embedding"].to_numpy()).astype(float)
+        cents[lab] = m.mean(axis=0)
+    labs = sorted(cents)
+    for i, a in enumerate(labs):
+        for b in labs[i + 1 :]:
+            ca, cb = cents[a], cents[b]
+            cos = float(
+                (ca @ cb) / (np.linalg.norm(ca) * np.linalg.norm(cb))
+            )
+            assert got.loc[(a, b), "centroid_cosine"] == pytest.approx(
+                cos, abs=2e-6
+            )
+
+
+def test_abc_class_matches_cumulative_cut(spark):
+    got = _spark_df(spark, "agg_abc_class").set_index("abc_class")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet").dropna(
+        subset=["l_extendedprice"]
+    )
+    rev = (
+        (li["l_extendedprice"] * 10000)
+        .round()
+        .astype("int64")
+        .groupby(li["l_partkey"])
+        .sum()
+        .rename("rev")
+        .reset_index()
+        .sort_values(["rev", "l_partkey"], ascending=[False, True])
+    )
+    tot = int(rev["rev"].sum())
+    cum = rev["rev"].cumsum()
+    cls = np.where(
+        cum * 100 <= tot * 80, "A", np.where(cum * 100 <= tot * 95, "B", "C")
+    )
+    rev["cls"] = cls
+    per = rev.groupby("cls")["rev"].agg(["size", "sum"])
+    for c in per.index:
+        assert got.loc[c, "n_parts"] == per.loc[c, "size"]
+        assert got.loc[c, "revenue"] == pytest.approx(
+            per.loc[c, "sum"] / 1e4, abs=1e-2
+        )
+        assert got.loc[c, "revenue_share"] == pytest.approx(
+            per.loc[c, "sum"] / tot, abs=2e-6
+        )
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """2 Lloyd iterations replayed in numpy (same init: the k lowest
+    vec_ids; same tie-break: lowest centroid id) — assignments must
+    match exactly, squared distances to 1e-5 (the engine quantizes
+    centroid sums at 1e-9)."""
+    got = _spark_df(spark, "ml_kmeans").set_index("vec_id")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values(
+        "vec_id"
+    )
+    V = np.stack(emb["embedding"].to_numpy()).astype(float)
+    ids = emb["vec_id"].to_numpy()
+    k = 8
+    cents = {int(i): V[ids == i][0] for i in range(k)}
+    for _ in range(2):
+        cids = sorted(cents)
+        C = np.stack([cents[c] for c in cids])
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.array(cids)[np.argmin(d2, axis=1)]  # first = lowest cid
+        cents = {
+            int(c): V[assign == c].mean(axis=0)
+            for c in cids
+            if (assign == c).any()
+        }
+    cids = sorted(cents)
+    C = np.stack([cents[c] for c in cids])
+    d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    assign = np.array(cids)[np.argmin(d2, axis=1)]
+    best = d2.min(axis=1)
+    for vid, cid, dd in zip(ids, assign, best):
+        assert got.loc[vid, "cid"] == cid
+        assert got.loc[vid, "d2_q"] == pytest.approx(dd, abs=1e-5)
