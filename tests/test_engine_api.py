@@ -99,13 +99,13 @@ def test_driver_audit_window_is_contract_plus_rotation():
     from the audited window or reorder a rotated key out of it."""
     from serverless_etl_aws_spark.queries import CONTRACT_2B, build_registry
 
-    ROUND7_ROTATION = (
-        "llm_embed_quantize", "llm_corpus_stats", "mm_decode_meta",
+    ROUND8_ROTATION = (
+        "mm_frame_sample", "mm_resize", "mm_feature_extract",
     )
     window = list(build_registry())[:50]
-    assert set(window) == set(CONTRACT_2B) | set(ROUND7_ROTATION)
+    assert set(window) == set(CONTRACT_2B) | set(ROUND8_ROTATION)
     # and the rotation occupies slots 48-50 specifically
-    assert window[47:] == list(ROUND7_ROTATION)
+    assert window[47:] == list(ROUND8_ROTATION)
 
 
 def test_engine_explain_registry_key_and_sql(spark, sf_dir):
