@@ -74,10 +74,16 @@ class IncrementalIngest:
         reporter: RunReport | None = None,
         post_batch=None,
     ) -> None:
+        from .cloud import validate_checkpoint_dir
+
         self.spark = spark
         self.bronze_dir = bronze_dir
         self.silver_dir = silver_dir
-        self.checkpoint_dir = checkpoint_dir
+        # fail at CONSTRUCTION, not first batch: a checkpoint on a raw
+        # object store tears the streaming commit log on crash — the
+        # cloud-posture guard (pipeline/cloud.py) rejects it before any
+        # state exists to corrupt
+        self.checkpoint_dir = validate_checkpoint_dir(checkpoint_dir)
         self.schema = schema
         self.partition_by = partition_by
         self.transform = transform or (lambda df: df)

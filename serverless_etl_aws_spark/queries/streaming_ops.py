@@ -441,9 +441,14 @@ def stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(bronze)
     )
+    from ..pipeline.cloud import validate_checkpoint_dir
+
     q = (
         stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", os.path.join(base, "_checkpoint"))
+        .option(
+            "checkpointLocation",
+            validate_checkpoint_dir(os.path.join(base, "_checkpoint")),
+        )
         .trigger(availableNow=True)
         .start()
     )

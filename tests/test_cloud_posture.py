@@ -162,3 +162,30 @@ def test_scheme_sets_disjoint():
     """A scheme must not be both checkpoint-safe and an object store —
     overlap would make validate_checkpoint_dir order-dependent."""
     assert not (CHECKPOINT_SAFE_SCHEMES & OBJECT_STORE_SCHEMES)
+
+
+def test_ingest_refuses_object_store_checkpoint(spark, tmp_path):
+    """IncrementalIngest validates its checkpoint location at
+    CONSTRUCTION — an s3a:// checkpoint dir (torn commit log on crash)
+    fails before any streaming state exists."""
+    from serverless_etl_aws_spark.pipeline.ingest import IncrementalIngest
+    from serverless_etl_aws_spark.schemas import NYC_TAXI
+
+    with pytest.raises(UnsafeCheckpointLocation, match="atomic"):
+        IncrementalIngest(
+            spark,
+            bronze_dir=str(tmp_path / "bronze"),
+            silver_dir=str(tmp_path / "silver"),
+            checkpoint_dir="s3a://bkt/ckpt",
+            schema=NYC_TAXI,
+        )
+    # local checkpoint constructs fine (and trust opt-in is the
+    # validator's, not the ingest class's, concern)
+    ing = IncrementalIngest(
+        spark,
+        bronze_dir=str(tmp_path / "bronze"),
+        silver_dir=str(tmp_path / "silver"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema=NYC_TAXI,
+    )
+    assert ing.checkpoint_dir == str(tmp_path / "ckpt")
