@@ -29,10 +29,21 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    cloud: bool | None = None,
 ) -> SparkSession:
-    """Build (or reuse) the engine's SparkSession."""
+    """Build (or reuse) the engine's SparkSession.
+
+    ``cloud=True`` (or env ``SPARK_GRAFT_CLOUD=1``) folds in the S3A
+    magic-committer confs (pipeline/cloud.py) — the object-store write
+    posture a cluster deploy needs, set before the session starts
+    because committer factory bindings are read at write-path
+    construction. A local session ignores the extra confs harmlessly,
+    but the default stays off so local plans and bench artifacts are
+    never conditioned on inert cloud settings."""
     if master is None:
         master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    if cloud is None:
+        cloud = os.environ.get("SPARK_GRAFT_CLOUD", "0") == "1"
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -52,6 +63,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", os.path.join(os.getcwd(), "spark-warehouse"))
     )
+    if cloud:
+        from .pipeline.cloud import apply_cloud_confs
+
+        builder = apply_cloud_confs(builder)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

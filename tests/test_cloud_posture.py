@@ -189,3 +189,40 @@ def test_ingest_refuses_object_store_checkpoint(spark, tmp_path):
         schema=NYC_TAXI,
     )
     assert ing.checkpoint_dir == str(tmp_path / "ckpt")
+
+
+def test_get_spark_cloud_flag_folds_committer_confs(monkeypatch):
+    """get_spark(cloud=True) must route through apply_cloud_confs —
+    asserted on the builder, without booting a second JVM (committer
+    confs are session-start-only, so the running test session can't
+    witness them live)."""
+    import serverless_etl_aws_spark.session as session_mod
+
+    seen: dict[str, str] = {}
+
+    class FakeBuilder:
+        def master(self, m):
+            return self
+
+        def appName(self, n):
+            return self
+
+        def config(self, k, v):
+            seen[k] = v
+            return self
+
+        def getOrCreate(self):
+            raise RuntimeError("stop-before-jvm")
+
+    monkeypatch.setattr(
+        session_mod.SparkSession, "builder", FakeBuilder()
+    )
+    with pytest.raises(RuntimeError, match="stop-before-jvm"):
+        session_mod.get_spark(cloud=True)
+    for k, v in s3a_magic_committer_confs().items():
+        assert seen.get(k) == v
+    # and cloud=False (default) leaves them out
+    seen.clear()
+    with pytest.raises(RuntimeError, match="stop-before-jvm"):
+        session_mod.get_spark(cloud=False)
+    assert "spark.hadoop.fs.s3a.committer.name" not in seen
