@@ -262,6 +262,14 @@ SF1_KEYS = [
     "mm_decode_meta", "mm_frame_sample", "mm_resize",
     "mm_feature_extract", "join_asof", "join_salted", "agg_cube",
     "agg_grouping_sets", "llm_sim_search", "agg_sketch_merge",
+    # round-8 second wave: the pipeline WRITE family — each key stages
+    # scratch inputs from the given sf_dir, so at sf1.0 the streaming
+    # file-source drain, the partitioned append sink, the COPY-manifest
+    # export, and the MERGE-shaped gold upsert all genuinely move 10x
+    # rows through their write paths (the cloud-posture surface's local
+    # proxy; I/O-bound by design).
+    "ingest_incremental", "sink_partitioned", "export_warehouse",
+    "rollup_upsert",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 
