@@ -270,6 +270,13 @@ SF1_KEYS = [
     # proxy; I/O-bound by design).
     "ingest_incremental", "sink_partitioned", "export_warehouse",
     "rollup_upsert",
+    # round-8 third wave: the batch-replay streaming window family —
+    # staged from the measured sf_dir, so sf1.0 drains 10x events
+    # through the state store (10x users/windows: state grows in KEY
+    # COUNT at constant per-key size, the shape watermark eviction
+    # keeps bounded on a live stream).
+    "stream_tumbling", "stream_sliding", "stream_late_data",
+    "stream_dedup", "stream_join",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 
