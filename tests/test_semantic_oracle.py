@@ -1533,3 +1533,291 @@ def test_kmeans_matches_numpy_lloyd(spark):
     for vid, cid, dd in zip(ids, assign, best):
         assert got.loc[vid, "cid"] == cid
         assert got.loc[vid, "d2_q"] == pytest.approx(dd, abs=1e-5)
+
+
+def _nation_pairs() -> pd.DataFrame:
+    """One (c_nationkey, s_nationkey) row per lineitem — pandas rebuild
+    of the shared fact-join reduction behind the nation graph keys."""
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_orderkey", "l_suppkey"]
+    ]
+    orders = pd.read_parquet(f"{SF}/orders.parquet")[
+        ["o_orderkey", "o_custkey"]
+    ]
+    cust = pd.read_parquet(f"{SF}/customer.parquet")[
+        ["c_custkey", "c_nationkey"]
+    ]
+    supp = pd.read_parquet(f"{SF}/supplier.parquet")[
+        ["s_suppkey", "s_nationkey"]
+    ]
+    return (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    )[["c_nationkey", "s_nationkey"]]
+
+
+def test_triangles_match_brute_force(spark):
+    got = _spark_df(spark, "graph_triangles")
+    pairs = _nation_pairs()
+    pairs = pairs[pairs["c_nationkey"] != pairs["s_nationkey"]]
+    edges = {
+        (min(a, b), max(a, b))
+        for a, b in zip(pairs["c_nationkey"], pairs["s_nationkey"])
+    }
+    nodes = sorted({n for e in edges for n in e})
+    tris = {
+        (a, b, c)
+        for i, a in enumerate(nodes)
+        for b in nodes[i + 1 :]
+        if (a, b) in edges
+        for c in nodes
+        if c > b and (b, c) in edges and (a, c) in edges
+    }
+    assert {
+        (r.na, r.nb, r.nc) for r in got.itertuples()
+    } == tris
+    assert len(got) == len(tris)
+
+
+def test_clustering_coeff_matches_brute_force(spark):
+    got = _spark_df(spark, "graph_clustering_coeff").set_index("node")
+    edges = _co_order_edges()
+    nbrs = edges.groupby("node")["nbr"].agg(set)
+    for node, ns in nbrs.items():
+        d = len(ns)
+        tri = sum(
+            1
+            for u in ns
+            for v in ns
+            if u < v and v in nbrs.get(u, set())
+        )
+        assert got.loc[node, "degree"] == d
+        assert got.loc[node, "n_triangles"] == tri
+        if d >= 2:
+            assert got.loc[node, "clustering"] == pytest.approx(
+                2 * tri / (d * (d - 1)), abs=2e-6
+            )
+        else:
+            assert pd.isna(got.loc[node, "clustering"])
+
+
+def test_jaccard_matches_set_arithmetic(spark):
+    got = _spark_df(spark, "graph_jaccard").set_index(
+        ["supp_a", "supp_b"]
+    )
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_suppkey", "l_partkey"]
+    ].drop_duplicates()
+    parts = li.groupby("l_suppkey")["l_partkey"].agg(set)
+    supps = sorted(parts.index)
+    n_pairs = 0
+    for i, a in enumerate(supps):
+        for b in supps[i + 1 :]:
+            inter = len(parts[a] & parts[b])
+            if not inter:
+                continue
+            n_pairs += 1
+            row = got.loc[(a, b)]
+            union = len(parts[a] | parts[b])
+            assert row["common_parts"] == inter
+            assert (row["deg_a"], row["deg_b"]) == (
+                len(parts[a]), len(parts[b]),
+            )
+            assert row["jaccard"] == pytest.approx(
+                inter / union, abs=2e-6
+            )
+    assert len(got) == n_pairs
+
+
+def test_components_match_union_find(spark):
+    got = _spark_df(spark, "graph_components").set_index("n_name")
+    pairs = _nation_pairs()
+    pairs = pairs[pairs["c_nationkey"] != pairs["s_nationkey"]]
+    cnt = (
+        pairs.assign(
+            a=pairs.min(axis=1), b=pairs.max(axis=1)
+        )
+        .groupby(["a", "b"])
+        .size()
+    )
+    kept = cnt[2 * cnt >= cnt.max()]
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    parent = {k: k for k in nat["n_nationkey"]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (a, b) in kept.index:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    name_of = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    for k in nat["n_nationkey"]:
+        # component label = smallest reachable key (union-find with
+        # min-root merging preserves exactly that)
+        assert got.loc[name_of[k], "component"] == find(k)
+
+
+def test_label_propagation_matches_sync_replay(spark):
+    got = _spark_df(spark, "graph_label_propagation").set_index(
+        "nationkey"
+    )
+    pairs = _nation_pairs()
+    pairs = pairs[pairs["c_nationkey"] != pairs["s_nationkey"]]
+    directed = pairs.groupby(
+        ["c_nationkey", "s_nationkey"]
+    ).size().rename("w").reset_index()
+    rev = directed.rename(
+        columns={"c_nationkey": "s_nationkey", "s_nationkey": "c_nationkey"}
+    )
+    und = (
+        pd.concat([directed, rev])
+        .groupby(["c_nationkey", "s_nationkey"])["w"]
+        .sum()
+        .reset_index()
+        .rename(columns={"c_nationkey": "src", "s_nationkey": "dst"})
+    )
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    labels = {k: k for k in nat["n_nationkey"]}
+    for _ in range(3):
+        incoming = {}
+        for src, dst, w in zip(und["src"], und["dst"], und["w"]):
+            lab = labels[src]
+            incoming.setdefault(dst, {}).setdefault(lab, 0)
+            incoming[dst][lab] += w
+        new = dict(labels)
+        for node, lw in incoming.items():
+            best = sorted(lw.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            new[node] = best[0]
+        labels = new
+    for k in nat["n_nationkey"]:
+        assert got.loc[k, "community"] == labels[k]
+
+
+def test_reciprocity_matches_min_over_sum(spark):
+    got = _spark_df(spark, "graph_reciprocity").set_index(
+        ["nation_a", "nation_b"]
+    )
+    pairs = _nation_pairs()
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    name_of = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    df = pd.DataFrame({
+        "cn": pairs["c_nationkey"].map(name_of),
+        "sn": pairs["s_nationkey"].map(name_of),
+    })
+    df = df[df["cn"] != df["sn"]]
+    w = df.groupby(["cn", "sn"]).size()
+    seen = set()
+    for (cn, sn) in w.index:
+        a, b = min(cn, sn), max(cn, sn)
+        if (a, b) in seen:
+            continue
+        seen.add((a, b))
+        w_ab = int(w.get((a, b), 0))
+        w_ba = int(w.get((b, a), 0))
+        row = got.loc[(a, b)]
+        assert (row["w_ab"], row["w_ba"]) == (w_ab, w_ba)
+        assert row["reciprocity"] == pytest.approx(
+            2 * min(w_ab, w_ba) / (w_ab + w_ba), abs=2e-6
+        )
+    assert len(got) == len(seen)
+
+
+def test_resource_alloc_matches_weighted_common_neighbors(spark):
+    got = _spark_df(spark, "graph_resource_alloc")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_suppkey", "l_partkey"]
+    ].drop_duplicates()
+    pdeg = li.groupby("l_partkey").size()
+    parts = li.groupby("l_suppkey")["l_partkey"].agg(set)
+    supps = sorted(parts.index)
+    scores = {}
+    for i, a in enumerate(supps):
+        for b in supps[i + 1 :]:
+            shared = parts[a] & parts[b]
+            if shared:
+                ra = sum(
+                    math.floor(1_000_000_000_000 / pdeg[p])
+                    for p in shared
+                )
+                scores[(a, b)] = (len(shared), ra)
+    # engine emits top-10 per supp_a by (ra DESC, supp_b ASC)
+    expect = []
+    for a in supps:
+        cands = sorted(
+            ((b, v) for (x, b), v in scores.items() if x == a),
+            key=lambda t: (-t[1][1], t[0]),
+        )[:10]
+        for rk, (b, (common, ra)) in enumerate(cands, 1):
+            expect.append((a, b, rk, common, ra))
+    got_rows = [
+        (r.supp_a, r.supp_b, r.rk, r.common_parts, r.ra_scaled)
+        for r in got.itertuples()
+    ]
+    assert sorted(got_rows) == sorted(expect)
+
+
+def test_degree_dist_matches_histogram(spark):
+    got = _spark_df(spark, "graph_degree_dist").set_index("degree")
+    edges = _co_order_edges()
+    hist = edges.groupby("node").size().value_counts()
+    assert sorted(got.index) == sorted(hist.index)
+    for d, n in hist.items():
+        assert got.loc[d, "n_parts"] == n
+
+
+def test_bfs_matches_python_bfs(spark):
+    got = _spark_df(spark, "graph_bfs").set_index("part")
+    edges = _co_order_edges()
+    adj = edges.groupby("node")["nbr"].agg(list).to_dict()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    src = int(li["l_partkey"].min())
+    from collections import deque
+
+    dist = {src: 0}
+    dq = deque([src])
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= 10:  # BFS_MAX_HOPS
+            continue
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    assert dict(zip(got.index, got["hops"])) == dist
+
+
+def test_drawdown_matches_running_max_replay(spark, events):
+    got = _spark_df(spark, "win_drawdown").set_index("user_id")
+    ev = events[events["value"].notna()].sort_values(["ts", "event_id"])
+    for uid, grp in ev.groupby("user_id"):
+        v = (grp["value"] * 10000).round().astype("int64").to_numpy()
+        peaks = np.maximum.accumulate(v)
+        dd = peaks - v
+        i = int(np.argmax(dd))  # earliest max (ts order)
+        assert got.loc[uid, "max_drawdown"] == pytest.approx(
+            dd[i] / 1e4
+        )
+        assert got.loc[uid, "peak_value"] == pytest.approx(
+            peaks[i] / 1e4
+        )
+
+
+def test_anomaly_mad_matches_rank_medians(spark, events):
+    got = _spark_df(spark, "ts_anomaly_mad").set_index("event_type")
+    ev = events[events["value"].notna()]
+    for ty, grp in ev.groupby("event_type"):
+        x = np.sort(grp["value"].to_numpy())
+        n = len(x)
+        med = x[math.ceil(0.5 * n) - 1]  # rank-based, no interpolation
+        dev = np.sort(np.abs(grp["value"].to_numpy() - med))
+        mad = dev[math.ceil(0.5 * n) - 1]
+        n_out = int((np.abs(grp["value"].to_numpy() - med) > 3 * mad).sum())
+        assert got.loc[ty, "n_vals"] == n
+        assert got.loc[ty, "med"] == pytest.approx(med)
+        assert got.loc[ty, "mad"] == pytest.approx(mad)
+        assert got.loc[ty, "n_outliers"] == n_out
