@@ -1821,3 +1821,153 @@ def test_anomaly_mad_matches_rank_medians(spark, events):
         assert got.loc[ty, "med"] == pytest.approx(med)
         assert got.loc[ty, "mad"] == pytest.approx(mad)
         assert got.loc[ty, "n_outliers"] == n_out
+
+
+# ---------------------------------------------------------------------
+# Text/LLM analysis family — Python-re/hashlib third implementations
+# (regex-engine divergence — RE2 vs Java — is this family's bug class).
+# ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF}/documents.parquet")
+
+
+def _ascii_lower(s: str) -> str:
+    return s.translate(
+        str.maketrans(
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+        )
+    )
+
+
+def test_text_stats_matches_counter(spark, docs):
+    from collections import Counter
+
+    got = _spark_df(spark, "llm_text_stats")
+    for lang, grp in docs.groupby("lang"):
+        cnt: Counter = Counter()
+        for txt in grp["text"]:
+            cnt.update(tok for tok in txt.split(" ") if tok)
+        total = sum(cnt.values())
+        top3 = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        sub = got[got["lang"] == lang].sort_values("term_rank")
+        assert list(sub["term"]) == [t for t, _ in top3]
+        assert list(sub["term_count"]) == [c for _, c in top3]
+        assert (sub["lang_tokens"] == total).all()
+
+
+def test_lang_filter_matches_brute_force(spark, docs):
+    got = _spark_df(spark, "llm_lang_filter").set_index(
+        ["lang", "source"]
+    )
+    sel = docs[
+        docs["lang"].isin(["en", "de"])
+        & docs["n_chars"].between(100, 400)
+    ]
+    assert len(got) == sel.groupby(["lang", "source"]).ngroups
+    for (lang, src), grp in sel.groupby(["lang", "source"]):
+        row = got.loc[(lang, src)]
+        assert row["doc_count"] == len(grp)
+        assert row["avg_chars"] == pytest.approx(
+            grp["n_chars"].mean(), abs=1e-2
+        )
+        assert row["min_chars"] == grp["n_chars"].min()
+        assert row["max_chars"] == grp["n_chars"].max()
+
+
+def test_lang_id_matches_marker_counts(spark, docs):
+    got = _spark_df(spark, "llm_lang_id").set_index("doc_id")
+    markers = {
+        "en": {"the", "and", "of"},
+        "es": {"el", "la", "que"},
+        "de": {"der", "und", "die"},
+        "fr": {"le", "et", "les"},
+        "zh": {"de", "shi", "le"},
+    }
+    order = ["en", "es", "de", "fr", "zh"]
+    for _, r in docs.iterrows():
+        toks = _ascii_lower(r["text"]).split(" ")
+        scores = {
+            lg: sum(1 for t in toks if t in ms)
+            for lg, ms in markers.items()
+        }
+        best = max(order, key=lambda lg: (scores[lg], -order.index(lg)))
+        row = got.loc[r["doc_id"]]
+        for lg in order:
+            assert row[f"s_{lg}"] == scores[lg]
+        assert row["guessed_lang"] == best
+
+
+def test_quality_score_matches_python_formula(spark, docs):
+    import re as _re
+
+    got = _spark_df(spark, "llm_quality_score").set_index("doc_id")
+    stopset = {"the", "a", "and", "of", "to"}
+    pat = _re.compile(r"[^A-Za-z \t\n\r\f\x0B]")
+    for _, r in docs.iterrows():
+        text = r["text"]
+        toks = text.split(" ")
+        n_tok = len(toks)
+        n_chars = len(text)
+        stop = sum(
+            1 for t in _ascii_lower(text).split(" ") if t in stopset
+        )
+        nonalpha = len(pat.findall(text))
+        mean_len = (n_chars - (n_tok - 1)) / n_tok
+        row = got.loc[r["doc_id"]]
+        assert row["n_tokens"] == n_tok
+        assert row["mean_token_len"] == pytest.approx(
+            mean_len, abs=2e-4
+        )
+        assert row["stopword_ratio"] == pytest.approx(
+            stop / n_tok, abs=2e-4
+        )
+        if n_chars:
+            assert row["nonalpha_ratio"] == pytest.approx(
+                nonalpha / n_chars, abs=2e-4
+            )
+            score = (
+                min(n_tok / 100.0, 1.0) * 0.4
+                + min(mean_len / 8.0, 1.0) * 0.2
+                + (stop / n_tok) * 0.2
+                + (1.0 - nonalpha / n_chars) * 0.2
+            )
+            assert row["quality_score"] == pytest.approx(
+                score, abs=2e-4
+            )
+
+
+def test_token_count_matches_python_re(spark, docs):
+    import re as _re
+
+    got = _spark_df(spark, "llm_token_count").set_index("doc_id")
+    pat = _re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f\x0B]")
+    for _, r in docs.iterrows():
+        row = got.loc[r["doc_id"]]
+        assert row["ws_tokens"] == len(r["text"].split(" "))
+        assert row["bpe_ish_tokens"] == len(
+            pat.findall(_ascii_lower(r["text"]))
+        )
+        assert row["n_chars_measured"] == len(r["text"])
+
+
+def test_fingerprint_matches_hashlib(spark, docs):
+    import hashlib
+    import re as _re
+
+    got = _spark_df(spark, "llm_fingerprint").set_index("doc_id")
+    ws = _re.compile(r"[ \t\n\r\f\x0B]+")
+    fps = {}
+    for _, r in docs.iterrows():
+        norm = _ascii_lower(ws.sub(" ", r["text"]).strip())
+        fps[r["doc_id"]] = hashlib.md5(
+            norm.encode("utf-8")
+        ).hexdigest()
+    from collections import Counter
+
+    freq = Counter(fps.values())
+    for did, fp in fps.items():
+        assert got.loc[did, "fp"] == fp
+        assert bool(got.loc[did, "is_dup"]) == (freq[fp] > 1)
