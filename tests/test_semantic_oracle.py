@@ -1971,3 +1971,188 @@ def test_fingerprint_matches_hashlib(spark, docs):
     for did, fp in fps.items():
         assert got.loc[did, "fp"] == fp
         assert bool(got.loc[did, "is_dup"]) == (freq[fp] > 1)
+
+
+def test_pareto_matches_cumulative_crossing(spark, events):
+    got = _spark_df(spark, "win_pareto").set_index("event_type")
+    ev = events[events["value"].notna()]
+    for ty, grp in ev.groupby("event_type"):
+        g = grp.sort_values(
+            ["value", "event_id"], ascending=[False, True]
+        )
+        v = (g["value"] * 10000).round().astype("int64").to_numpy()
+        cum = np.cumsum(v)
+        tot = int(v.sum())
+        k = int(np.argmax(5 * cum >= 4 * tot)) + 1  # first crossing
+        assert got.loc[ty, "k_events"] == k
+        assert got.loc[ty, "n_events"] == len(v)
+        assert got.loc[ty, "top_frac"] == pytest.approx(
+            k / len(v), abs=2e-6
+        )
+        assert got.loc[ty, "covered_share"] == pytest.approx(
+            cum[k - 1] / tot, abs=2e-6
+        )
+
+
+def test_retention_matches_cohort_triangle(spark, events):
+    got = _spark_df(spark, "win_retention").set_index(
+        ["cohort_day", "day_offset"]
+    )
+    ud = events[["user_id", "day"]].drop_duplicates()
+    cohort = ud.groupby("user_id")["day"].min().rename("cohort")
+    ud = ud.merge(cohort, left_on="user_id", right_index=True)
+    ud["offset"] = (ud["day"] - ud["cohort"]).dt.days
+    ud["cd"] = ud["cohort"].dt.strftime("%Y-%m-%d")
+    cells = ud.groupby(["cd", "offset"]).size()
+    assert len(got) == len(cells)
+    for (cd, off), n in cells.items():
+        size = cells[(cd, 0)]
+        row = got.loc[(cd, off)]
+        assert row["n_active"] == n
+        assert row["cohort_size"] == size
+        assert row["retention"] == pytest.approx(n / size, abs=2e-6)
+
+
+def test_funnel_matches_sequential_replay(spark, events):
+    got = _spark_df(spark, "agg_funnel").set_index("stage")
+    v = c = p = 0
+    for uid, grp in events.groupby("user_id"):
+        g = grp.sort_values("ts")
+        tv = g.loc[g["event_type"] == "view", "ts"].min()
+        if pd.isna(tv):
+            continue
+        v += 1
+        tc = g.loc[
+            (g["event_type"] == "click") & (g["ts"] > tv), "ts"
+        ].min()
+        if pd.isna(tc):
+            continue
+        c += 1
+        tp = g.loc[
+            (g["event_type"] == "purchase") & (g["ts"] > tc), "ts"
+        ].min()
+        if pd.isna(tp):
+            continue
+        p += 1
+    assert got.loc["1_view", "users"] == v
+    assert got.loc["2_view_click", "users"] == c
+    assert got.loc["3_view_click_purchase", "users"] == p
+
+
+def test_heavy_hitters_match_exact_threshold(spark, docs):
+    """The Misra-Gries candidate pass is a superset guarantee; the
+    final output must equal the EXACT set {term : freq >= N/32} —
+    recomputed with a plain Counter."""
+    from collections import Counter
+
+    got = _spark_df(spark, "agg_heavy_hitters").set_index("term")
+    cnt: Counter = Counter()
+    for txt in docs["text"].dropna():
+        cnt.update(t for t in txt.split(" ") if t)
+    n_total = sum(cnt.values())
+    expect = {t: f for t, f in cnt.items() if f * 32 >= n_total}
+    assert set(got.index) == set(expect)
+    for t, f in expect.items():
+        assert got.loc[t, "freq"] == f
+        assert got.loc[t, "share_q4"] == pytest.approx(
+            f / n_total, abs=2e-4
+        )
+
+
+def test_active_users_match_brute_force(spark, events):
+    got = _spark_df(spark, "ts_active_users").set_index("epoch_day")
+    ud = events[["user_id", "day"]].drop_duplicates().copy()
+    ud["d"] = (ud["day"] - pd.Timestamp("1970-01-01")).dt.days
+    first = ud.groupby("user_id")["d"].min()
+    days = sorted(ud["d"].unique())
+    cum = 0
+    for d in days:
+        dau = ud.loc[ud["d"] == d, "user_id"].nunique()
+        wau = ud.loc[ud["d"].between(d - 6, d), "user_id"].nunique()
+        new = int((first == d).sum())
+        cum += new
+        row = got.loc[d]
+        assert row["dau"] == dau
+        assert row["wau"] == wau
+        assert row["new_users"] == new
+        assert row["cum_users"] == cum
+
+
+def test_uniqueness_matches_value_counts(spark):
+    got = _spark_df(spark, "dq_uniqueness").set_index("key_name")
+    specs = [
+        ("orders", ["o_orderkey"], "orders.o_orderkey"),
+        ("customer", ["c_custkey"], "customer.c_custkey"),
+        ("part", ["p_partkey"], "part.p_partkey"),
+        ("supplier", ["s_suppkey"], "supplier.s_suppkey"),
+        ("events", ["event_id"], "events.event_id"),
+        ("documents", ["doc_id"], "documents.doc_id"),
+        (
+            "lineitem",
+            ["l_orderkey", "l_linenumber"],
+            "lineitem.(l_orderkey,l_linenumber)",
+        ),
+    ]
+    for tbl, keys, label in specs:
+        df = pd.read_parquet(f"{SF}/{tbl}.parquet")[keys]
+        vc = df.groupby(keys).size()
+        row = got.loc[label]
+        assert row["n_rows"] == len(df)
+        assert row["n_keys"] == len(vc)
+        assert row["dup_keys"] == int((vc > 1).sum())
+        assert row["max_multiplicity"] == int(vc.max())
+
+
+def test_freshness_matches_epoch_arithmetic(spark, events):
+    got = _spark_df(spark, "dq_freshness").set_index("event_type")
+    ev = events.copy()
+    ev["us"] = (
+        pd.to_datetime(ev["ts"]).astype("datetime64[ns]").astype("int64")
+        // 1000
+    )
+    gmax = int(ev["us"].max())
+    for ty, grp in ev.groupby("event_type"):
+        mx = int(grp["us"].max())
+        lag_min = (gmax - mx) // 60000000
+        tier = (
+            "fresh" if lag_min < 60
+            else "stale" if lag_min < 1440
+            else "dead"
+        )
+        row = got.loc[ty]
+        assert row["n_events"] == len(grp)
+        assert row["latest_us"] == mx
+        assert row["lag_minutes"] == lag_min
+        assert row["tier"] == tier
+        assert row["n_last_24h"] == int(
+            (grp["us"] > gmax - 86400000000).sum()
+        )
+
+
+def test_share_shift_matches_half_shares(spark):
+    got = _spark_df(spark, "agg_share_shift").set_index("nation")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    df = orders.merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    ).merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    d = (
+        pd.to_datetime(df["o_orderdate"]) - pd.Timestamp("1970-01-01")
+    ).dt.days
+    mid = (d.min() + d.max() + 1) // 2
+    df["half"] = (d >= mid).astype(int)
+    df["rev"] = (df["o_totalprice"] * 10000).round().astype("int64")
+    t1 = int(df.loc[df["half"] == 0, "rev"].sum())
+    t2 = int(df.loc[df["half"] == 1, "rev"].sum())
+    for name, grp in df.groupby("n_name"):
+        r1 = int(grp.loc[grp["half"] == 0, "rev"].sum())
+        r2 = int(grp.loc[grp["half"] == 1, "rev"].sum())
+        row = got.loc[name]
+        assert row["rev_h1"] == pytest.approx(r1 / 1e4, abs=1e-2)
+        assert row["rev_h2"] == pytest.approx(r2 / 1e4, abs=1e-2)
+        assert row["share_h1"] == pytest.approx(r1 / t1, abs=2e-6)
+        assert row["share_h2"] == pytest.approx(r2 / t2, abs=2e-6)
+        assert row["share_delta"] == pytest.approx(
+            r2 / t2 - r1 / t1, abs=3e-6
+        )
