@@ -2156,3 +2156,151 @@ def test_share_shift_matches_half_shares(spark):
         assert row["share_delta"] == pytest.approx(
             r2 / t2 - r1 / t1, abs=3e-6
         )
+
+
+def test_tfidf_matches_counter_arithmetic(spark, docs):
+    from collections import Counter
+
+    got = _spark_df(spark, "llm_tfidf").set_index("doc_id")
+    tf = {}
+    df: Counter = Counter()
+    for _, r in docs.iterrows():
+        cnt = Counter(t for t in r["text"].split(" ") if t)
+        if cnt:
+            tf[r["doc_id"]] = cnt
+            df.update(cnt.keys())
+    n_docs = len(tf)
+    for did, cnt in tf.items():
+        scored = {
+            term: math.floor(c * n_docs / df[term] * 1e4) / 1e4
+            for term, c in cnt.items()
+        }
+        best = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert got.loc[did, "top_term"] == best[0]
+        assert got.loc[did, "tfidf"] == pytest.approx(best[1])
+
+
+def test_collocations_match_discounted_lift(spark, docs):
+    from collections import Counter
+
+    got = _spark_df(spark, "llm_collocations").set_index(
+        ["term_a", "term_b"]
+    )
+    uni: Counter = Counter()
+    pairs: Counter = Counter()
+    for txt in docs["text"].dropna():
+        toks = [t for t in txt.split(" ") if t]
+        uni.update(toks)
+        pairs.update(zip(toks, toks[1:]))
+    n_tok = sum(uni.values())
+    expect = {}
+    for (a, b), c_ab in pairs.items():
+        if c_ab < 5:
+            continue
+        score = (c_ab - 5.0) * n_tok / (uni[a] * uni[b])
+        if math.floor(score * 1e6) / 1e6 > 1.0:
+            expect[(a, b)] = (c_ab, uni[a], uni[b], score)
+    assert set(got.index) == set(expect)
+    for key, (c_ab, c_a, c_b, score) in expect.items():
+        row = got.loc[key]
+        assert row["pair_count"] == c_ab
+        assert (row["count_a"], row["count_b"]) == (c_a, c_b)
+        assert row["phrase_score"] == pytest.approx(score, abs=2e-6)
+
+
+def test_gap_detect_matches_diff_scan(spark, events):
+    got = _spark_df(spark, "ts_gap_detect")
+    got_set = {
+        (r.user_id, r.gap_start_us, r.gap_end_us)
+        for r in got.itertuples()
+    }
+    ev = events.sort_values(["ts", "event_id"]).copy()
+    ev["us"] = (
+        pd.to_datetime(ev["ts"]).astype("datetime64[ns]").astype("int64")
+        // 1000
+    )
+    expect = set()
+    thr = 24 * 3600 * 1_000_000
+    for uid, grp in ev.groupby("user_id"):
+        us = grp["us"].to_list()
+        for prev, cur in zip(us, us[1:]):
+            if cur - prev > thr:
+                expect.add((uid, prev, cur))
+    assert got_set == expect
+    for r in got.itertuples():
+        assert r.gap_us == r.gap_end_us - r.gap_start_us
+
+
+def test_saturation_matches_edge_pileup(spark, events):
+    got = _spark_df(spark, "dq_saturation").set_index("event_type")
+    ev = events[events["value"].notna()]
+    for ty, grp in ev.groupby("event_type"):
+        v = (grp["value"] * 10000).round().astype("int64")
+        row = got.loc[ty]
+        assert row["n"] == len(v)
+        assert row["v_min"] == pytest.approx(v.min() / 1e4)
+        assert row["v_max"] == pytest.approx(v.max() / 1e4)
+        assert row["n_at_min"] == int((v == v.min()).sum())
+        assert row["n_at_max"] == int((v == v.max()).sum())
+        assert row["max_pileup_share"] == pytest.approx(
+            (v == v.max()).sum() / len(v), abs=2e-6
+        )
+
+
+def test_temporal_integrity_matches_date_arithmetic(spark):
+    got = _spark_df(spark, "dq_temporal_integrity").set_index("priority")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_orderkey", "l_shipdate"]
+    ]
+    orders = pd.read_parquet(f"{SF}/orders.parquet")[
+        ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ]
+    df = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    lag = (
+        pd.to_datetime(df["l_shipdate"]).dt.floor("D")
+        - pd.to_datetime(df["o_orderdate"]).dt.floor("D")
+    ).dt.days
+    df["lag"] = lag
+    for pri, grp in df.groupby("o_orderpriority"):
+        ok = grp[grp["lag"] >= 0]
+        row = got.loc[pri]
+        assert row["n"] == len(grp)
+        assert row["n_violations"] == int((grp["lag"] < 0).sum())
+        assert row["min_lag_days"] == grp["lag"].min()
+        assert row["max_lag_days"] == grp["lag"].max()
+        if len(ok):
+            assert row["mean_lag_days"] == pytest.approx(
+                ok["lag"].mean(), abs=2e-6
+            )
+
+
+def test_completeness_trend_matches_cross_multiplied_mk(spark, events):
+    got = _spark_df(spark, "dq_completeness_trend").set_index(
+        "epoch_day"
+    )
+    ev = events.copy()
+    ev["d"] = (ev["day"] - pd.Timestamp("1970-01-01")).dt.days
+    daily = ev.groupby("d").agg(
+        n=("event_id", "size"),
+        nv=("value", lambda s: int(s.isna().sum())),
+        np_=("props", lambda s: int(s.isna().sum())),
+    )
+    days = sorted(daily.index)
+    s = 0
+    for i, di in enumerate(days):
+        for dj in days[i + 1 :]:
+            cross = (
+                daily.loc[dj, "nv"] * daily.loc[di, "n"]
+                - daily.loc[di, "nv"] * daily.loc[dj, "n"]
+            )
+            s += int(np.sign(cross))
+    for d in days:
+        row = got.loc[d]
+        assert row["n"] == daily.loc[d, "n"]
+        assert row["null_value_rate"] == pytest.approx(
+            daily.loc[d, "nv"] / daily.loc[d, "n"], abs=2e-6
+        )
+        assert row["null_props_rate"] == pytest.approx(
+            daily.loc[d, "np_"] / daily.loc[d, "n"], abs=2e-6
+        )
+        assert row["mk_s_value_nulls"] == s
