@@ -2304,3 +2304,138 @@ def test_completeness_trend_matches_cross_multiplied_mk(spark, events):
             daily.loc[d, "np_"] / daily.loc[d, "n"], abs=2e-6
         )
         assert row["mk_s_value_nulls"] == s
+
+
+def test_bigram_lm_matches_counter_probability(spark, docs):
+    from collections import Counter
+
+    got = _spark_df(spark, "llm_bigram_lm").set_index("doc_id")
+    per_doc = {}
+    corpus: Counter = Counter()
+    for _, r in docs.iterrows():
+        toks = r["text"].split(" ")
+        grams = [
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ] if len(toks) >= 2 else []
+        if grams:
+            per_doc[r["doc_id"]] = grams
+            corpus.update(grams)
+    total = sum(corpus.values())
+    assert set(got.index) == set(per_doc)
+    for did, grams in per_doc.items():
+        avg_p = sum(corpus[g] / total for g in grams) / len(grams)
+        assert got.loc[did, "n_bigrams"] == len(grams)
+        assert got.loc[did, "avg_p"] == pytest.approx(avg_p, abs=2e-9)
+
+
+def test_ngram_novelty_matches_distinct_df(spark, docs):
+    from collections import Counter
+
+    got = _spark_df(spark, "llm_ngram_novelty").set_index("doc_id")
+    per_doc = {}
+    df: Counter = Counter()
+    for _, r in docs.iterrows():
+        toks = r["text"].split(" ")
+        grams = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        if grams:
+            per_doc[r["doc_id"]] = grams
+            df.update(grams)
+    assert set(got.index) == set(per_doc)
+    for did, grams in per_doc.items():
+        uniq = sum(1 for g in grams if df[g] == 1)
+        assert got.loc[did, "n_grams"] == len(grams)
+        assert got.loc[did, "n_unique"] == uniq
+        assert got.loc[did, "novelty"] == pytest.approx(
+            math.floor(uniq * 1e4 / len(grams)) / 1e4
+        )
+
+
+def test_winnow_matches_python_replay(spark, docs):
+    import hashlib
+
+    got = _spark_df(spark, "llm_winnow_fingerprint")
+    got_set = {(r.doc_id, r.fp) for r in got.itertuples()}
+    K, W = 4, 4
+    expect = set()
+    for _, r in docs.iterrows():
+        if r["text"] is None:
+            continue
+        toks = r["text"].split(" ")
+        if len(toks) < K:
+            continue
+        hs = [
+            hashlib.md5(
+                " ".join(toks[i : i + K]).encode("utf-8")
+            ).hexdigest()[:12]
+            for i in range(len(toks) - K + 1)
+        ]
+        for s in range(len(hs) - W + 1):
+            expect.add((r["doc_id"], min(hs[s : s + W])))
+    assert got_set == expect
+
+
+def test_churn_labels_match_window_replay(spark, events):
+    got = _spark_df(spark, "ml_churn_labels").set_index("user_id")
+    ev = events.copy()
+    ev["d"] = (ev["day"] - pd.Timestamp("1970-01-01")).dt.days
+    cut = int(ev["d"].max()) - 6
+    n_rows = 0
+    for uid, grp in ev.groupby("user_id"):
+        obs = grp[grp["d"] < cut]
+        lab = grp[grp["d"] >= cut]
+        if not len(obs):
+            assert uid not in got.index
+            continue
+        n_rows += 1
+        row = got.loc[uid]
+        assert row["n_events"] == len(obs)
+        assert row["active_days"] == obs["d"].nunique()
+        assert row["n_purchases"] == int(
+            (obs["event_type"] == "purchase").sum()
+        )
+        tv = (
+            (obs["value"].dropna() * 10000).round().astype("int64").sum()
+        )
+        assert row["total_value"] == pytest.approx(tv / 1e4, abs=1e-3)
+        assert row["recency_days"] == cut - int(obs["d"].max())
+        assert row["churned"] == int(len(lab) == 0)
+    assert len(got) == n_rows
+
+
+def test_gap_fill_matches_spine(spark, events):
+    got = _spark_df(spark, "ts_gap_fill").set_index(
+        ["event_type", "epoch_day"]
+    )
+    ev = events.copy()
+    ev["d"] = (ev["day"] - pd.Timestamp("1970-01-01")).dt.days
+    observed = ev.groupby(["event_type", "d"]).size()
+    lo = int(ev["d"].min())
+    hi = int(ev["d"].max())
+    types = sorted(ev["event_type"].unique())
+    assert len(got) == len(types) * (hi - lo + 1)
+    for ty in types:
+        for d in range(lo, hi + 1):
+            row = got.loc[(ty, d)]
+            vol = int(observed.get((ty, d), 0))
+            assert row["volume"] == vol
+            assert row["is_gap"] == int((ty, d) not in observed)
+
+
+def test_embedding_audit_matches_numpy_norms(spark):
+    got = _spark_df(spark, "dq_embedding_audit").set_index("label")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    for lab, grp in emb.groupby("label"):
+        m = np.stack(grp["embedding"].to_numpy()).astype(float)
+        norms = np.sqrt((m**2).sum(axis=1))
+        row = got.loc[lab]
+        assert row["n_vecs"] == len(grp)
+        assert row["n_dim_drift"] == int((m.shape[1] != 64) * len(grp))
+        assert row["n_zero_vec"] == int((norms < 1e-6).sum())
+        assert row["n_nonfinite"] == int((~np.isfinite(m)).sum())
+        assert row["mean_norm"] == pytest.approx(
+            norms.mean(), abs=2e-5
+        )
+        assert row["min_norm"] == pytest.approx(norms.min(), abs=2e-5)
+        assert row["max_norm"] == pytest.approx(norms.max(), abs=2e-5)
