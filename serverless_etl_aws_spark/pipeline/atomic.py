@@ -137,10 +137,13 @@ class AtomicPartitionedTable:
         uri = jvm.org.apache.hadoop.fs.Path(self.root).toUri()
         scheme = uri.getScheme()
         if scheme is not None:
-            return str(scheme)
+            # lowercased to match cloud.py's _scheme_of: an
+            # uppercase-scheme URI ("HDFS://...") must hit the same
+            # allowlist entry as its canonical form
+            return str(scheme).lower()
         # No scheme on the path → whatever fs.defaultFS resolves to
         # (file: on a local deploy, hdfs: on a cluster).
-        return str(self._fs().getUri().getScheme() or "file")
+        return str(self._fs().getUri().getScheme() or "file").lower()
 
     def _rename(self, src_jpath, dst_jpath) -> bool:
         """The raw FS rename — the commit primitive, isolated as a seam

@@ -23,8 +23,10 @@ endpoint), so nothing here talks to a real object store. What IS real:
   ``SparkSession.Builder`` (or any object with ``.config(k, v)``).
 
 Relation to the reference: the reference runs its sinks on S3 via Glue
-(terraform/main.tf:40-48, src/glue_jobs/bronze_to_silver.py) and never
-states a committer, inheriting whatever the Glue runtime defaults to.
+(aws_glue_job "bronze_to_silver", terraform/main.tf:493-501, running
+src/glue_scripts/bronze_to_silver.py against the silver/gold buckets,
+main.tf:357-365) and never states a committer, inheriting whatever the
+Glue runtime defaults to.
 This engine makes the committer an explicit, testable deploy artifact.
 
 Relation to pipeline/atomic.py: the manifest commit protocol there
@@ -110,10 +112,13 @@ class UnsafeCheckpointLocation(RuntimeError):
 
 
 def _scheme_of(path: str) -> str:
-    head, sep, _rest = path.partition("://")
-    if not sep:
-        return "file"
-    return head.lower()
+    # urlsplit, not partition("://"): Hadoop Path accepts single-slash
+    # URIs ("s3a:/bucket/ckpt" parses scheme s3a), so keying the refusal
+    # on a literal "://" would let those bypass the object-store check.
+    from urllib.parse import urlsplit
+
+    scheme = urlsplit(path).scheme
+    return scheme.lower() if scheme else "file"
 
 
 def validate_checkpoint_dir(

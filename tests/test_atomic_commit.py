@@ -559,6 +559,19 @@ def test_unsafe_scheme_refused_before_any_commit(spark, tmp_path):
     assert snapshot(trusted) == {("d1", "a"): 1}
 
 
+def test_uppercase_scheme_normalized(spark, tmp_path):
+    """_scheme() lowercases (ADVICE r8): an uppercase-scheme URI must
+    resolve to the same allowlist entry as its canonical form, both on
+    the safe side (HDFS→hdfs would pass) and the refusal side
+    (S3A→s3a refused, not 'unknown scheme')."""
+    table = AtomicPartitionedTable(
+        spark, "HDFS://nn:8020/tbl", "day"
+    )
+    assert table._scheme() == "hdfs"
+    upper_s3 = AtomicPartitionedTable(spark, "S3A://bkt/tbl", "day")
+    assert upper_s3._scheme() == "s3a"
+
+
 def test_overwriting_rename_fs_refused(spark, tmp_path):
     """An FS whose rename ONTO an existing destination succeeds
     (overwrite semantics — the raw-S3 copy+delete shape) breaks the

@@ -140,11 +140,30 @@ def test_checkpoint_safe_locations_pass_through(path):
 
 @pytest.mark.parametrize(
     "path",
-    ["s3a://bkt/ckpt", "s3://bkt/ckpt", "gs://bkt/ckpt", "wasbs://c@a/ck"],
+    [
+        "s3a://bkt/ckpt",
+        "s3://bkt/ckpt",
+        "gs://bkt/ckpt",
+        "wasbs://c@a/ck",
+        # single-slash URIs — Hadoop Path parses "scheme:/path" as a
+        # real scheme, so these must hit the same refusal (ADVICE r8:
+        # the old "://"-partition parse let them through as 'file')
+        "s3a:/bkt/ckpt",
+        "gs:/bkt/ckpt",
+        # case must not matter
+        "S3A://bkt/ckpt",
+    ],
 )
 def test_checkpoint_object_store_refused(path):
     with pytest.raises(UnsafeCheckpointLocation, match="atomic"):
         validate_checkpoint_dir(path)
+
+
+def test_checkpoint_single_slash_safe_scheme_passes():
+    # the flip side of the single-slash refusal: a safe scheme in
+    # single-slash form still passes (Hadoop accepts "hdfs:/ckpt")
+    assert validate_checkpoint_dir("hdfs:/ckpt") == "hdfs:/ckpt"
+    assert validate_checkpoint_dir("HDFS://nn:8020/ckpt") == "HDFS://nn:8020/ckpt"
 
 
 def test_checkpoint_trust_optin_and_unknown_scheme():
