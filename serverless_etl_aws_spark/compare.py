@@ -79,9 +79,37 @@ class CompareResult:
             )
 
 
+def _dtype_class(dt) -> str:
+    """Coarse dtype class for the strict gate — fine enough to catch
+    engine-type drift (int column arriving as float64 because DuckDB
+    widened SUM(BIGINT) to HUGEINT), coarse enough to ignore width
+    differences normalize() already canonicalizes away."""
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "datetime"
+    return "object"
+
+
 def compare(
-    key: str, spark_df: DataFrame, sql: str | None, sf_dir: str
+    key: str,
+    spark_df: DataFrame,
+    sql: str | None,
+    sf_dir: str,
+    *,
+    strict: bool = False,
 ) -> CompareResult:
+    """Cross-engine diff. ``strict=True`` additionally requires each
+    column's dtype CLASS (int/float/bool/datetime/object) to match
+    between engines before values are compared, so a numeric coercion
+    can never mask engine-type drift (VERDICT r8 directive #2: the
+    float64 coercion below once hid a DuckDB HUGEINT→float64 widening
+    until a strict-by-dtype sim caught it — oracle SQL must CAST integer
+    aggregates back to BIGINT rather than lean on the coercion)."""
     if sql is None:
         # rows-only: count distributed — toPandas() would materialize the
         # whole result on the driver just to take len()
@@ -106,6 +134,13 @@ def compare(
     values_match = True
     for c in s.columns:
         a, b = s[c], o[c]
+        if strict and _dtype_class(a.dtype) != _dtype_class(b.dtype):
+            values_match = False
+            detail = (
+                f"dtype drift in {c}: spark={a.dtype} oracle={b.dtype} "
+                f"(strict mode — cast the oracle aggregate explicitly)"
+            )
+            break
         if a.isna().sum() != b.isna().sum() or not (
             a.isna().values == b.isna().values
         ).all():
@@ -133,7 +168,11 @@ def compare(
 
 
 def run_all(
-    spark: SparkSession, sf_dir: str, keys: list[str] | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    keys: list[str] | None = None,
+    *,
+    strict: bool = False,
 ) -> list[CompareResult]:
     from .queries import build_registry
 
@@ -150,7 +189,9 @@ def run_all(
         if keys and key not in keys:
             continue
         try:
-            results.append(compare(key, q.fn(spark, sf_dir), q.sql, sf_dir))
+            results.append(
+                compare(key, q.fn(spark, sf_dir), q.sql, sf_dir, strict=strict)
+            )
         except Exception as exc:  # surface, don't abort the sweep
             results.append(
                 CompareResult(key, -1, None, None, False, f"ERROR: {exc}")

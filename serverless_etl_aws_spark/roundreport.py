@@ -135,6 +135,129 @@ def scaling_section(root: str) -> dict[str, Any]:
     }
 
 
+#: Test files whose cases are independent third implementations of the
+#: key's formula (pandas/numpy/closed-form — zero shared code with the
+#: engine or the DuckDB oracle). A quoted key name in one of these means
+#: the key is semantic-oracle covered.
+SEMANTIC_TEST_FILES: tuple[str, ...] = (
+    "tests/test_semantic_oracle.py",
+    "tests/test_cusum_property.py",
+    "tests/test_stats_property.py",
+    "tests/test_sketch_property.py",
+    "tests/test_minhash_recall.py",
+    "tests/test_degenerate_property.py",
+)
+
+#: Files carrying physical-plan assertions (pushdown/broadcast/top-k/
+#: pruning shape pinned on the actual Catalyst output).
+PLAN_TEST_FILES: tuple[str, ...] = ("tests/test_plans.py",)
+
+
+def _grepped_keys(root: str, registry, files: tuple[str, ...]) -> set[str]:
+    """Keys referenced by the given test files — either as a quoted
+    string ("join_range") or, for plan tests that import the query
+    function directly, as the function's own name used as a bare word."""
+    text = ""
+    for rel in files:
+        path = os.path.join(root, rel)
+        if os.path.exists(path):
+            with open(path) as f:
+                text += f.read() + "\n"
+    hit: set[str] = set()
+    for key, q in registry.items():
+        if f'"{key}"' in text or f"'{key}'" in text:
+            hit.add(key)
+            continue
+        fn_name = getattr(q.fn, "__name__", "<lambda>")
+        if fn_name != "<lambda>" and re.search(rf"\b{re.escape(fn_name)}\b", text):
+            hit.add(key)
+    return hit
+
+
+def _driver_green_keys(root: str) -> tuple[set[str], set[str]]:
+    """Union across ALL driver rounds (the rotation spreads extension
+    keys over rounds, so one file never shows the full picture).
+    Returns (hash_green, rows_only_ran)."""
+    hash_green: set[str] = set()
+    rows_only: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for key, v in rows.items():
+            if v.get("hash_match") is True:
+                hash_green.add(key)
+            elif v.get("err") == "no_oracle":
+                rows_only.add(key)
+    return hash_green, rows_only - hash_green
+
+
+def matrix_section(root: str) -> dict[str, Any]:
+    """Per-key verification matrix (VERDICT r8 directive #3): which of
+    the five evidence tiers covers each registry key — driver hash,
+    local DuckDB oracle, independent semantic oracle, plan-shape test,
+    scaling row. Emitted so 'which keys have which evidence' is an
+    artifact, not an archaeology exercise over five files."""
+    from .queries import build_registry
+
+    registry = build_registry()
+    driver_hash, driver_rows_only = _driver_green_keys(root)
+    semantic = _grepped_keys(root, registry, SEMANTIC_TEST_FILES)
+    plan = _grepped_keys(root, registry, PLAN_TEST_FILES)
+    scaling_path = os.path.join(root, "docs", "SCALING.md")
+    scaling_text = ""
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            scaling_text = f.read()
+    per_key: dict[str, dict[str, bool]] = {}
+    for key, q in registry.items():
+        per_key[key] = {
+            "driver_hash": key in driver_hash,
+            "driver_rows_only": key in driver_rows_only,
+            "local_oracle": q.sql is not None,
+            "semantic_oracle": key in semantic,
+            "plan_test": key in plan,
+            "scaling_row": f"`{key}`" in scaling_text,
+        }
+    local_only = sorted(
+        k
+        for k, t in per_key.items()
+        if t["local_oracle"]
+        and not (
+            t["driver_hash"]
+            or t["semantic_oracle"]
+            or t["plan_test"]
+            or t["scaling_row"]
+        )
+    )
+    return {
+        "tiers": [
+            "driver_hash", "driver_rows_only", "local_oracle",
+            "semantic_oracle", "plan_test", "scaling_row",
+        ],
+        "n_keys": len(per_key),
+        "n_driver_hash": sum(1 for t in per_key.values() if t["driver_hash"]),
+        "n_semantic_oracle": sum(
+            1 for t in per_key.values() if t["semantic_oracle"]
+        ),
+        "n_plan_test": sum(1 for t in per_key.values() if t["plan_test"]),
+        "n_scaling_row": sum(1 for t in per_key.values() if t["scaling_row"]),
+        "local_oracle_only_keys": local_only,
+        # formula-bearing families (statistical/ML/graph/data-quality/
+        # time-series) must never be local-oracle-only: a formula can be
+        # wrong the same way in both engines, so they all carry an
+        # independent semantic oracle. Enforced by
+        # tests/test_survey_sync.py::test_formula_keys_not_local_only.
+        "formula_local_only": [
+            k for k in local_only
+            if k.split("_", 1)[0] in {"ml", "ts", "dq", "graph"}
+        ],
+        "per_key": per_key,
+    }
+
+
 def sweep_section(sf_dir: str) -> dict[str, Any]:
     """Fresh cross-engine sweep — the driver-identical gate, run live."""
     from .compare import run_all
@@ -142,10 +265,14 @@ def sweep_section(sf_dir: str) -> dict[str, Any]:
 
     spark = get_spark(app_name="round-report")
     spark.sparkContext.setLogLevel("ERROR")
-    results = run_all(spark, sf_dir)
+    # strict=True: dtype-class drift fails even where numeric values
+    # coincide (VERDICT r8 directive #2 — the local gate must be at
+    # least as strict as the driver's hash check)
+    results = run_all(spark, sf_dir, strict=True)
     fails = sorted(r.key for r in results if not r.ok)
     return {
         "sf_dir": sf_dir,
+        "strict_dtype": True,
         "n_keys": len(results),
         "n_ok": sum(1 for r in results if r.ok),
         "n_rows_only": sum(
@@ -167,6 +294,7 @@ def build_report(
         "correctness_driver": correctness_section(root),
         "bench": bench_section(root),
         "scaling": scaling_section(root),
+        "verification_matrix": matrix_section(root),
     }
     if sweep_sf:
         report["sweep_local"] = sweep_section(sweep_sf)

@@ -277,6 +277,19 @@ SF1_KEYS = [
     # keeps bounded on a live stream).
     "stream_tumbling", "stream_sliding", "stream_late_data",
     "stream_dedup", "stream_join",
+    # round-9 wave: the nontrivially-shaped keys from the SCALING.md
+    # completeness audit (VERDICT r8 directive #4) — full-row distinct
+    # shuffle, HLL partial agg, approx-percentile partial agg,
+    # union+distinct shuffle, the four Arrow/Python execution paths
+    # (scalar pandas_udf, applyInPandas, cogrouped applyInPandas,
+    # UDTF), window ranking, broadcast-probe kNN, gap interpolation,
+    # and two-phase pivot. The remaining absent keys are per-row map
+    # passes or plan-shape aliases of already-measured rows — each gets
+    # a one-line classification in docs/SCALING.md instead.
+    "dedup_exact", "agg_approx_distinct", "agg_percentile",
+    "set_union_distinct", "udf_scalar", "udaf_grouped", "udf_cogrouped",
+    "udtf_explode", "win_rank", "llm_knn_join", "ts_interpolate",
+    "agg_pivot",
 ]
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 

@@ -99,13 +99,13 @@ def test_driver_audit_window_is_contract_plus_rotation():
     from the audited window or reorder a rotated key out of it."""
     from serverless_etl_aws_spark.queries import CONTRACT_2B, build_registry
 
-    ROUND8_ROTATION = (
-        "mm_frame_sample", "mm_resize", "mm_feature_extract",
+    ROUND9_ROTATION = (
+        "mm_audio_window", "mm_scene_cut", "mm_phash",
     )
     window = list(build_registry())[:50]
-    assert set(window) == set(CONTRACT_2B) | set(ROUND8_ROTATION)
+    assert set(window) == set(CONTRACT_2B) | set(ROUND9_ROTATION)
     # and the rotation occupies slots 48-50 specifically
-    assert window[47:] == list(ROUND8_ROTATION)
+    assert window[47:] == list(ROUND9_ROTATION)
 
 
 def test_engine_explain_registry_key_and_sql(spark, sf_dir):

@@ -14,8 +14,13 @@ REGISTRY = build_registry()
 
 @pytest.mark.parametrize("key", sorted(REGISTRY))
 def test_oracle_parity(spark, sf_dir, key):
+    # strict=True (VERDICT r8 directive #2): dtype-CLASS drift between
+    # engines fails even where coerced numeric values coincide, so the
+    # local gate can no longer hide a DuckDB HUGEINT→float64 widening
+    # behind the float comparison path. Oracle SQL carries explicit
+    # BIGINT casts on integer aggregates to satisfy this.
     q = REGISTRY[key]
-    result = compare(key, q.fn(spark, sf_dir), q.sql, sf_dir)
+    result = compare(key, q.fn(spark, sf_dir), q.sql, sf_dir, strict=True)
     assert result.ok, f"{key}: {result.detail} (spark={result.rows_spark}, oracle={result.rows_oracle})"
 
 

@@ -66,3 +66,37 @@ def test_every_registry_key_appears_in_section8(registry, section8):
         f"registry keys absent from SURVEY.md §8: {missing} — add their "
         f"extension-table rows"
     )
+
+
+def test_formula_keys_not_local_only():
+    """Every formula-bearing key (ml_/ts_/dq_/graph_ families) must
+    carry evidence beyond the DuckDB oracle — a formula can be wrong
+    identically in both engines, so these all have an independent
+    semantic oracle, a driver hash row, a plan test, or a scaling row
+    (VERDICT r8 directive #3)."""
+    from serverless_etl_aws_spark.roundreport import matrix_section
+
+    m = matrix_section("/root/repo")
+    assert m["formula_local_only"] == [], (
+        f"formula-bearing keys with local-oracle-only coverage: "
+        f"{m['formula_local_only']} — add a semantic oracle in "
+        f"tests/test_semantic_oracle.py"
+    )
+
+
+def test_scaling_md_covers_every_key():
+    """docs/SCALING.md must mention every registry key exactly once-or-
+    more (VERDICT r8 directive #4: absence must be a recorded
+    classification, not an omission)."""
+    import re as _re
+
+    from serverless_etl_aws_spark.queries import build_registry
+
+    with open("/root/repo/docs/SCALING.md") as f:
+        text = f.read()
+    mentioned = set(_re.findall(r"`([a-z0-9_]+)`", text))
+    missing = sorted(set(build_registry()) - mentioned)
+    assert not missing, (
+        f"registry keys absent from docs/SCALING.md: {missing} — add a "
+        f"measured row or a one-line linearity classification"
+    )
