@@ -293,3 +293,236 @@ def test_anova_weekday_matches_textbook(rows):
     else:
         f = (ssb / (k - 1)) / (ssw / (n - k))
         assert got[4] == pytest.approx(f, rel=1e-3, abs=1e-5)
+
+
+# ----------------------------------------------------------- ml_wilson_ci
+# Round-9 extension wave: the same hypothesis treatment for four more
+# degenerate-sensitive formulas (p∈{0,1} arms, single-day series,
+# all-ties pairs, single-type days).
+
+from serverless_etl_aws_spark.queries.extras13 import AGG_GINI_SQL
+from serverless_etl_aws_spark.queries.extras20 import (
+    AGG_KS_TEST_SQL,
+    POS_LABEL,
+)
+from serverless_etl_aws_spark.queries.extras26 import (
+    ML_WILSON_CI_SQL,
+    WILSON_THRESHOLD,
+    WILSON_Z,
+)
+from serverless_etl_aws_spark.queries.extras29 import ML_KENDALL_TAU_SQL
+
+#: DuckDB folds the z² literal product in DECIMAL (1.96*1.96 = 3.8416
+#: exactly) and only then converts to double — one ulp BELOW Python's
+#: float product 1.96*1.96. Mirror the decimal fold, not the float one.
+WILSON_Z2 = float("3.8416")
+
+#: (event_type, value) with values straddling WILSON_THRESHOLD (100.0):
+#: all-success groups (p = 1), zero-success groups (p = 0), n = 1
+#: groups, and NULL values are all frequent.
+WILSON_ROWS = st.lists(
+    st.tuples(
+        st.sampled_from(["view", "purchase"]),
+        st.sampled_from([None, 50.0, 100.0, 500.0]),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(rows=WILSON_ROWS)
+def test_wilson_ci_matches_closed_form(rows):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"('{ty}', {'NULL' if v is None else v})" for ty, v in rows
+        )
+        + ") AS t(event_type, value)"
+    )
+    got = {r[0]: r[1:] for r in con.execute(ML_WILSON_CI_SQL).fetchall()}
+    seen = {ty for ty, _v in rows}
+    assert set(got) == seen
+    for ty in seen:
+        n = sum(1 for t2, _v in rows if t2 == ty)
+        s = sum(
+            1
+            for t2, v in rows
+            if t2 == ty and v is not None and v >= WILSON_THRESHOLD
+        )
+        gn, gs, rate, lo, hi = got[ty]
+        assert (gn, gs) == (n, s)
+        p = s / n
+        assert rate == fq(p, 6)
+        denom = 1.0 + WILSON_Z2 / n
+        center = (p + WILSON_Z2 / (2.0 * n)) / denom
+        half = (WILSON_Z / denom) * math.sqrt(
+            p * (1.0 - p) / n + WILSON_Z2 / (4.0 * n * n)
+        )
+        # the 1e-6 floor can split at a last-ulp difference between the
+        # two evaluation orders; allow exactly one grid step
+        assert lo == pytest.approx(fq(center - half, 6), abs=1.1e-6)
+        assert hi == pytest.approx(fq(center + half, 6), abs=1.1e-6)
+        # interval brackets the point estimate even at p ∈ {0, 1}
+        # (where lo/hi mathematically collapse onto 0/1 and the floor
+        # may land one grid step outside)
+        assert lo <= rate + 1.1e-6 and hi >= rate - 1.1e-6
+
+
+# ------------------------------------------------------------ agg_ks_test
+
+#: (event_type, value): all-positive samples (n_neg = 0 ⇒ D undefined),
+#: all-negative, single shared bucket (D from one cumulative step), and
+#: NULL values are all frequent.
+KS_ROWS = st.lists(
+    st.tuples(
+        st.sampled_from([POS_LABEL, "view"]),
+        st.sampled_from([None, 0.0, 1.5, 2.0, 7.0]),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(rows=KS_ROWS)
+def test_ks_test_matches_brute_force(rows):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"('{ty}', {'NULL' if v is None else v})" for ty, v in rows
+        )
+        + ") AS t(event_type, value)"
+    )
+    got = con.execute(AGG_KS_TEST_SQL).fetchone()
+    kept = [(ty, int(math.floor(v))) for ty, v in rows if v is not None]
+    if not kept:
+        assert got is None  # every row NULL-filtered → empty relation
+        return
+    pp = sum(1 for ty, _b in kept if ty == POS_LABEL)
+    nn = len(kept) - pp
+    buckets = sorted({b for _ty, b in kept})
+    best = None  # (gap, bkt) under ORDER BY gap DESC, bkt ASC
+    cp = cn = 0
+    for b in buckets:
+        cp += sum(1 for ty, b2 in kept if b2 == b and ty == POS_LABEL)
+        cn += sum(1 for ty, b2 in kept if b2 == b and ty != POS_LABEL)
+        if pp > 0 and nn > 0:
+            gap = abs(cp / pp - cn / nn)  # same double ops as the SQL
+            if best is None or gap > best[0]:
+                best = (gap, b)
+    if best is None:
+        # one-sample data: D undefined (NULL), NULLS LAST picks the
+        # smallest bucket
+        assert got == (pp, nn, None, buckets[0])
+    else:
+        assert got == (pp, nn, fq(best[0], 6), best[1])
+        assert 0.0 <= got[2] <= 1.0
+
+
+# -------------------------------------------------------------- agg_gini
+
+#: (day 1..3, event_type ∈ 3): single-type days (gini = 0 exactly),
+#: single-event days, and uniform mixes are all frequent.
+GINI_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),
+        st.sampled_from(["view", "click", "purchase"]),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(rows=GINI_ROWS)
+def test_gini_matches_brute_force(rows):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"(TIMESTAMP '2024-03-{d:02d} 08:00:00', '{ty}')"
+            for d, ty in rows
+        )
+        + ") AS t(ts, event_type)"
+    )
+    got = {
+        r[0]: r[1:] for r in con.execute(AGG_GINI_SQL).fetchall()
+    }
+    days = {d for d, _ty in rows}
+    assert set(got) == {f"2024-03-{d:02d}" for d in days}
+    for d in days:
+        counts: dict[str, int] = {}
+        for d2, ty in rows:
+            if d2 == d:
+                counts[ty] = counts.get(ty, 0) + 1
+        n = sum(counts.values())
+        ss = sum(c * c for c in counts.values())
+        want = (n, len(counts), fq(1.0 - ss / (float(n) * float(n)), 6))
+        assert got[f"2024-03-{d:02d}"] == want
+        # purity bounds: 0 (single type — exact, 1 − c²/c² = 0.0 in
+        # IEEE too) .. 1 − 1/k
+        g = got[f"2024-03-{d:02d}"][2]
+        assert 0.0 <= g <= 1.0 - 1.0 / len(counts) + 1e-9
+        if len(counts) == 1:
+            assert g == 0.0
+
+
+# --------------------------------------------------------- ml_kendall_tau
+
+#: (day 4..9, event_type): single-day series (0 pairs ⇒ τ NULL),
+#: all-tied daily counts (τ = 0), and monotone runs are all frequent.
+TAU_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=4, max_value=9),
+        st.sampled_from(["click", "purchase", "view"]),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(rows=TAU_ROWS)
+def test_kendall_tau_matches_pair_count(rows):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"(TIMESTAMP '2024-03-{d:02d} 09:00:00', '{ty}')"
+            for d, ty in rows
+        )
+        + ") AS t(ts, event_type)"
+    )
+    got = con.execute(ML_KENDALL_TAU_SQL).fetchone()
+    daily: dict[int, list[int]] = {}
+    for d, ty in rows:
+        rec = daily.setdefault(d, [0, 0])
+        if ty == "click":
+            rec[0] += 1
+        elif ty == "purchase":
+            rec[1] += 1
+    ds = sorted(daily)
+    conc = disc = ties = 0
+    for i in range(len(ds)):
+        for j in range(i + 1, len(ds)):
+            a, b = daily[ds[i]], daily[ds[j]]
+            prod = (a[0] - b[0]) * (a[1] - b[1])
+            if prod > 0:
+                conc += 1
+            elif prod < 0:
+                disc += 1
+            else:
+                ties += 1
+    n_pairs = conc + disc + ties
+    if n_pairs == 0:
+        # single-day series: the pair relation is empty — COUNT is 0
+        # but SUM over zero rows is NULL in both engines, and τ is
+        # undefined
+        assert got == (0, None, None, None, None)
+    else:
+        assert got[0:4] == (n_pairs, conc, disc, ties)
+        assert got[4] == fq((conc - disc) / n_pairs, 6)
+        assert -1.0 - 1e-6 <= got[4] <= 1.0
