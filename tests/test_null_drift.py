@@ -74,7 +74,7 @@ def null_sf_dir(tmp_path_factory) -> str:
 @pytest.mark.parametrize("key", sorted(REGISTRY))
 def test_null_drift_parity(spark, null_sf_dir, key):
     q = REGISTRY[key]
-    result = compare(key, q.fn(spark, null_sf_dir), q.sql, null_sf_dir)
+    result = compare(key, q.fn(spark, null_sf_dir), q.sql, null_sf_dir, strict=True)
     assert result.ok, (
         f"{key}: {result.detail} "
         f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
@@ -113,7 +113,7 @@ EVENTS_KEYS = sorted(
 @pytest.mark.parametrize("key", EVENTS_KEYS)
 def test_ts_unit_drift_parity(spark, ns_sf_dir, key):
     q = REGISTRY[key]
-    result = compare(key, q.fn(spark, ns_sf_dir), q.sql, ns_sf_dir)
+    result = compare(key, q.fn(spark, ns_sf_dir), q.sql, ns_sf_dir, strict=True)
     assert result.ok, (
         f"{key}: {result.detail} "
         f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
@@ -174,7 +174,7 @@ TEXT_KEYS = sorted(
 @pytest.mark.parametrize("key", TEXT_KEYS)
 def test_unicode_drift_parity(spark, unicode_sf_dir, key):
     q = REGISTRY[key]
-    result = compare(key, q.fn(spark, unicode_sf_dir), q.sql, unicode_sf_dir)
+    result = compare(key, q.fn(spark, unicode_sf_dir), q.sql, unicode_sf_dir, strict=True)
     assert result.ok, (
         f"{key}: {result.detail} "
         f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
@@ -231,7 +231,7 @@ EMPTY_KEYS = sorted(set(TEXT_KEYS) | {"fn_json", "fn_regexp_extract_all"})
 @pytest.mark.parametrize("key", EMPTY_KEYS)
 def test_empty_string_drift_parity(spark, empty_sf_dir, key):
     q = REGISTRY[key]
-    result = compare(key, q.fn(spark, empty_sf_dir), q.sql, empty_sf_dir)
+    result = compare(key, q.fn(spark, empty_sf_dir), q.sql, empty_sf_dir, strict=True)
     assert result.ok, (
         f"{key}: {result.detail} "
         f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
@@ -282,7 +282,8 @@ def test_higher_order_3vl_parity_under_null_vector_elements(
     embedding column (NULL elements, NULL vectors, an empty vector)."""
     q = REGISTRY["fn_higher_order"]
     result = compare(
-        "fn_higher_order", q.fn(spark, nullvec_sf_dir), q.sql, nullvec_sf_dir
+        "fn_higher_order", q.fn(spark, nullvec_sf_dir), q.sql, nullvec_sf_dir,
+        strict=True
     )
     assert result.ok, (
         f"fn_higher_order: {result.detail} "
