@@ -372,13 +372,16 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double").alias("syy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.sqrt(
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    ) * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # zero-variance guard: a constant column makes r undefined — NULL,
+    # never a divide (Spark 4 ANSI throws) or a NaN. The predicate is
+    # the identical double expression on both engines.
+    corr = F.when((vx > 0.0) & (vy > 0.0), num / (F.sqrt(vx) * F.sqrt(vy)))
     return m.select(
         "l_returnflag",
         F.col("n").cast("long").alias("n_rows"),
-        fquant(num / den, 6).alias("corr_qty_price"),
+        fquant(corr, 6).alias("corr_qty_price"),
         fquant(num / (F.col("n") * F.col("n")), 6).alias("covar_pop"),
     )
 
@@ -408,9 +411,11 @@ WITH m AS (
 )
 SELECT l_returnflag,
        CAST(n AS BIGINT) AS n_rows,
-       floor((n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
-             * 1000000.0) / 1000000.0 AS corr_qty_price,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN floor((n * sxy - sx * sy)
+                       / (sqrt(n * sxx - sx * sx)
+                          * sqrt(n * syy - sy * sy))
+                       * 1000000.0) / 1000000.0 END AS corr_qty_price,
        floor((n * sxy - sx * sy) / (n * n) * 1000000.0) / 1000000.0
            AS covar_pop
 FROM m

@@ -153,13 +153,15 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.sqrt(
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    ) * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # zero-variance guard (constant series): autocorrelation is
+    # undefined — NULL, never a divide (Spark 4 ANSI throws on /0).
+    ac = F.when((vx > 0.0) & (vy > 0.0), num / (F.sqrt(vx) * F.sqrt(vy)))
     return m.select(
         "event_type",
         F.col("n").cast("long").alias("n_pairs"),
-        fquant(num / den, 6).alias("autocorr_lag1"),
+        fquant(ac, 6).alias("autocorr_lag1"),
     )
 
 
@@ -187,9 +189,11 @@ WITH pairs AS (
 )
 SELECT event_type,
        CAST(n AS BIGINT) AS n_pairs,
-       floor((n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
-             * 1000000.0) / 1000000.0 AS autocorr_lag1
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN floor((n * sxy - sx * sy)
+                       / (sqrt(n * sxx - sx * sx)
+                          * sqrt(n * syy - sy * sy))
+                       * 1000000.0) / 1000000.0 END AS autocorr_lag1
 FROM m
 """
 

@@ -141,11 +141,16 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 6.0 * mu * mu * (s2 / n)
         - 3.0 * mu * mu * mu * mu
     )
+    # zero-variance guard (constant group): shape statistics are
+    # undefined at m2 <= 0 — NULL, never a divide (Spark 4 ANSI throws
+    # on /0) or a sqrt(-ulp) NaN. Same predicate tree on the oracle.
     return m.select(
         "event_type",
         n.cast("long").alias("n_rows"),
-        fquant(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
-        fquant(m4 / (m2 * m2) - 3.0, 6).alias("kurtosis_excess"),
+        fquant(F.when(m2 > 0.0, m3 / (m2 * F.sqrt(m2))), 6)
+        .alias("skewness"),
+        fquant(F.when(m2 > 0.0, m4 / (m2 * m2) - 3.0), 6)
+        .alias("kurtosis_excess"),
     )
 
 
@@ -172,18 +177,20 @@ WITH m AS (
 )
 SELECT event_type,
        CAST(n AS BIGINT) AS n_rows,
-       floor((s3 / n - 3.0 * (s1 / n) * (s2 / n)
-              + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
-             / ((s2 / n - (s1 / n) * (s1 / n))
-                * sqrt(s2 / n - (s1 / n) * (s1 / n)))
-             * 1000000.0) / 1000000.0 AS skewness,
-       floor(((s4 / n - 4.0 * (s1 / n) * (s3 / n)
-               + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
-               - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
-              / ((s2 / n - (s1 / n) * (s1 / n))
-                 * (s2 / n - (s1 / n) * (s1 / n)))
-              - 3.0)
-             * 1000000.0) / 1000000.0 AS kurtosis_excess
+       CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0 THEN
+         floor((s3 / n - 3.0 * (s1 / n) * (s2 / n)
+                + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+               / ((s2 / n - (s1 / n) * (s1 / n))
+                  * sqrt(s2 / n - (s1 / n) * (s1 / n)))
+               * 1000000.0) / 1000000.0 END AS skewness,
+       CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0 THEN
+         floor(((s4 / n - 4.0 * (s1 / n) * (s3 / n)
+                 + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                 - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                / ((s2 / n - (s1 / n) * (s1 / n))
+                   * (s2 / n - (s1 / n) * (s1 / n)))
+                - 3.0)
+               * 1000000.0) / 1000000.0 END AS kurtosis_excess
 FROM m
 """
 

@@ -304,12 +304,15 @@ def ml_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     the z-test compares two arms, this bounds each rate on its own.
 
     Determinism: n and s are exact integers; center and half-width are
-    the IDENTICAL double expression tree on both engines (z enters as
-    the literal product 1.96·1.96 computed at runtime on both sides —
-    never a pre-rounded decimal constant; √ is IEEE
-    correctly-rounded). s = 0 and s = n are well-defined (the √ term
-    degrades to z²/4n², never NaN) — the exact regime Wilson exists
-    for.
+    the IDENTICAL double expression tree on both engines (the oracle
+    CASTs the z literals to DOUBLE before multiplying — DuckDB would
+    otherwise fold 1.96·1.96 in DECIMAL to exactly 3.8416, one ulp off
+    the IEEE product; √ is correctly-rounded on both). At the p̂ ∈
+    {0, 1} boundaries the bound that mathematically collapses onto
+    0 / 1 is PINNED to that constant: the float expression lands within
+    ±1 ulp of the boundary and the 1e-6 floor would otherwise split
+    0.0 vs −0.000001 across engines (found by the round-9
+    constant-fixture sweep).
 
     Scale: ONE map-side-combinable shuffle to (type, n, s); the
     interval math runs on the types-sized relation."""
@@ -334,16 +337,24 @@ def ml_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         phat * (F.lit(1.0) - phat) / n
         + z2 / (F.lit(4.0) * n * n)
     )
+    lo = F.when(F.col("s") == 0, F.lit(0.0)).otherwise(center - half)
+    hi = F.when(F.col("s") == F.col("n"), F.lit(1.0)).otherwise(
+        center + half
+    )
     return per.select(
         "event_type",
         F.col("n").cast("long").alias("n"),
         F.col("s").cast("long").alias("successes"),
         fquant(phat, 6).alias("rate"),
-        fquant(center - half, 6).alias("wilson_lo"),
-        fquant(center + half, 6).alias("wilson_hi"),
+        fquant(lo, 6).alias("wilson_lo"),
+        fquant(hi, 6).alias("wilson_hi"),
     )
 
 
+#: z enters the oracle as CAST(.. AS DOUBLE) so z² is the IEEE double
+#: product on BOTH engines — a bare 1.96*1.96 folds in DECIMAL on
+#: DuckDB (exactly 3.8416, one ulp off). The p̂ ∈ {0,1} boundary bound
+#: is pinned (CASE) for the same reason as the Spark side.
 ML_WILSON_CI_SQL = f"""
 WITH per AS (
     SELECT event_type,
@@ -358,33 +369,43 @@ SELECT event_type,
        CAST(s AS BIGINT) AS successes,
        floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0)
          / 1000000.0 AS rate,
-       floor(((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
-               + ({WILSON_Z} * {WILSON_Z})
+       floor(CASE WHEN s = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+             ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+               + (CAST({WILSON_Z} AS DOUBLE) * CAST({WILSON_Z} AS DOUBLE))
                  / (2.0 * CAST(n AS DOUBLE)))
-              / (1.0 + ({WILSON_Z} * {WILSON_Z}) / CAST(n AS DOUBLE))
-              - ({WILSON_Z}
-                 / (1.0 + ({WILSON_Z} * {WILSON_Z})
+              / (1.0 + (CAST({WILSON_Z} AS DOUBLE)
+                        * CAST({WILSON_Z} AS DOUBLE))
+                       / CAST(n AS DOUBLE))
+              - (CAST({WILSON_Z} AS DOUBLE)
+                 / (1.0 + (CAST({WILSON_Z} AS DOUBLE)
+                           * CAST({WILSON_Z} AS DOUBLE))
                           / CAST(n AS DOUBLE)))
                 * sqrt(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
                        * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
                        / CAST(n AS DOUBLE)
-                       + ({WILSON_Z} * {WILSON_Z})
+                       + (CAST({WILSON_Z} AS DOUBLE)
+                          * CAST({WILSON_Z} AS DOUBLE))
                          / (4.0 * CAST(n AS DOUBLE)
-                                * CAST(n AS DOUBLE))))
+                                * CAST(n AS DOUBLE)))) END
              * 1000000.0) / 1000000.0 AS wilson_lo,
-       floor(((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
-               + ({WILSON_Z} * {WILSON_Z})
+       floor(CASE WHEN s = n THEN CAST(1.0 AS DOUBLE) ELSE
+             ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+               + (CAST({WILSON_Z} AS DOUBLE) * CAST({WILSON_Z} AS DOUBLE))
                  / (2.0 * CAST(n AS DOUBLE)))
-              / (1.0 + ({WILSON_Z} * {WILSON_Z}) / CAST(n AS DOUBLE))
-              + ({WILSON_Z}
-                 / (1.0 + ({WILSON_Z} * {WILSON_Z})
+              / (1.0 + (CAST({WILSON_Z} AS DOUBLE)
+                        * CAST({WILSON_Z} AS DOUBLE))
+                       / CAST(n AS DOUBLE))
+              + (CAST({WILSON_Z} AS DOUBLE)
+                 / (1.0 + (CAST({WILSON_Z} AS DOUBLE)
+                           * CAST({WILSON_Z} AS DOUBLE))
                           / CAST(n AS DOUBLE)))
                 * sqrt(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
                        * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
                        / CAST(n AS DOUBLE)
-                       + ({WILSON_Z} * {WILSON_Z})
+                       + (CAST({WILSON_Z} AS DOUBLE)
+                          * CAST({WILSON_Z} AS DOUBLE))
                          / (4.0 * CAST(n AS DOUBLE)
-                                * CAST(n AS DOUBLE))))
+                                * CAST(n AS DOUBLE)))) END
              * 1000000.0) / 1000000.0 AS wilson_hi
 FROM per
 """

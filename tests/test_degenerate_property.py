@@ -312,10 +312,10 @@ from serverless_etl_aws_spark.queries.extras26 import (
 )
 from serverless_etl_aws_spark.queries.extras29 import ML_KENDALL_TAU_SQL
 
-#: DuckDB folds the z² literal product in DECIMAL (1.96*1.96 = 3.8416
-#: exactly) and only then converts to double — one ulp BELOW Python's
-#: float product 1.96*1.96. Mirror the decimal fold, not the float one.
-WILSON_Z2 = float("3.8416")
+#: The oracle CASTs the z literals to DOUBLE before multiplying, so z²
+#: is the IEEE product on both engines (a bare 1.96*1.96 would fold in
+#: DECIMAL on DuckDB — exactly 3.8416, one ulp off the float product).
+WILSON_Z2 = WILSON_Z * WILSON_Z
 
 #: (event_type, value) with values straddling WILSON_THRESHOLD (100.0):
 #: all-success groups (p = 1), zero-success groups (p = 0), n = 1
@@ -360,13 +360,21 @@ def test_wilson_ci_matches_closed_form(rows):
         half = (WILSON_Z / denom) * math.sqrt(
             p * (1.0 - p) / n + WILSON_Z2 / (4.0 * n * n)
         )
-        # the 1e-6 floor can split at a last-ulp difference between the
-        # two evaluation orders; allow exactly one grid step
-        assert lo == pytest.approx(fq(center - half, 6), abs=1.1e-6)
-        assert hi == pytest.approx(fq(center + half, 6), abs=1.1e-6)
-        # interval brackets the point estimate even at p ∈ {0, 1}
-        # (where lo/hi mathematically collapse onto 0/1 and the floor
-        # may land one grid step outside)
+        # boundary bounds are PINNED: at p = 0 the lower bound is
+        # exactly 0, at p = 1 the upper is exactly 1 (the float
+        # expression lands ±1 ulp around the boundary and the 1e-6
+        # floor would otherwise split 0.0 vs −0.000001 across engines)
+        if s == 0:
+            assert lo == 0.0
+        else:
+            # the 1e-6 floor can split at a last-ulp difference between
+            # the two evaluation orders; allow exactly one grid step
+            assert lo == pytest.approx(fq(center - half, 6), abs=1.1e-6)
+        if s == n:
+            assert hi == 1.0
+        else:
+            assert hi == pytest.approx(fq(center + half, 6), abs=1.1e-6)
+        # interval brackets the point estimate
         assert lo <= rate + 1.1e-6 and hi >= rate - 1.1e-6
 
 
