@@ -352,7 +352,20 @@ def maintenance_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         # empty rewrite would silently keep serving the old files (found
         # live by the sf0.001 oracle: one bucket held only doomed rows)
         table.commit_overwrite_partitions(survivors, replaced=touched)
-    return table.read().select(
+    try:
+        state = table.read()
+    except FileNotFoundError:
+        # every row matched the deletion list (e.g. a single-user
+        # corpus whose one user is doomed): the erasure legitimately
+        # emptied the table — the read() refusal is for callers that
+        # EXPECT data; this op's contract is the surviving rows, which
+        # are none
+        return spark.createDataFrame(
+            [],
+            "event_id long, user_id long, event_type string, "
+            "value double, ts_s string",
+        )
+    return state.select(
         "event_id",
         "user_id",
         "event_type",

@@ -190,14 +190,22 @@ def dq_tvd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("n1").cast("decimal(38,0)")
         * F.col("n2").cast("decimal(38,0)")
     )
+    # empty-half guard: a corpus whose first or second half holds no
+    # events (single-day data puts EVERYTHING in half 2 — mid equals
+    # the only day) has no comparison distribution; TVD is undefined —
+    # NULL, never a divide (Spark 4 ANSI throws on /0). NULL cells,
+    # never fabricated zeros, per the engine's panel-estimator contract.
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
     return staged.select(
         "event_type",
         "c1",
         "c2",
-        fquant(F.col("num").cast("double") / den2.cast("double"), 9)
-        .alias("contrib"),
-        fquant(tot.cast("double") / den2.cast("double"), 9)
-        .alias("tvd"),
+        fquant(
+            F.when(ok, F.col("num").cast("double") / den2.cast("double")), 9
+        ).alias("contrib"),
+        fquant(
+            F.when(ok, tot.cast("double") / den2.cast("double")), 9
+        ).alias("tvd"),
     )
 
 
@@ -228,14 +236,16 @@ WITH per_day AS (
 SELECT event_type,
        CAST(c1 AS BIGINT) AS c1,
        CAST(c2 AS BIGINT) AS c2,
-       floor(CAST(num AS DOUBLE)
-             / CAST(2 * CAST(n1 AS HUGEINT) * CAST(n2 AS HUGEINT)
-                    AS DOUBLE)
-             * 1000000000.0) / 1000000000.0 AS contrib,
-       floor(CAST(SUM(num) OVER () AS DOUBLE)
-             / CAST(2 * CAST(n1 AS HUGEINT) * CAST(n2 AS HUGEINT)
-                    AS DOUBLE)
-             * 1000000000.0) / 1000000000.0 AS tvd
+       CASE WHEN n1 > 0 AND n2 > 0 THEN
+         floor(CAST(num AS DOUBLE)
+               / CAST(2 * CAST(n1 AS HUGEINT) * CAST(n2 AS HUGEINT)
+                      AS DOUBLE)
+               * 1000000000.0) / 1000000000.0 END AS contrib,
+       CASE WHEN n1 > 0 AND n2 > 0 THEN
+         floor(CAST(SUM(num) OVER () AS DOUBLE)
+               / CAST(2 * CAST(n1 AS HUGEINT) * CAST(n2 AS HUGEINT)
+                      AS DOUBLE)
+               * 1000000000.0) / 1000000000.0 END AS tvd
 FROM staged
 """
 

@@ -425,8 +425,12 @@ def agg_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     r2 = (F.col("rev2") * 10000).cast("long")
     t1 = (F.sum("rev1").over(wall) * 10000).cast("long")
     t2 = (F.sum("rev2").over(wall) * 10000).cast("long")
-    share1 = r1.cast("double") / t1.cast("double")
-    share2 = r2.cast("double") / t2.cast("double")
+    # empty-half guard: a single-day order book puts every order in
+    # half 2 (d >= mid always holds), so half 1's total is 0 and its
+    # shares are undefined — NULL, never a divide (Spark 4 ANSI throws
+    # on /0); the delta needs both halves.
+    share1 = F.when(t1 > 0, r1.cast("double") / t1.cast("double"))
+    share2 = F.when(t2 > 0, r2.cast("double") / t2.cast("double"))
     return per.select(
         "nation",
         (r1.cast("double") / 10000.0).alias("rev_h1"),
@@ -465,18 +469,22 @@ SELECT nation,
          AS rev_h1,
        CAST(CAST(rev2 * 10000 AS BIGINT) AS DOUBLE) / 10000.0
          AS rev_h2,
-       floor(CAST(CAST(rev1 * 10000 AS BIGINT) AS DOUBLE)
-             / CAST(CAST(SUM(rev1) OVER () * 10000 AS BIGINT) AS DOUBLE)
-             * 1000000.0) / 1000000.0 AS share_h1,
-       floor(CAST(CAST(rev2 * 10000 AS BIGINT) AS DOUBLE)
-             / CAST(CAST(SUM(rev2) OVER () * 10000 AS BIGINT) AS DOUBLE)
-             * 1000000.0) / 1000000.0 AS share_h2,
-       floor((CAST(CAST(rev2 * 10000 AS BIGINT) AS DOUBLE)
-              / CAST(CAST(SUM(rev2) OVER () * 10000 AS BIGINT) AS DOUBLE)
-              - CAST(CAST(rev1 * 10000 AS BIGINT) AS DOUBLE)
-                / CAST(CAST(SUM(rev1) OVER () * 10000 AS BIGINT)
-                       AS DOUBLE))
-             * 1000000.0) / 1000000.0 AS share_delta
+       CASE WHEN CAST(SUM(rev1) OVER () * 10000 AS BIGINT) > 0 THEN
+         floor(CAST(CAST(rev1 * 10000 AS BIGINT) AS DOUBLE)
+               / CAST(CAST(SUM(rev1) OVER () * 10000 AS BIGINT) AS DOUBLE)
+               * 1000000.0) / 1000000.0 END AS share_h1,
+       CASE WHEN CAST(SUM(rev2) OVER () * 10000 AS BIGINT) > 0 THEN
+         floor(CAST(CAST(rev2 * 10000 AS BIGINT) AS DOUBLE)
+               / CAST(CAST(SUM(rev2) OVER () * 10000 AS BIGINT) AS DOUBLE)
+               * 1000000.0) / 1000000.0 END AS share_h2,
+       CASE WHEN CAST(SUM(rev1) OVER () * 10000 AS BIGINT) > 0
+             AND CAST(SUM(rev2) OVER () * 10000 AS BIGINT) > 0 THEN
+         floor((CAST(CAST(rev2 * 10000 AS BIGINT) AS DOUBLE)
+                / CAST(CAST(SUM(rev2) OVER () * 10000 AS BIGINT) AS DOUBLE)
+                - CAST(CAST(rev1 * 10000 AS BIGINT) AS DOUBLE)
+                  / CAST(CAST(SUM(rev1) OVER () * 10000 AS BIGINT)
+                         AS DOUBLE))
+               * 1000000.0) / 1000000.0 END AS share_delta
 FROM per
 """
 

@@ -360,12 +360,16 @@ WITH daily AS MATERIALIZED (
            SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS np_
     FROM events GROUP BY 1
 ), s AS (
-    SELECT COALESCE(SUM(CASE
+    -- no COALESCE: a single-day corpus has ZERO pairs, and the trend
+    -- statistic over an empty pair relation is undefined — SUM yields
+    -- NULL on both engines (the engine side's F.sum does the same).
+    -- NULL cells, never fabricated zeros.
+    SELECT SUM(CASE
              WHEN CAST(b.nv AS HUGEINT) * a.n
                   - CAST(a.nv AS HUGEINT) * b.n > 0 THEN 1
              WHEN CAST(b.nv AS HUGEINT) * a.n
                   - CAST(a.nv AS HUGEINT) * b.n < 0 THEN -1
-             ELSE 0 END), 0) AS mk_s
+             ELSE 0 END) AS mk_s
     FROM daily a JOIN daily b ON a.d < b.d
 )
 SELECT d AS epoch_day,

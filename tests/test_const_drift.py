@@ -1,17 +1,22 @@
-"""Constant-measure (zero-variance) drift sweep — the round-9 sibling
-of tests/test_null_drift.py.
+"""Degenerate-distribution drift sweeps — the round-9 siblings of
+tests/test_null_drift.py, one axis per fixture:
 
-Every measure column in the fixture is replaced by a single constant,
-so every variance, spread, and rate denominator a formula key divides
-by is pushed to its degenerate value AT ONCE, on the Spark side as well
-as the oracle side (the hypothesis property suites only exercise the
-DuckDB oracle — this sweep is what runs the ENGINE through the
-degenerate regime). Spark 4 runs ANSI mode by default, so an unguarded
-``x / 0`` doesn't go NULL like DuckDB — it THROWS, and a fixture
-regeneration that lands a constant group would take the key down
-entirely.
+* **constant measures** — every measure column pinned to one value, so
+  every variance, spread, and rate denominator a formula key divides
+  by goes degenerate AT ONCE, on the Spark side as well as the oracle
+  side (the hypothesis property suites only exercise the DuckDB oracle
+  — these sweeps are what run the ENGINE through the degenerate
+  regime). Spark 4 runs ANSI mode by default, so an unguarded ``x / 0``
+  doesn't go NULL like DuckDB — it THROWS, and a fixture regeneration
+  that lands a constant group would take the key down entirely.
+* **constant timestamps** — the whole corpus in one instant: single-day
+  spines, zero time spans, empty "first half" in every midpoint-split
+  panel estimator.
+* **collapsed categoricals** — one user, one event type, one lang/
+  source/flag everywhere: single-group relations, empty complement
+  groups, all-rows-match predicates.
 
-Round-9 findings this sweep caught on first run (all fixed):
+Round-9 findings these sweeps caught on first run (all fixed):
 
 * ``agg_corr``, ``ts_autocorr``, ``agg_skew_kurt`` raised ANSI
   DIVIDE_BY_ZERO on zero-variance groups — now guarded to NULL with
@@ -20,11 +25,22 @@ Round-9 findings this sweep caught on first run (all fixed):
   (mathematically-zero half-width lands ±1 ulp around 0.0, so one
   engine floored to −0.000001) — the p̂ ∈ {0, 1} bounds are now pinned
   to exact 0 / 1 and the oracle's z² is CAST to DOUBLE so both engines
-  fold the same IEEE product.
+  fold the same IEEE product;
+* ``dq_tvd_drift``, ``agg_share_shift`` raised ANSI DIVIDE_BY_ZERO on
+  a single-day corpus (the midpoint split leaves one half empty) — now
+  NULL via the empty-half guard on both engines;
+* ``dq_completeness_trend``'s oracle COALESCEd the Mann-Kendall S to 0
+  over an empty pair relation while the engine's SUM yields NULL — the
+  fabricated zero is gone (NULL cells, never fabricated zeros);
+* ``maintenance_delete_rows`` crashed when the deletion list matched
+  EVERY row (single-user corpus, its one user doomed): the read-back
+  of the legitimately-emptied table raised — the op now returns the
+  empty surviving relation.
 """
 
 from __future__ import annotations
 
+import datetime
 import os
 import shutil
 
@@ -55,33 +71,94 @@ CONST: dict[str, dict[str, float | int]] = {
     "part": {"p_retailprice": 50.0, "p_size": 10},
     "supplier": {"s_acctbal": 200.0},
 }
-COPY = ["region", "nation", "documents", "embeddings"]
-
-
 @pytest.fixture(scope="session")
 def const_sf_dir(tmp_path_factory) -> str:
-    dst = str(tmp_path_factory.mktemp("constfix"))
-    for name, cols in CONST.items():
-        tbl = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
-        for col, val in cols.items():
-            idx = tbl.schema.get_field_index(col)
-            field = tbl.schema.field(col)
-            tbl = tbl.set_column(
-                idx, field, pa.array([val] * len(tbl), type=field.type)
-            )
-        pq.write_table(tbl, os.path.join(dst, f"{name}.parquet"))
-    for name in COPY:
-        shutil.copy(
-            os.path.join(SRC, f"{name}.parquet"),
-            os.path.join(dst, f"{name}.parquet"),
-        )
-    return dst
+    return _build_const_fixture(
+        str(tmp_path_factory.mktemp("constfix")), CONST
+    )
 
 
 @pytest.mark.parametrize("key", sorted(REGISTRY))
 def test_const_drift_parity(spark, const_sf_dir, key):
     q = REGISTRY[key]
     result = compare(key, q.fn(spark, const_sf_dir), q.sql, const_sf_dir, strict=True)
+    assert result.ok, (
+        f"{key}: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )
+
+
+#: The whole corpus in ONE instant. ts feeds the unit sniffer, so the
+#: replacement keeps the original timestamp[us] physical type.
+TS_CONST = {
+    "events": {"ts": datetime.datetime(2024, 3, 5, 12, 0, 0)},
+    "lineitem": {"l_shipdate": datetime.datetime(2024, 3, 5, 0, 0, 0)},
+    "orders": {"o_orderdate": datetime.datetime(2024, 3, 5, 0, 0, 0)},
+}
+
+#: One user, one event type, one lang/source/flag everywhere.
+CAT_CONST = {
+    "events": {"event_type": "view", "user_id": 0},
+    "documents": {"lang": "en", "source": "web"},
+    "lineitem": {"l_returnflag": "N", "l_linestatus": "O"},
+    "orders": {"o_orderstatus": "O", "o_orderpriority": "3-MEDIUM"},
+    "customer": {"c_mktsegment": "BUILDING"},
+}
+
+
+def _build_const_fixture(dst: str, consts: dict[str, dict]) -> str:
+    for f in os.listdir(SRC):
+        if not f.endswith(".parquet"):
+            continue
+        name = f[:-8]
+        src_path = os.path.join(SRC, f)
+        if name not in consts:
+            shutil.copy(src_path, os.path.join(dst, f))
+            continue
+        tbl = pq.read_table(src_path)
+        for col, val in consts[name].items():
+            idx = tbl.schema.get_field_index(col)
+            field = tbl.schema.field(col)
+            tbl = tbl.set_column(
+                idx, field, pa.array([val] * len(tbl), type=field.type)
+            )
+        pq.write_table(tbl, os.path.join(dst, f))
+    return dst
+
+
+@pytest.fixture(scope="session")
+def ts_const_sf_dir(tmp_path_factory) -> str:
+    return _build_const_fixture(
+        str(tmp_path_factory.mktemp("tsfix")), TS_CONST
+    )
+
+
+@pytest.fixture(scope="session")
+def cat_const_sf_dir(tmp_path_factory) -> str:
+    return _build_const_fixture(
+        str(tmp_path_factory.mktemp("catfix")), CAT_CONST
+    )
+
+
+@pytest.mark.parametrize("key", sorted(REGISTRY))
+def test_ts_const_drift_parity(spark, ts_const_sf_dir, key):
+    q = REGISTRY[key]
+    result = compare(
+        key, q.fn(spark, ts_const_sf_dir), q.sql, ts_const_sf_dir, strict=True
+    )
+    assert result.ok, (
+        f"{key}: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )
+
+
+@pytest.mark.parametrize("key", sorted(REGISTRY))
+def test_cat_const_drift_parity(spark, cat_const_sf_dir, key):
+    q = REGISTRY[key]
+    result = compare(
+        key, q.fn(spark, cat_const_sf_dir), q.sql, cat_const_sf_dir,
+        strict=True,
+    )
     assert result.ok, (
         f"{key}: {result.detail} "
         f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
