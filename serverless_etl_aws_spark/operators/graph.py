@@ -170,6 +170,13 @@ def pagerank(
     ew = e.join(outw, "src").transform(materialize)
 
     n_nodes = nodes.count()  # bounded: one scalar (table stats at scale)
+    if n_nodes == 0:
+        # empty graph: no uniform prior exists (1/0) — the rank relation
+        # is empty, typed off the empty nodes input itself
+        return nodes.select(
+            F.col(node_col).alias("node"),
+            F.lit(0.0).cast("double").alias("pr"),
+        )
     base = (1.0 - damping) / float(n_nodes)
     ranks = nodes.select(
         F.col(node_col).alias("node"),

@@ -77,8 +77,14 @@ def brute_force_topk(
         F.col("v").alias("pv")
     )
     # Loud failure parity with ivf_topk: a stale/typo'd probe id would
-    # otherwise cross-join against zero rows and come back silently empty.
+    # otherwise cross-join against zero rows and come back silently
+    # empty. An EMPTY corpus is different — no probe can exist and the
+    # top-k over nothing is legitimately nothing.
     if probe.limit(1).count() == 0:
+        if embeddings.limit(1).count() == 0:
+            return emb.select(
+                "vec_id", F.lit(0.0).cast("double").alias("cosine")
+            )
         raise ValueError(f"probe vec_id {probe_vec_id} not found")
     scored = (
         emb.filter(F.col("vec_id") != probe_vec_id)
@@ -279,6 +285,14 @@ def ivf_topk(
     import numpy as np
 
     emb = embeddings.select("vec_id", _to_double("embedding").alias("v"))
+    if embeddings.limit(1).count() == 0:
+        # empty corpus: nothing to train on, nothing to search — the
+        # index build is a no-op and the result relation is empty
+        return emb.select(
+            "vec_id",
+            F.lit(0.0).cast("double").alias("cosine"),
+            F.lit(0).cast("int").alias("cid"),
+        )
     ckey = (corpus_key, n_centroids, seed) if corpus_key else None
     pv = None
     if ckey is not None and ckey in _CENTROID_CACHE:
@@ -459,6 +473,11 @@ def pq_topk(
     import numpy as np
 
     emb = embeddings.select("vec_id", _to_double("embedding").alias("v"))
+    if embeddings.limit(1).count() == 0:
+        # empty corpus: no codebooks to train, nothing to search
+        return emb.select(
+            "vec_id", F.lit(0.0).cast("double").alias("cosine")
+        )
     ckey = (corpus_key, m, ksub, seed) if corpus_key else None
     pv = None
     if ckey is not None and ckey in _PQ_CACHE:

@@ -309,7 +309,11 @@ class AtomicPartitionedTable:
     # ------------------------------------------------------------------
     # Read / commit / vacuum
     # ------------------------------------------------------------------
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        empty_schema=None,
+    ) -> DataFrame:
         """One multi-path parquet scan of the live partitions. basePath
         recovers ``snap`` and the user partition column via standard
         partition discovery; ``snap`` is dropped.
@@ -317,8 +321,17 @@ class AtomicPartitionedTable:
         ``version`` reads the table AS OF that commit (time travel):
         manifests are immutable and snapshots are append-only, so any
         un-vacuumed historical state reconstructs exactly. After
-        :meth:`vacuum` only the current version remains readable."""
+        :meth:`vacuum` only the current version remains readable.
+
+        ``empty_schema`` (a StructType or DDL string): when given, a
+        table with no live partitions — never committed, or every
+        partition dropped — reads as an EMPTY DataFrame of that schema
+        instead of raising. A pipeline whose incremental run saw zero
+        input rows is a legitimate state, not an error; the caller
+        supplies the schema because an empty table can't know it."""
         paths = sorted(self.current_partition_paths(version).values())
+        if not paths and empty_schema is not None and version is None:
+            return self.spark.createDataFrame([], empty_schema)
         if not paths:
             # distinguish "never committed" (schema unknowable — caller
             # bug) from "committed but currently empty" (every partition

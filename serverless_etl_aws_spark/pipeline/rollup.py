@@ -222,5 +222,9 @@ class PartitionedRollup:
         self._write_gold(merge(both), touched, fault)
         return len(touched)
 
-    def read_gold(self) -> DataFrame:
-        return self.table.read()
+    def read_gold(self, empty_schema=None) -> DataFrame:
+        """Current gold state. ``empty_schema`` makes a gold table that
+        was never built (zero input batches — a legitimate incremental
+        no-op run) read as an empty DataFrame of that schema instead of
+        raising; see AtomicPartitionedTable.read."""
+        return self.table.read(empty_schema=empty_schema)

@@ -122,6 +122,12 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: HAVING COUNT(*) > 0 on the rollup/cube/grouping-sets oracles mirrors
+#: Spark's empty-input semantics: Spark emits ZERO rows for a grouping-
+#: set aggregate over an empty relation, while DuckDB (SQL standard)
+#: emits the grand-total row. On non-empty input every emitted grouping
+#: row aggregates >= 1 source row, so the guard is a no-op there — it
+#: exists purely to pin the engine's (Spark's) empty-corpus contract.
 AGG_ROLLUP_SQL = f"""
 SELECT COALESCE(n_name, 'ALL') AS nation,
        COALESCE(c_mktsegment, 'ALL') AS segment,
@@ -129,6 +135,7 @@ SELECT COALESCE(n_name, 'ALL') AS nation,
        {sql_dsum('c_acctbal')} AS sum_acctbal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP (n_name, c_mktsegment)
+HAVING COUNT(*) > 0
 """
 
 
@@ -156,6 +163,7 @@ SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        {sql_dsum('l_quantity')} AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+HAVING COUNT(*) > 0
 """
 
 
@@ -181,6 +189,7 @@ SELECT COALESCE(n_name, 'ALL') AS nation,
        COUNT(*) AS customer_count
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+HAVING COUNT(*) > 0
 """
 
 

@@ -88,9 +88,12 @@ def scan_atomic_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
     )
     table.vacuum(grace_seconds=0)  # single-writer here: reap orphan + superseded
-    return table.read().select(
-        "o_orderpriority", "order_count", "sum_totalprice"
-    )
+    # empty_schema: a zero-order corpus commits nothing — the lifecycle
+    # legitimately ends with an empty gold table
+    return table.read(
+        empty_schema="o_orderpriority string, order_count bigint, "
+        "sum_totalprice double"
+    ).select("o_orderpriority", "order_count", "sum_totalprice")
 
 
 _hot_list = ", ".join(f"'{p}'" for p in ATOMIC_HOT)
@@ -327,7 +330,12 @@ def maintenance_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.commit_overwrite_partitions(ev)
 
     doomed = F.col("user_id") % DELETE_USER_MOD == 0
-    state = table.read()
+    # empty_schema: an empty corpus commits an empty table — the delete
+    # is then a no-op over zero rows, not an error
+    state = table.read(
+        empty_schema="event_id bigint, user_id bigint, "
+        "event_type string, value double, ts timestamp, bucket int"
+    )
     n_buckets = 16  # must match the bucket expression above
     touched = [
         r["bucket"]
@@ -352,19 +360,14 @@ def maintenance_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         # empty rewrite would silently keep serving the old files (found
         # live by the sf0.001 oracle: one bucket held only doomed rows)
         table.commit_overwrite_partitions(survivors, replaced=touched)
-    try:
-        state = table.read()
-    except FileNotFoundError:
-        # every row matched the deletion list (e.g. a single-user
-        # corpus whose one user is doomed): the erasure legitimately
-        # emptied the table — the read() refusal is for callers that
-        # EXPECT data; this op's contract is the surviving rows, which
-        # are none
-        return spark.createDataFrame(
-            [],
-            "event_id long, user_id long, event_type string, "
-            "value double, ts_s string",
-        )
+    # empty_schema: every row can match the deletion list (e.g. a
+    # single-user corpus whose one user is doomed) — the erasure
+    # legitimately empties the table and the contract is the surviving
+    # rows, which are none
+    state = table.read(
+        empty_schema="event_id bigint, user_id bigint, "
+        "event_type string, value double, ts timestamp, bucket int"
+    )
     return state.select(
         "event_id",
         "user_id",

@@ -693,6 +693,10 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select("l_partkey")
     adj = co_order_part_adj(spark, sf_dir)
     source = li.agg(F.min("l_partkey")).collect()[0][0]  # O(1) scalar
+    if source is None:
+        # empty table: no source node, no walk (the oracle's recursive
+        # seed is NULL-filtered for the same reason)
+        return spark.createDataFrame([], "part bigint, hops int")
     res = bfs_hops(
         adj, int(source), src_col="node", dst_col="nbr",
         max_hops=BFS_MAX_HOPS, symmetric_materialized=True,
@@ -718,7 +722,7 @@ WITH RECURSIVE e0 AS (
     WHERE w.hops < {BFS_MAX_HOPS}
 )
 SELECT node AS part, CAST(MIN(hops) AS INT) AS hops
-FROM walk GROUP BY node
+FROM walk WHERE node IS NOT NULL GROUP BY node
 """
 
 QUERIES["graph_bfs"] = Query(

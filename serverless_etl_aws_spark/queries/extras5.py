@@ -327,7 +327,9 @@ def maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
                     jvm.org.apache.hadoop.fs.Path(base, f"day={d}"), True
                 )
 
-    kept = spark.read.parquet(base)
+    # schema-pinned read-back: an empty corpus writes no data files and
+    # must read as an empty table, not a schema-inference error
+    kept = spark.read.schema(silver.schema).parquet(base)
     # Null-day rows (if a future fixture carries null ts) are retained on
     # disk but excluded from the report, mirroring the oracle's NULL
     # comparison semantics (NULL >= cutoff filters the row).
@@ -397,6 +399,12 @@ def maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_orderkey").alias("ok0"), F.max("l_orderkey").alias("ok1"),
         F.min("l_partkey").alias("pk0"), F.max("l_partkey").alias("pk1"),
     ).collect()[0]  # bounded: exactly four scalars (table stats at scale)
+    if b.ok0 is None:
+        # empty table: no bounds, nothing to cluster — the verification
+        # box over zero rows is the empty aggregate
+        return spark.createDataFrame(
+            [], "l_returnflag string, n_rows bigint, sum_price double"
+        )
 
     def scale16(col, lo, hi):
         span = max(hi - lo, 1)

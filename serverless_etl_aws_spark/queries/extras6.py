@@ -265,7 +265,9 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     base = fresh_dir(os.path.join(SCRATCH, "join_dpp"))
     ev.write.partitionBy("event_type").parquet(base, mode="overwrite")
-    fact = spark.read.parquet(base)
+    # schema-pinned read-back: an empty corpus stages no partition dirs
+    # and must read as an empty fact table, not a schema-inference error
+    fact = spark.read.schema(ev.schema).parquet(base)
 
     dim = (
         ev.select("event_type").distinct()

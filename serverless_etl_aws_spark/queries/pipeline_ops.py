@@ -60,7 +60,16 @@ def ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r1 = pipe.run_once()
     r2 = pipe.run_once()  # nothing new → 0 files, 0 rows
-    silver_rows = spark.read.parquet(silver).count()
+    # schema-pinned read-back: a zero-row corpus drains zero batches, so
+    # the sink dir may hold no data files (or not exist) — an
+    # incremental no-op run reads as 0 silver rows, not a schema-
+    # inference error
+    silver_schema = normalize_ts(spark.createDataFrame([], read_schema)).schema
+    silver_rows = (
+        spark.read.schema(silver_schema).parquet(silver).count()
+        if os.path.isdir(silver)
+        else 0
+    )
     return spark.createDataFrame(
         [
             (1, r1.rows_ingested, silver_rows),
@@ -100,7 +109,14 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("l_returnflag")
         .parquet(out)
     )
-    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    # schema-pinned read-back: an empty write produces no files, and an
+    # empty sink must read as an empty table, not a schema-inference
+    # error (the schema is the written df's own)
+    back = (
+        spark.read.schema(li.schema)
+        .parquet(out)
+        .filter(F.col("l_returnflag") == "R")
+    )
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("line_count"),
         dsum("l_quantity").alias("sum_qty"),
@@ -179,9 +195,10 @@ def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         post_batch=rollup.refresh_for_batch,
     )
     pipe.run_once()
-    return rollup.read_gold().select(
-        "event_date", "event_type", "event_count", "sum_value"
-    )
+    return rollup.read_gold(
+        empty_schema="event_date string, event_type string, "
+        "event_count bigint, sum_value double"
+    ).select("event_date", "event_type", "event_count", "sum_value")
 
 
 ROLLUP_SQL = """
@@ -250,7 +267,10 @@ def rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     rollup.upsert(delta, merge)
-    return rollup.read_gold().select(
+    return rollup.read_gold(
+        empty_schema="event_date string, event_type string, "
+        "event_count bigint, sum_value_exact decimal(18,4)"
+    ).select(
         "event_date",
         "event_type",
         "event_count",

@@ -415,6 +415,8 @@ def stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             r["bucket"]
             for r in incoming.select("bucket").distinct().collect()
         ]  # bounded: <= N_CDC_BUCKETS scalars
+        if not touched:
+            return  # empty batch (zero-row input file): nothing to merge
         if state_table.exists():
             current = state_table.read().filter(
                 F.col("bucket").isin(touched)
@@ -454,7 +456,12 @@ def stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
 
-    state = state_table.read()
+    # empty_schema: a zero-row corpus commits no state — the CDC view of
+    # nothing is nothing
+    state = state_table.read(
+        empty_schema="user_id bigint, op string, value double, "
+        "ts timestamp, event_id bigint, bucket int"
+    )
     return state.filter(F.col("op") != "d").select(
         "user_id",
         "value",

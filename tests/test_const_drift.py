@@ -163,3 +163,40 @@ def test_cat_const_drift_parity(spark, cat_const_sf_dir, key):
         f"{key}: {result.detail} "
         f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
     )
+
+
+@pytest.fixture(scope="session")
+def empty_sf_dir2(tmp_path_factory) -> str:
+    """Every table ZERO rows, schema intact — the incremental run that
+    saw no data. (Named to avoid colliding with test_null_drift's
+    empty-STRING fixture.)"""
+    dst = str(tmp_path_factory.mktemp("emptyfix"))
+    for f in os.listdir(SRC):
+        if f.endswith(".parquet"):
+            tbl = pq.read_table(os.path.join(SRC, f))
+            pq.write_table(tbl.slice(0, 0), os.path.join(dst, f))
+    return dst
+
+
+@pytest.mark.parametrize("key", sorted(REGISTRY))
+def test_empty_corpus_parity(spark, empty_sf_dir2, key):
+    """The fourth axis: a fully EMPTY corpus. This is the
+    production-critical one — an incremental pipeline whose trigger
+    fires with zero new rows must produce empty results, not crash.
+    Round-9 first run caught 18 keys: grouping-set grand-total
+    semantics (Spark emits zero rows on empty input, DuckDB the SQL-
+    standard total row — oracles now carry a mirroring
+    HAVING COUNT(*) > 0), schema-inference failures on read-back of
+    empty sinks (now schema-pinned), atomic-table reads of
+    legitimately-empty state (now empty_schema), and driver-side
+    crashes on empty bounds/probes/sources (pagerank 1/0, zorder
+    None-None, BFS int(None), sim-search probe lookup, stream_cdc
+    empty batch)."""
+    q = REGISTRY[key]
+    result = compare(
+        key, q.fn(spark, empty_sf_dir2), q.sql, empty_sf_dir2, strict=True
+    )
+    assert result.ok, (
+        f"{key}: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )
