@@ -36,6 +36,17 @@ Round-9 findings these sweeps caught on first run (all fixed):
   EVERY row (single-user corpus, its one user doomed): the read-back
   of the legitimately-emptied table raised — the op now returns the
   empty surviving relation.
+
+Two further axes were probed clean in round 9 and NOT made permanent
+(suite-time economy; re-run on suspicion):
+
+* **10× value magnitudes** — 260/261 green; the one ceiling is
+  ``agg_skew_kurt``'s DECLARED domain (|value| < 3162: exact decimal
+  4th moments need ~4× the input's significant digits, and 38-digit
+  ANSI decimals cap the input at ~7.5 digits — beyond it the key fails
+  LOUD with NUMERIC_VALUE_OUT_OF_RANGE, never silently).
+* **40% sign-flipped measures** — 261/261 green, no nonnegativity
+  assumptions anywhere.
 """
 
 from __future__ import annotations
