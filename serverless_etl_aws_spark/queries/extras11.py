@@ -334,7 +334,8 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one window shuffle by user_id; state per row is the
     ≤16-element frame list. No Python, no second pass."""
-    ev = t(spark, sf_dir, "events")
+    # ts IS NOT NULL: no timestamp = no series position (round 9)
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
@@ -370,7 +371,7 @@ WITH w AS (
            ORDER BY CAST(ts AS TIMESTAMP), event_id
            ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW
          ) AS vals
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT event_id, user_id,
        strftime(tsx, '%Y-%m-%d %H:%M:%S') AS ts_s,

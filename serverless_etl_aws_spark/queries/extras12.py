@@ -254,7 +254,10 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     — lead-with-IGNORE-NULLS is exactly FIRST_VALUE(ignore nulls) over
     (1 FOLLOWING → ∞), which both engines implement. One shuffle on the
     series key; each fill is a linear in-partition pass."""
-    ev = t(spark, sf_dir, "events")
+    # ts IS NOT NULL: no timestamp = no series position (round 9) —
+    # the null-VALUE gaps are the point of this key; null-TS rows are
+    # off the axis entirely
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     order = (F.col("ts").asc(), F.col("event_id").asc())
     base = Window.partitionBy("user_id").orderBy(*order)
     w_ff = base.rowsBetween(Window.unboundedPreceding, 0)
@@ -284,7 +287,7 @@ SELECT event_id, user_id,
        FIRST_VALUE(value IGNORE NULLS) OVER (
          PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_nn
-FROM events
+FROM events WHERE ts IS NOT NULL
 """
 
 QUERIES["win_ignore_nulls"] = Query(

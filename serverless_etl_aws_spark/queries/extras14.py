@@ -164,7 +164,13 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (ts, event_id) ordering pins tie rows; null values are filtered up
     front so frame contents are identical across engines."""
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # ts IS NOT NULL: a row with no timestamp has no position on the
+    # series axis (null-ts drift axis, round 9; Spark orders NULLS
+    # FIRST, DuckDB NULLS LAST — excluded rather than pinned, since a
+    # timeless row inside a trailing frame is meaningless)
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     w = (
         Window.partitionBy("event_type")
         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
@@ -190,7 +196,7 @@ FROM (
                PARTITION BY event_type ORDER BY ts, event_id
                ROWS BETWEEN {ROLLMED_FRAME - 1} PRECEDING AND CURRENT ROW
            )) AS l
-    FROM events WHERE value IS NOT NULL
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
 )
 """
 

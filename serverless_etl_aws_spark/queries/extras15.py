@@ -62,7 +62,10 @@ def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the partition key would be (series, coarse-time-bucket) with
     a carried-in offset, same plan shape. Null values are filtered up
     front (a null increment would poison the prefix sum)."""
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = t(spark, sf_dir, "events").filter(
+        # ts IS NOT NULL: no timestamp = no series position (round 9)
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     w = (
         Window.partitionBy("event_type")
         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
@@ -98,7 +101,7 @@ WITH w AS (
     SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS tsx,
            SUM(CAST(value AS DECIMAL(18,4)) - CAST({CUSUM_K} AS DECIMAL(18,4)))
                OVER ord AS p
-    FROM events WHERE value IS NOT NULL
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     WINDOW ord AS (PARTITION BY event_type
                    ORDER BY CAST(ts AS TIMESTAMP), event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -135,7 +138,10 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the groupBy reuses the lag window's hashpartitioning (same
     key, pinned in tests/test_plans.py: ONE Exchange in the whole
     plan), and the moment sums are map-side-combinable partials."""
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = t(spark, sf_dir, "events").filter(
+        # ts IS NOT NULL: no timestamp = no series position (round 9)
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("event_type").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
@@ -175,7 +181,7 @@ WITH pairs AS (
            CAST(lag(value) OVER (PARTITION BY event_type
                                  ORDER BY CAST(ts AS TIMESTAMP), event_id)
                 AS DECIMAL(19,4)) AS y
-    FROM events WHERE value IS NOT NULL
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
 ), m AS (
     SELECT event_type,
            CAST(COUNT(*) AS DOUBLE) AS n,

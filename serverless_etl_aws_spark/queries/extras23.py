@@ -303,7 +303,10 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation; per-user state is the bounded event list (the generator
     keeps events-per-user constant as the corpus grows — and a real
     deployment folds per partition-day). No Python, no joins."""
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # ts IS NOT NULL: no timestamp = no series position (round 9)
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     vals_w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
@@ -361,7 +364,8 @@ WITH s AS (
     SELECT user_id,
            list(CAST(value AS DOUBLE)
                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS vals
-    FROM events WHERE value IS NOT NULL GROUP BY user_id
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    GROUP BY user_id
 ), f AS (
     SELECT user_id, len(vals) AS n,
            list_reduce(

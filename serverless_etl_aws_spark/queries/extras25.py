@@ -56,7 +56,10 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     all share that partitioning (Catalyst plans one exchange, stacked
     sorts). At 100 TB the series key would be (user, coarse-time-bucket)
     with carried-in offsets — the ts_cusum posture verbatim."""
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # ts IS NOT NULL: no timestamp = no series position (round 9)
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     wp = (
         Window.partitionBy("user_id")
         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
@@ -119,7 +122,7 @@ WITH tot AS (
            COUNT(*) OVER (PARTITION BY user_id) AS n,
            SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
              OVER (PARTITION BY user_id) AS tot
-    FROM events WHERE value IS NOT NULL
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
 ), cand AS (
     SELECT user_id, ts_s, k, n,
            abs(CAST(n AS HUGEINT) * CAST(p AS HUGEINT)

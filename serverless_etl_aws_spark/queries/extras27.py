@@ -300,7 +300,8 @@ def ml_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one user_id window shuffle to stamp cohorts, one
     map-side-combinable (cohort, age) collapse, then the cumulative
     window runs on the cohorts×ages-sized relation."""
-    ev = t(spark, sf_dir, "events")
+    # ts IS NOT NULL: no timestamp = no cohort week (round 9)
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     week = (
         F.date_diff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
         / F.lit(7)
@@ -374,7 +375,7 @@ WITH stamped AS (
            MIN(date_diff('day', DATE '1970-01-01',
                          CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7)
              OVER (PARTITION BY user_id) AS cohort_week
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 ), per_age AS (
     SELECT cohort_week, wk - cohort_week AS age_weeks,
            SUM(rev) AS rev,

@@ -276,7 +276,10 @@ def ml_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one map-side-combinable collapse to (type, day), lag
     windows on the days-sized relation, one per-type aggregate."""
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # ts IS NOT NULL: no timestamp = no day on the series axis (round 9)
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     daily = ev.groupBy(
         "event_type",
         F.date_diff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
@@ -353,7 +356,7 @@ WITH daily AS (
            date_diff('day', DATE '1970-01-01',
                      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d,
            SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS v
-    FROM events WHERE value IS NOT NULL
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     GROUP BY 1, 2
 ), staged AS (
     SELECT event_type, v,

@@ -311,7 +311,13 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the groupBy under AQE)."""
     from pyspark.sql.window import Window
 
-    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    # ts IS NOT NULL: a row with no timestamp belongs to no session
+    # (round 9; shared with stream_session's oracle)
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts")
+    )
     w = Window.partitionBy("user_id").orderBy("ts")
     gap_min = 30
     # Compare gaps at MICROSECOND precision: the oracle's

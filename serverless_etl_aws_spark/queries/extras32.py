@@ -45,7 +45,8 @@ def ml_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE user_id window shuffle (lag is O(1) state), one
     map-side-combinable collapse onto the ≤5×5 transition grid, and a
     grid-sized window for the normalizer."""
-    ev = t(spark, sf_dir, "events")
+    # ts IS NOT NULL: no timestamp = no position in the journey (round 9)
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
@@ -75,7 +76,7 @@ WITH pairs AS (
            LEAD(event_type, 1) OVER (PARTITION BY user_id
                                      ORDER BY ts ASC, event_id ASC)
              AS to_type
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 ), grid AS (
     SELECT from_type, to_type, COUNT(*) AS n
     FROM pairs WHERE to_type IS NOT NULL

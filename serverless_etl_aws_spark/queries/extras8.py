@@ -136,7 +136,8 @@ def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions, and sqrt is correctly-rounded by IEEE 754 in both
     engines — unlike log/exp, which this engine's keys deliberately
     avoid. One aggregation shuffle + one intra-partition window."""
-    ev = t(spark, sf_dir, "events")
+    # ts IS NOT NULL: no timestamp = no day on the series axis (round 9)
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(
         F.col("event_type"), F.to_date("ts").alias("d")
     ).agg(dsum("value").alias("v"))
@@ -174,7 +175,8 @@ TS_ROLLING_ZSCORE_SQL = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS d,
          CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS v
-  FROM events GROUP BY event_type, CAST(ts AS DATE)
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, CAST(ts AS DATE)
 ), win AS (
   SELECT event_type, d, v,
          CAST(COUNT(*) OVER w AS DOUBLE) AS n,

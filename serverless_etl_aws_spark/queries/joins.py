@@ -230,8 +230,12 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, ts) so tie-breaking is engine-independent. DuckDB oracle uses its
     native ASOF JOIN."""
     ev = t(spark, sf_dir, "events")
+    # ts IS NOT NULL on the right side: a purchase with no timestamp can
+    # never be "the latest at-or-earlier" (null-ts drift axis, round 9)
     purchases = (
-        ev.filter(F.col("event_type") == "purchase")
+        ev.filter(
+            (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+        )
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("purchase_id"))
     )
@@ -255,12 +259,16 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 JOIN_ASOF_SQL = """
 SELECT e.event_id, e.user_id,
        strftime(CAST(e.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
-       p.purchase_id AS matched_purchase_id
+       -- a left row with no event time has no as-of position: DuckDB's
+       -- ASOF sorts the NULL probe last and would hand it the user's
+       -- LATEST purchase; the engine contract is NULL (round 9)
+       CASE WHEN e.ts IS NOT NULL THEN p.purchase_id
+            END AS matched_purchase_id
 FROM events e
 ASOF LEFT JOIN (
     SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
            MAX(event_id) AS purchase_id
-    FROM events WHERE event_type = 'purchase'
+    FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
     GROUP BY user_id, CAST(ts AS TIMESTAMP)
 ) p ON e.user_id = p.user_id AND CAST(e.ts AS TIMESTAMP) >= p.ts
 """
@@ -276,7 +284,9 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's full-resolution timestamp arithmetic."""
     ev = t(spark, sf_dir, "events")
     purchases = (
-        ev.filter(F.col("event_type") == "purchase")
+        ev.filter(
+            (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+        )
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("purchase_id"))
         .withColumn("pts", F.col("ts"))
@@ -310,7 +320,7 @@ FROM events e
 ASOF LEFT JOIN (
     SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
            MAX(event_id) AS purchase_id
-    FROM events WHERE event_type = 'purchase'
+    FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
     GROUP BY user_id, CAST(ts AS TIMESTAMP)
 ) p ON e.user_id = p.user_id AND CAST(e.ts AS TIMESTAMP) >= p.ts
 """

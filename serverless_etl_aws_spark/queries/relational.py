@@ -130,7 +130,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     key; a pre-bucketed table would eliminate it.
     """
     ev = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # NULLS LAST, pinned on both engines: a row with no timestamp is
+    # never "the earliest" (Spark's asc default is NULLS FIRST, DuckDB's
+    # is NULLS LAST — unpinned, a null-ts drift flips which row wins).
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -142,7 +147,8 @@ DEDUP_SQL = """
 SELECT event_id, user_id, event_type, value, props
 FROM (
     SELECT *, row_number() OVER (
-        PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        PARTITION BY user_id, event_type
+        ORDER BY ts NULLS LAST, event_id) AS rn
     FROM events
 ) WHERE rn = 1
 """

@@ -40,12 +40,15 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ts IS NOT NULL on the stream oracles: a row with no event time has no
+# window — Spark's window()/session_window drop it from the grouping,
+# and the oracle mirrors (null-ts drift axis, round 9).
 STREAM_TUMBLING_SQL = """
 SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
                 '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        COUNT(*) AS event_count
-FROM events
+FROM events WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -66,6 +69,7 @@ SELECT strftime(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
        COUNT(*) AS event_count
 FROM events
 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -88,7 +92,7 @@ WITH marked AS (
                      > INTERVAL '30 minutes'
                 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                 THEN 1 ELSE 0 END AS new_session
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 ), islands AS (
     SELECT user_id, ts,
            SUM(new_session) OVER (

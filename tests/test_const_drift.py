@@ -37,6 +37,19 @@ Round-9 findings these sweeps caught on first run (all fixed):
   of the legitimately-emptied table raised — the op now returns the
   empty surviving relation.
 
+A fifth permanent axis — 3% NULL timestamps (events.ts, l_shipdate,
+o_orderdate; the null axis in test_null_drift.py deliberately keeps ts
+intact for the unit sniffer) — caught 17 keys on first run, all the
+TIME-AXIS null class: Spark orders NULLS FIRST where DuckDB orders
+NULLS LAST, so every ts-ordered window/lag/session/as-of disagreed on
+where timeless rows sit. Convention pinned: **a row with no event time
+has no position on the time axis** — time-ordered and time-bucketed
+operators exclude it (engine filter + oracle WHERE, both no-ops on
+dense data); `dedup_exact` instead pins `NULLS LAST` explicitly on
+both engines (dedup must keep the row — it is just never "earliest");
+the as-of oracle NULLs the timeless probe's match (DuckDB's ASOF would
+hand it the LATEST right row).
+
 Two further axes were probed clean in round 9 and NOT made permanent
 (suite-time economy; re-run on suspicion):
 
@@ -187,6 +200,55 @@ def empty_sf_dir2(tmp_path_factory) -> str:
             tbl = pq.read_table(os.path.join(SRC, f))
             pq.write_table(tbl.slice(0, 0), os.path.join(dst, f))
     return dst
+
+
+#: 3% null timestamps across the three time columns (seeded; PKs and
+#: all other columns intact).
+NULL_TS = {
+    "events": ["ts"],
+    "lineitem": ["l_shipdate"],
+    "orders": ["o_orderdate"],
+}
+
+
+@pytest.fixture(scope="session")
+def null_ts_sf_dir(tmp_path_factory) -> str:
+    import numpy as np
+
+    dst = str(tmp_path_factory.mktemp("nultsfix"))
+    rng = np.random.default_rng(17)
+    for f in os.listdir(SRC):
+        if not f.endswith(".parquet"):
+            continue
+        name = f[:-8]
+        src_path = os.path.join(SRC, f)
+        if name not in NULL_TS:
+            shutil.copy(src_path, os.path.join(dst, f))
+            continue
+        tbl = pq.read_table(src_path)
+        for col in NULL_TS[name]:
+            idx = tbl.schema.get_field_index(col)
+            field = tbl.schema.field(col)
+            arr = tbl[col].to_pylist()
+            for j in np.flatnonzero(rng.random(len(arr)) < 0.03):
+                arr[j] = None
+            tbl = tbl.set_column(
+                idx, field, pa.array(arr, type=field.type)
+            )
+        pq.write_table(tbl, os.path.join(dst, f))
+    return dst
+
+
+@pytest.mark.parametrize("key", sorted(REGISTRY))
+def test_null_ts_drift_parity(spark, null_ts_sf_dir, key):
+    q = REGISTRY[key]
+    result = compare(
+        key, q.fn(spark, null_ts_sf_dir), q.sql, null_ts_sf_dir, strict=True
+    )
+    assert result.ok, (
+        f"{key}: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )
 
 
 @pytest.mark.parametrize("key", sorted(REGISTRY))
