@@ -726,3 +726,65 @@ def test_vacuum_runs_live_against_concurrent_writers(spark, tmp_path):
     # exclusive vacuum afterwards still leaves the same state
     table.vacuum(grace_seconds=0)
     assert snapshot(table) == state
+
+
+def test_read_empty_schema_for_never_built_and_emptied_tables(
+    spark, tmp_path
+):
+    """read(empty_schema=...) returns a TYPED empty DataFrame for both
+    empty states — never committed, and committed-then-fully-dropped —
+    while the bare read() keeps raising, and time travel is never
+    silently empty (round 9: a zero-input pipeline run is a state, not
+    an error)."""
+    from pyspark.sql import functions as F
+
+    from serverless_etl_aws_spark.pipeline.atomic import (
+        AtomicPartitionedTable,
+    )
+
+    table = AtomicPartitionedTable(spark, str(tmp_path / "tbl"), "p")
+    schema = "k bigint, v double, p string"
+
+    # never committed: bare read raises, empty_schema read is typed-empty
+    with pytest.raises(FileNotFoundError, match="no committed snapshot"):
+        table.read()
+    out = table.read(empty_schema=schema)
+    assert out.count() == 0
+    assert [f.simpleString() for f in out.schema.fields] == [
+        "k:bigint", "v:double", "p:string",
+    ]
+
+    # commit data, then drop the only partition: "empty" state
+    df = spark.createDataFrame([(1, 2.0, "a")], schema)
+    table.commit_overwrite_partitions(df)
+    assert table.read().count() == 1
+    table.commit_overwrite_partitions(
+        spark.createDataFrame([], schema), replaced=["a"]
+    )
+    with pytest.raises(FileNotFoundError, match="every partition dropped"):
+        table.read()
+    assert table.read(empty_schema=schema).count() == 0
+    # time travel never silently empties: version + empty_schema raises
+    with pytest.raises(FileNotFoundError):
+        table.read(version=99, empty_schema=schema)
+
+
+def test_simsearch_empty_corpus_vs_stale_probe(spark):
+    """brute_force_topk distinguishes the two zero-probe cases: an
+    EMPTY corpus returns an empty (vec_id, cosine) relation; a stale
+    probe id against a NON-empty corpus still fails loud (round 9)."""
+    from serverless_etl_aws_spark.operators.simsearch import (
+        brute_force_topk,
+    )
+
+    schema = "vec_id bigint, embedding array<float>"
+    empty = spark.createDataFrame([], schema)
+    out = brute_force_topk(empty, probe_vec_id=0, k=5)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "cosine"]
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.5, 0.5])], schema
+    )
+    with pytest.raises(ValueError, match="probe vec_id 99 not found"):
+        brute_force_topk(corpus, probe_vec_id=99, k=5)
