@@ -3,7 +3,9 @@
 The driver regenerates fixtures between rounds, and round 2 proved a
 silent generator change can break many keys at once. This module rebuilds
 that scenario on demand: it copies sf0.001 with ~3% NULLs injected into
-the measure/categorical/text columns (primary keys and ts stay intact —
+the measure/categorical/text columns (primary keys and ts stay intact
+here — null TIMESTAMPS get their own dedicated axis in
+tests/test_const_drift.py::test_null_ts_drift_parity, added round 9 —
 ts feeds the unit sniffer and calendar spines) and asserts every registry
 key still hash-matches its DuckDB oracle on the SAME perturbed data.
 
