@@ -61,13 +61,21 @@ CONTRACT_2B: tuple[str, ...] = (
 # multimodal decode/resize/feature trio);
 # round 9: mm_audio_window / mm_scene_cut / mm_phash — the pre-declared
 # next trio (finishes converting the entire mm_* family to driver
-# signal). NOTE: the round-8 VERDICT directive #1 literally named
+# signal; all three hash-green in CORRECTNESS_r09). NOTE: the round-8
+# VERDICT directive #1 literally named
 # llm_token_count/llm_tfidf/llm_pii_scrub, but those are the ROUND-6
 # trio, already driver-green since CORRECTNESS_r06 — re-rotating them
 # would burn the only three audit slots on keys that already carry
 # driver signal. The directive's own rationale ("next in the
 # pre-declared order") points here, so the pre-declared order wins.
+# round 10: llm_sim_search_ivf / llm_paragraph_dedup / llm_bpe_encode —
+# named verbatim by the round-9 VERDICT directive #1 (the next
+# un-audited trio in the pre-declared order). llm_sim_search_ivf is
+# rows-only by contract (IVF is approximate; its recall contract is
+# pinned in tests/test_operators.py::test_ivf_recall_*), so its driver row reads
+# `no_oracle` like llm_dedup_minhash's — still first driver exposure.
 PRIORITY_EXT: tuple[str, ...] = (
+    "llm_sim_search_ivf", "llm_paragraph_dedup", "llm_bpe_encode",
     "mm_audio_window", "mm_scene_cut", "mm_phash",
     "mm_frame_sample", "mm_resize", "mm_feature_extract",
     "llm_embed_quantize", "llm_corpus_stats", "mm_decode_meta",
@@ -75,9 +83,7 @@ PRIORITY_EXT: tuple[str, ...] = (
     "llm_fingerprint", "llm_lang_id", "llm_quality_score",
     "llm_dedup_embedding", "llm_decontaminate", "llm_knn_join",
     "llm_dedup_ngram", "llm_dedup_cluster", "llm_dedup_simhash",
-    "llm_sim_search_ivf",
     # round-5 graded additions (rotation candidates from round 7 on)
-    "llm_paragraph_dedup", "llm_bpe_encode",
     "agg_heavy_hitters",
     # round-6 additions (dedup application/prefix class, robust stats,
     # traversal, lateral decorrelation — all oracle-SQL-checked)
