@@ -137,6 +137,12 @@ def validate_checkpoint_dir(
 
     Returns ``path`` unchanged when safe, so call sites can inline it:
     ``writeStream.option("checkpointLocation", validate_checkpoint_dir(p))``.
+
+    Note a RELATIVE local path with a colon in its first segment
+    (``ckpt:v2/dir``) parses as scheme ``ckpt`` — here AND in Hadoop's
+    own Path — so it is refused as an unknown scheme (fail-closed).
+    Spell such paths absolute (``/data/ckpt:v2/dir``) or as ``file://``
+    URIs. Pinned by tests/test_cloud_posture.py (round-9 ADVICE).
     """
     scheme = _scheme_of(path)
     if scheme in CHECKPOINT_SAFE_SCHEMES:

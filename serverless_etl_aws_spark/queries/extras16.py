@@ -109,16 +109,32 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     Built-in ``skewness``/``kurtosis`` accumulate doubles in
     engine-specific order; the engine accumulates Σx, Σx², Σx³, Σx⁴ as
     decimals (order-free), then combines them in ONE mirrored IEEE
-    expression. Decimal widths are chosen so no product or sum can
-    overflow precision 38: value fits DECIMAL(9,4); x² is narrowed to
-    DECIMAL(15,8) (exact — x² < 10⁷ at the domain bound), so
-    x³ = x²·x is (25,12) and x⁴ = x²·x² is (31,16), and Spark's +10
-    sum-widening stays ≤ 38.
+    expression. Decimal widths are chosen so no product can overflow
+    precision 38: value fits DECIMAL(9,4) — the DECLARED exact-decimal
+    domain is |value| < 10⁵, enforced LOUD by a named ``raise_error``
+    guard below (round-10: widened from the old |value| < 3162 ceiling
+    by lifting x² from DECIMAL(15,8) to DECIMAL(18,8); x² < 10¹⁰ at
+    the new bound, exact). x³ = x²·x is (28,12) and x⁴ = x²·x² is
+    (37,16); Spark's +10 sum-widening caps both sums at precision 38,
+    so Σx⁴ holds 22 integer digits — beyond ~10⁶ rows per group at the
+    extreme of the domain the SUM itself overflows, which ANSI mode
+    also surfaces loud (never a silent wrap). The DuckDB oracle's
+    x² is DECIMAL(19,8), already wide enough for the new domain.
 
     Scale: one map-side-combinable groupBy — the four power sums are
     ordinary decimal partial aggregates."""
-    x = dec(F.col("value")).cast("decimal(9,4)")
-    x2 = (x * x).cast("decimal(15,8)")
+    raw = F.col("value")
+    # Loud domain guard: outside |value| < 1e5 the DECIMAL(9,4) cast
+    # would overflow with Spark's opaque NUMERIC_VALUE_OUT_OF_RANGE —
+    # raise a NAMED error first so the failure states the contract.
+    guarded = F.when(F.abs(raw) < 100000.0, raw).otherwise(
+        F.raise_error(F.lit(
+            "agg_skew_kurt: |value| >= 1e5 is outside the declared "
+            "exact-decimal domain (see docstring)"
+        ))
+    )
+    x = dec(guarded).cast("decimal(9,4)")
+    x2 = (x * x).cast("decimal(18,8)")
     m = (
         t(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())

@@ -166,6 +166,23 @@ def test_checkpoint_single_slash_safe_scheme_passes():
     assert validate_checkpoint_dir("HDFS://nn:8020/ckpt") == "HDFS://nn:8020/ckpt"
 
 
+def test_checkpoint_relative_path_with_colon_refused():
+    """A RELATIVE local path whose first segment carries a colon
+    ("ckpt:v2/dir") parses as scheme 'ckpt' — in urlsplit and in
+    Hadoop's own Path — so it is refused as an unknown scheme rather
+    than silently treated as a local dir (round-9 ADVICE: fail-closed
+    behavior change, now pinned). The documented spellings work:
+    absolute path or file:// URI."""
+    with pytest.raises(UnsafeCheckpointLocation, match="unknown scheme"):
+        validate_checkpoint_dir("ckpt:v2/dir")
+    # documented escape hatches for the same on-disk location
+    assert validate_checkpoint_dir("/data/ckpt:v2/dir") == "/data/ckpt:v2/dir"
+    assert (
+        validate_checkpoint_dir("file:///data/ckpt:v2/dir")
+        == "file:///data/ckpt:v2/dir"
+    )
+
+
 def test_checkpoint_trust_optin_and_unknown_scheme():
     assert (
         validate_checkpoint_dir(

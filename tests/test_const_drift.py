@@ -50,16 +50,19 @@ both engines (dedup must keep the row — it is just never "earliest");
 the as-of oracle NULLs the timeless probe's match (DuckDB's ASOF would
 hand it the LATEST right row).
 
-Two further axes were probed clean in round 9 and NOT made permanent
-(suite-time economy; re-run on suspicion):
+Two further axes were probed clean in round 9 and pinned as PERMANENT
+sweeps in round 10 (per the round-9 VERDICT directive #2):
 
-* **10× value magnitudes** — 260/261 green; the one ceiling is
-  ``agg_skew_kurt``'s DECLARED domain (|value| < 3162: exact decimal
-  4th moments need ~4× the input's significant digits, and 38-digit
-  ANSI decimals cap the input at ~7.5 digits — beyond it the key fails
-  LOUD with NUMERIC_VALUE_OUT_OF_RANGE, never silently).
-* **40% sign-flipped measures** — 261/261 green, no nonnegativity
-  assumptions anywhere.
+* **10× value magnitudes** (``test_mag10_drift_parity``) — every
+  measure column multiplied by 10. At round-9 probe time this was
+  260/261 with ``agg_skew_kurt``'s then-declared |value| < 3162
+  exact-decimal ceiling the one non-pass; round 10 widened that
+  domain to |value| < 10⁵ (x² lifted DECIMAL(15,8) → (18,8)) and put
+  a NAMED ``raise_error`` guard at the boundary, so the key now
+  passes this axis outright and fails loud-with-contract beyond it.
+* **40% sign-flipped measures** (``test_signflip_drift_parity``) —
+  a seeded 40% of every measure column negated: no key may carry a
+  nonnegativity assumption the schema doesn't state.
 """
 
 from __future__ import annotations
@@ -244,6 +247,103 @@ def test_null_ts_drift_parity(spark, null_ts_sf_dir, key):
     q = REGISTRY[key]
     result = compare(
         key, q.fn(spark, null_ts_sf_dir), q.sql, null_ts_sf_dir, strict=True
+    )
+    assert result.ok, (
+        f"{key}: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )
+
+
+#: Measure columns for the magnitude / sign-flip axes — the same set
+#: the constant-measure axis pins (keys, timestamps, and categoricals
+#: keep their real distributions).
+MEASURES: dict[str, list[str]] = {
+    "events": ["value"],
+    "customer": ["c_acctbal"],
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    "orders": ["o_totalprice"],
+    "part": ["p_retailprice", "p_size"],
+    "supplier": ["s_acctbal"],
+}
+
+
+def _build_measure_fixture(dst: str, transform) -> str:
+    """Copy SRC with ``transform(values, col_seed)`` applied to every
+    MEASURES column; physical types preserved."""
+    for f in os.listdir(SRC):
+        if not f.endswith(".parquet"):
+            continue
+        name = f[:-8]
+        src_path = os.path.join(SRC, f)
+        if name not in MEASURES:
+            shutil.copy(src_path, os.path.join(dst, f))
+            continue
+        tbl = pq.read_table(src_path)
+        for seed_off, col in enumerate(MEASURES[name]):
+            idx = tbl.schema.get_field_index(col)
+            field = tbl.schema.field(col)
+            # sum-of-bytes, not hash(): str hash is per-process salted
+            vals = transform(
+                tbl[col].to_pylist(), sum(name.encode()) % 1000 + seed_off
+            )
+            tbl = tbl.set_column(
+                idx, field, pa.array(vals, type=field.type)
+            )
+        pq.write_table(tbl, os.path.join(dst, f))
+    return dst
+
+
+@pytest.fixture(scope="session")
+def mag10_sf_dir(tmp_path_factory) -> str:
+    """Every measure value ×10 — exercises every decimal-precision
+    assumption and quantization ceiling at one order of magnitude
+    above the fixture's natural range."""
+    def times10(vals, _seed):
+        return [None if v is None else v * 10 for v in vals]
+
+    return _build_measure_fixture(
+        str(tmp_path_factory.mktemp("mag10fix")), times10
+    )
+
+
+@pytest.fixture(scope="session")
+def signflip_sf_dir(tmp_path_factory) -> str:
+    """A seeded 40% of every measure value negated — flushes out
+    nonnegativity assumptions (sqrt/log domains, abs-free spreads,
+    "revenue can't be negative" shortcuts) the schema never states."""
+    import numpy as np
+
+    def flip40(vals, seed):
+        rng = np.random.default_rng(1009 + seed)
+        mask = rng.random(len(vals)) < 0.40
+        return [
+            None if v is None else (-v if m else v)
+            for v, m in zip(vals, mask)
+        ]
+
+    return _build_measure_fixture(
+        str(tmp_path_factory.mktemp("sgnflipfix")), flip40
+    )
+
+
+@pytest.mark.parametrize("key", sorted(REGISTRY))
+def test_mag10_drift_parity(spark, mag10_sf_dir, key):
+    q = REGISTRY[key]
+    result = compare(
+        key, q.fn(spark, mag10_sf_dir), q.sql, mag10_sf_dir, strict=True
+    )
+    assert result.ok, (
+        f"{key}: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )
+
+
+@pytest.mark.parametrize("key", sorted(REGISTRY))
+def test_signflip_drift_parity(spark, signflip_sf_dir, key):
+    q = REGISTRY[key]
+    result = compare(
+        key, q.fn(spark, signflip_sf_dir), q.sql, signflip_sf_dir,
+        strict=True,
     )
     assert result.ok, (
         f"{key}: {result.detail} "

@@ -1793,3 +1793,49 @@ def test_saturation_shares_iqr_shape(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_gini_two_tier_aggregate(spark, sf_dir):
+    """agg_gini re-aggregates the (day, type) count relation — two
+    map-side-combinable shuffles, one scan, no join (the two-tier
+    shape agg_hhi's test pins; this pins it for "agg_gini" itself)."""
+    from serverless_etl_aws_spark.queries.extras13 import agg_gini
+
+    plan = plan_of(agg_gini(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_salted_join_partitions_on_salt(spark, sf_dir):
+    """join_salted must actually spread the hot key: the join-side
+    exchanges hash-partition on (key, __salt) — not on the bare key —
+    and the small side is replicated via explode (Generate), never a
+    broadcast of the salted big side. This is the manual skew path
+    ARCHITECTURE.md pairs with the AQE skew-join test above. Broadcast
+    is disabled for the probe: at fixture scale the replicated small
+    side broadcasts (correct, but then no exchange exists to inspect) —
+    salting only matters on the shuffle path, so pin that path."""
+    from serverless_etl_aws_spark.queries.extras import join_salted
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(join_salted(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    joins = [
+        ln for ln in plan.splitlines()
+        if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+    ]
+    assert joins, f"no shuffle join in plan:\n{plan}"
+    assert "__salt" in joins[0], (
+        f"join keys lost the salt column: {joins[0]}"
+    )
+    assert "Generate explode" in plan  # small side replicated per salt
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert any("__salt" in ln for ln in exchanges), (
+        "no exchange partitions on the salt — the hot key is not spread"
+    )

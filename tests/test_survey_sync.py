@@ -100,3 +100,19 @@ def test_scaling_md_covers_every_key():
         f"registry keys absent from docs/SCALING.md: {missing} — add a "
         f"measured row or a one-line linearity classification"
     )
+
+
+def test_evidence_md_matches_live_matrix():
+    """docs/EVIDENCE.md is the generated human-readable render of the
+    per-key verification matrix (VERDICT r9 directive #7) — pin it
+    against a fresh render so registry or artifact drift makes the doc
+    a loud local failure, the same way SCALING.md coverage is pinned."""
+    from serverless_etl_aws_spark.roundreport import render_evidence_md
+
+    with open("/root/repo/docs/EVIDENCE.md") as f:
+        on_disk = f.read()
+    assert on_disk == render_evidence_md("/root/repo"), (
+        "docs/EVIDENCE.md is stale — regenerate with "
+        "`python -c 'from serverless_etl_aws_spark.roundreport import "
+        "write_evidence_md; write_evidence_md()'` (or the report command)"
+    )
