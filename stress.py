@@ -294,24 +294,75 @@ SF1_KEYS = [
 assert len(SF1_KEYS) == len(set(SF1_KEYS)), "duplicate SF1 key"
 
 
+def _max_plus_1(name: str, col: str) -> int:
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(BASE_SF, f"{name}.parquet"), columns=[col]
+    )
+    return int(pc.max(t[col]).as_py()) + 1
+
+
+def _rep_table(
+    dst_dir: str, name: str, shifts: dict[str, int], R: int, mutate=None
+) -> None:
+    """Write ``name`` to dst_dir replicated R× with key-shift strides
+    (and an optional per-replica content mutation)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(BASE_SF, f"{name}.parquet"))
+    parts = []
+    for i in range(R):
+        t2 = tbl
+        for col, stride in shifts.items():
+            idx = t2.schema.get_field_index(col)
+            shifted = pc.add(t2[col], i * stride)
+            t2 = t2.set_column(idx, col, pc.cast(shifted, t2[col].type))
+        if mutate is not None:
+            t2 = mutate(t2, i)
+        parts.append(t2)
+    pq.write_table(
+        pa.concat_tables(parts), os.path.join(dst_dir, f"{name}.parquet")
+    )
+
+
+def _mutate_docs(t2, i: int):
+    """Replica-salt every third token of each doc's text (replica 0 is
+    verbatim). Keeps each replica's INTERNAL dup statistics intact (two
+    near-dups mutate identically) while making cross-replica shingle
+    sets disjoint — every 3-token window contains a salted position —
+    so dedup candidate work and true output scale LINEARLY in replicas
+    instead of quadratically (which would measure an input-distribution
+    shift, not the operator)."""
+    import pyarrow as pa
+
+    if i == 0:
+        return t2
+    texts = t2["text"].to_pylist()
+    out = []
+    for txt in texts:
+        toks = txt.split(" ")
+        for j in range(2, len(toks), 3):
+            toks[j] = f"r{i}x{j}"
+        out.append(" ".join(toks))
+    arr = pa.array(out, type=pa.string())
+    t2 = t2.set_column(t2.schema.get_field_index("text"), "text", arr)
+    n_chars = pa.array([len(s) for s in out], type=pa.int64())
+    return t2.set_column(
+        t2.schema.get_field_index("n_chars"), "n_chars", n_chars
+    )
+
+
 def build_sf1() -> str:
     """Replicate sf0.1 ×10 driver-side (pyarrow one-pass — scaffolding,
     same rationale as split_parquet_by_mod). Key-shifted so FKs stay
     valid; events shift user_id too (10× users, constant per-user event
     density, so sessionization state scales rather than densifying).
 
-    Documents are NOT copied verbatim: every third token of each replica
-    is rewritten to a replica-salted token. Verbatim copies would make
-    every doc a 10-way near-dup cluster — candidate pairs (and true
-    output) grow quadratically in replicas, which would measure an input
-    distribution shift, not the operator's scaling. Position-rule
-    mutation keeps each replica's INTERNAL dup statistics intact (two
-    near-dups mutate identically) while making cross-replica trigram
-    sets disjoint, so dup work and output scale linearly."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
+    Documents are NOT copied verbatim — see ``_mutate_docs``."""
     done = os.path.join(SF1_DIR, "_BUILD_COMPLETE")
     if os.path.exists(done):
         return SF1_DIR
@@ -320,26 +371,10 @@ def build_sf1() -> str:
     os.makedirs(SF1_DIR)
     R = 10
 
-    def rep(name: str, shifts: dict[str, int], mutate=None):
-        tbl = pq.read_table(os.path.join(BASE_SF, f"{name}.parquet"))
-        parts = []
-        for i in range(R):
-            t2 = tbl
-            for col, stride in shifts.items():
-                idx = t2.schema.get_field_index(col)
-                shifted = pc.add(t2[col], i * stride)
-                t2 = t2.set_column(idx, col, pc.cast(shifted, t2[col].type))
-            if mutate is not None:
-                t2 = mutate(t2, i)
-            parts.append(t2)
-        pq.write_table(
-            pa.concat_tables(parts),
-            os.path.join(SF1_DIR, f"{name}.parquet"),
-        )
+    def rep(name, shifts, mutate=None):
+        _rep_table(SF1_DIR, name, shifts, R, mutate)
 
-    def max_plus_1(name, col):
-        t = pq.read_table(os.path.join(BASE_SF, f"{name}.parquet"), columns=[col])
-        return int(pc.max(t[col]).as_py()) + 1
+    max_plus_1 = _max_plus_1
 
     max_ok = max_plus_1("orders", "o_orderkey")
     # stride must clear BOTH tables' custkey ranges: customers without
@@ -369,25 +404,8 @@ def build_sf1() -> str:
         "label": max_plus_1("embeddings", "label"),
     })
 
-    def mutate_docs(t2, i):
-        if i == 0:
-            return t2
-        texts = t2["text"].to_pylist()
-        out = []
-        for txt in texts:
-            toks = txt.split(" ")
-            for j in range(2, len(toks), 3):
-                toks[j] = f"r{i}x{j}"
-            out.append(" ".join(toks))
-        arr = pa.array(out, type=pa.string())
-        t2 = t2.set_column(t2.schema.get_field_index("text"), "text", arr)
-        n_chars = pa.array([len(s) for s in out], type=pa.int64())
-        return t2.set_column(
-            t2.schema.get_field_index("n_chars"), "n_chars", n_chars
-        )
-
     rep("documents", {"doc_id": max_plus_1("documents", "doc_id")},
-        mutate=mutate_docs)
+        mutate=_mutate_docs)
     for small in ("part", "nation", "region", "supplier"):
         shutil.copy(
             os.path.join(BASE_SF, f"{small}.parquet"),
@@ -437,6 +455,116 @@ def run_sf1(spark, only: list[str] | None = None) -> None:
     print(json.dumps({"mode": "sf1", "queries": report}, indent=2))
 
 
+# --------------------------------------------------------------- docs32
+# 32× stress for the QUADRATIC-RISK family (VERDICT r9 directive #4):
+# dedup and ANN are the operators where a bad plan goes O(n²), so the
+# relational headliners' 32× series is extended to them. documents and
+# embeddings are replicated 32× with the SAME content-shift discipline
+# as build_sf1 (replica-salted tokens / shifted labels): dup rate and
+# per-replica block structure are preserved, so work and true output
+# must scale ~linearly — any super-linear ratio is the operator's fault,
+# not an input-distribution artifact.
+
+DOCS32_DIR = "/root/repo/.scratch/docs32"
+DOCS32_KEYS = [
+    "llm_dedup_ngram",      # blocked exact-verify pairs
+    "llm_dedup_minhash",    # banded LSH + stop-shingle cap
+    "llm_paragraph_dedup",  # C4-style boilerplate removal
+    "llm_sim_search_ivf",   # IVF ANN (train + one mapInPandas pass)
+    "llm_sim_search_pq",    # product quantization + ADC re-rank
+]
+
+
+def build_docs32() -> str:
+    done = os.path.join(DOCS32_DIR, "_BUILD_COMPLETE")
+    if os.path.exists(done):
+        return DOCS32_DIR
+    if os.path.exists(DOCS32_DIR):
+        shutil.rmtree(DOCS32_DIR)
+    os.makedirs(DOCS32_DIR)
+    R = 32
+    _rep_table(
+        DOCS32_DIR, "documents",
+        {"doc_id": _max_plus_1("documents", "doc_id")}, R,
+        mutate=_mutate_docs,
+    )
+    # labels shift too: replica-identical vectors must land in disjoint
+    # SemDeDup blocks (same rationale as build_sf1's embeddings rep)
+    _rep_table(
+        DOCS32_DIR, "embeddings",
+        {
+            "vec_id": _max_plus_1("embeddings", "vec_id"),
+            "label": _max_plus_1("embeddings", "label"),
+        }, R,
+    )
+    for other in (
+        "part", "nation", "region", "supplier", "customer", "orders",
+        "lineitem", "events",
+    ):
+        shutil.copy(
+            os.path.join(BASE_SF, f"{other}.parquet"),
+            os.path.join(DOCS32_DIR, f"{other}.parquet"),
+        )
+    open(done, "w").close()
+    return DOCS32_DIR
+
+
+def run_docs32(spark, only: list[str] | None = None) -> None:
+    """Warm-protocol timing of the dedup/ANN family at sf0.1 (1×) vs
+    32× salted replication. Also reports the stop-shingle cap's
+    observed behavior at both scales (max shingle doc-frequency): the
+    salted replication keeps per-shingle df at its 1× level by
+    construction (cross-replica shingle sets are disjoint), so the cap
+    fires at 32× iff it fires at 1× — the printed numbers record that
+    claim as a measurement."""
+    registry = build_registry()
+    d32 = build_docs32()
+    keys = [k for k in DOCS32_KEYS if not only or k in only]
+
+    def timed(sf_dir):
+        times = {}
+        for key in keys:
+            registry[key].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t0 = time.perf_counter()
+            registry[key].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            times[key] = round(time.perf_counter() - t0, 2)
+        return times
+
+    def max_shingle_df(sf_dir):
+        from serverless_etl_aws_spark.operators.dedup import trigrams
+
+        docs = load_table(spark, sf_dir, "documents")
+        return (
+            docs.select(
+                F.explode(F.array_distinct(trigrams("text"))).alias("sh")
+            )
+            .groupBy("sh")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+
+    base = timed(BASE_SF)
+    big = timed(d32)
+    report = {
+        k: {
+            "sf0.1_sec": base[k],
+            "x32_sec": big[k],
+            "ratio_at_32x_data": round(big[k] / max(base[k], 1e-9), 1),
+        }
+        for k in keys
+    }
+    out = {"mode": "docs32", "replicas": 32, "queries": report}
+    if not only or "llm_dedup_minhash" in keys:
+        out["max_shingle_df_1x"] = max_shingle_df(BASE_SF)
+        out["max_shingle_df_32x"] = max_shingle_df(d32)
+    print(json.dumps(out, indent=2))
+
+
 def shuffle_fact_join(spark, sf_dir: str):
     """lineitem⋈orders with broadcast disabled — a genuine shuffle
     (sort-merge) join at both scales."""
@@ -479,6 +607,12 @@ def main() -> None:
         spark = get_spark(app_name="stress-sf1", master=f"local[{cpus}]")
         spark.sparkContext.setLogLevel("ERROR")
         run_sf1(spark, only=sys.argv[2:] or None)
+        spark.stop()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "docs32":
+        spark = get_spark(app_name="stress-docs32", master=f"local[{cpus}]")
+        spark.sparkContext.setLogLevel("ERROR")
+        run_docs32(spark, only=sys.argv[2:] or None)
         spark.stop()
         return
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 8
