@@ -366,14 +366,22 @@ def ml_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ML_LTV_COHORT_SQL = """
 WITH stamped AS (
+    -- FLOOR division, not //: DuckDB's // truncates toward zero while
+    -- the engine's F.floor rounds toward -inf — they differ on
+    -- PRE-EPOCH dates (day -3: floor -> week -1, // -> week 0). The
+    -- epoch-week contract is floor (a date belongs to the week that
+    -- STARTED before it), mirrored as floor(days / 7.0) on both
+    -- engines (CAST to DOUBLE so DuckDB doesn't fold 7.0 as decimal).
     SELECT user_id,
-           date_diff('day', DATE '1970-01-01',
-                     CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7 AS wk,
+           CAST(floor(date_diff('day', DATE '1970-01-01',
+                     CAST(CAST(ts AS TIMESTAMP) AS DATE))
+                      / CAST(7 AS DOUBLE)) AS BIGINT) AS wk,
            CASE WHEN event_type = 'purchase' AND value IS NOT NULL
                 THEN CAST(value AS DECIMAL(18,4))
                 ELSE CAST(0 AS DECIMAL(18,4)) END AS rev,
-           MIN(date_diff('day', DATE '1970-01-01',
-                         CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7)
+           MIN(CAST(floor(date_diff('day', DATE '1970-01-01',
+                         CAST(CAST(ts AS TIMESTAMP) AS DATE))
+                          / CAST(7 AS DOUBLE)) AS BIGINT))
              OVER (PARTITION BY user_id) AS cohort_week
     FROM events WHERE ts IS NOT NULL
 ), per_age AS (

@@ -139,7 +139,11 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 # parity split means nothing arrives behind the watermark).
 STREAM_LATE_DATA_SQL = """
 WITH e AS (
+    -- mirrors the engine's EPOCH_FLOOR contract (streaming/windows.py):
+    -- Spark's watermark initializes at epoch 0, so pre-epoch events
+    -- have no position on the watermarked time axis; no-op on sane data
     SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01 00:00:00'
 ), wm AS (
     SELECT make_timestamp(epoch_us(MAX(ts)) // 1000 * 1000)
            - INTERVAL '1 hour' AS w
@@ -518,9 +522,15 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = stage_events_dir(spark, sf_dir, scratch, n_files=1)
 
     def side(event_type, prefix):
-        st = _events_stream(spark, src).filter(
-            F.col("event_type") == event_type
-        )
+        from ..streaming.windows import epoch_floor_filter
+
+        # EPOCH_FLOOR contract (streaming/windows.py): both sides are
+        # watermarked, so pre-epoch rows would be dropped by the
+        # zero-initialized watermark — excluded explicitly + mirrored
+        # in the oracle instead of left to Spark internals
+        st = epoch_floor_filter(
+            _events_stream(spark, src)
+        ).filter(F.col("event_type") == event_type)
         return st.select(
             F.col("user_id").alias(f"{prefix}_user"),
             F.col("event_id").alias(f"{prefix}_event"),
@@ -560,6 +570,9 @@ JOIN events p
  AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
  AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
 WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+  -- EPOCH_FLOOR contract mirror (both sides are watermarked)
+  AND CAST(v.ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01 00:00:00'
+  AND CAST(p.ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01 00:00:00'
 """
 
 

@@ -200,12 +200,36 @@ def session_counts(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+#: The streaming time axis starts at the Unix epoch: Spark initializes
+#: the event-time watermark to 0 ms (1970-01-01T00:00:00Z), so a
+#: watermarked stateful operator sees any PRE-epoch event as already
+#: late and silently drops it on arrival — found by the round-10
+#: epoch-1969 drift probe (every watermarked key emitted ZERO rows on
+#: an all-pre-epoch corpus while the oracle emitted the full result).
+#: Rather than leave the convention implicit in Spark internals, every
+#: watermarked input filters pre-epoch rows explicitly and its oracle
+#: mirrors the WHERE — both no-ops on sane data, and the engine's
+#: behavior is now a declared contract: "no pre-epoch position on the
+#: WATERMARKED time axis" (the un-watermarked batch-window keys keep
+#: pre-epoch rows; they have no watermark to collide with).
+EPOCH_FLOOR = "1970-01-01 00:00:00"
+
+
+def epoch_floor_filter(stream: DataFrame, ts_col: str = "ts") -> DataFrame:
+    return stream.filter(
+        F.col(ts_col) >= F.lit(EPOCH_FLOOR).cast("timestamp")
+    )
+
+
 def late_data_counts(stream: DataFrame, delay: str = "1 hour") -> DataFrame:
     """Watermarked tumbling counts in append mode: with a two-batch source
     (late batch second), rows older than ``max(ts seen) - delay`` are
-    dropped, and only windows fully below the final watermark are emitted."""
+    dropped, and only windows fully below the final watermark are emitted.
+    Pre-epoch rows are excluded by the EPOCH_FLOOR contract (they would
+    be dropped by the zero-initialized watermark anyway — the filter
+    makes that Spark internal a declared, oracle-mirrored semantic)."""
     return (
-        stream.withWatermark("ts", delay)
+        epoch_floor_filter(stream).withWatermark("ts", delay)
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("event_count"))
         .select(

@@ -63,6 +63,25 @@ sweeps in round 10 (per the round-9 VERDICT directive #2):
 * **40% sign-flipped measures** (``test_signflip_drift_parity``) —
   a seeded 40% of every measure column negated: no key may carry a
   nonnegativity assumption the schema doesn't state.
+
+Round 10 probed and pinned two MORE axes (8 and 9), and the probes
+caught 3 real divergences on first run (all fixed):
+
+* **pre-epoch timestamps** (``test_epoch1969_drift_parity``) — every
+  time column shifted so the whole corpus lands in 1969 (negative unix
+  time). First run caught: Spark initializes the event-time watermark
+  to 0 ms, so BOTH real watermarked keys (``stream_late_data``,
+  ``stream_stream_join``) silently dropped every pre-epoch row while
+  the oracle emitted full results — pinned as the EPOCH_FLOOR contract
+  (streaming/windows.py): watermarked inputs exclude pre-epoch rows
+  explicitly, oracles mirror the WHERE. And ``ml_ltv_cohort``'s oracle
+  used DuckDB ``// 7`` (truncates toward zero) against the engine's
+  ``floor`` (toward -inf) — divergent exactly on negative epoch days;
+  the oracle now floors.
+* **all-NULL measures** (``test_allnull_drift_parity``) — every measure
+  column 100% NULL (the 3% null axis never exercises the ALL-null
+  group regime: COUNT > 0 with SUM/AVG NULL everywhere). Probed clean
+  261/261.
 """
 
 from __future__ import annotations
@@ -368,6 +387,94 @@ def test_empty_corpus_parity(spark, empty_sf_dir2, key):
     q = REGISTRY[key]
     result = compare(
         key, q.fn(spark, empty_sf_dir2), q.sql, empty_sf_dir2, strict=True
+    )
+    assert result.ok, (
+        f"{key}: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )
+
+
+@pytest.fixture(scope="session")
+def allnull_sf_dir(tmp_path_factory) -> str:
+    """Every measure column 100% NULL — the all-null-group regime
+    (COUNT > 0, every SUM/AVG/VAR NULL), which the 3% axis never hits."""
+    dst = str(tmp_path_factory.mktemp("allnullfix"))
+    for f in os.listdir(SRC):
+        if not f.endswith(".parquet"):
+            continue
+        name = f[:-8]
+        src_path = os.path.join(SRC, f)
+        if name not in MEASURES:
+            shutil.copy(src_path, os.path.join(dst, f))
+            continue
+        tbl = pq.read_table(src_path)
+        for col in MEASURES[name]:
+            idx = tbl.schema.get_field_index(col)
+            field = tbl.schema.field(col)
+            tbl = tbl.set_column(
+                idx, field, pa.array([None] * len(tbl), type=field.type)
+            )
+        pq.write_table(tbl, os.path.join(dst, f))
+    return dst
+
+
+#: Time columns for the pre-epoch axis (same set as TS_CONST/NULL_TS).
+PRE_EPOCH_TS = {
+    "events": ["ts"],
+    "lineitem": ["l_shipdate"],
+    "orders": ["o_orderdate"],
+}
+
+
+@pytest.fixture(scope="session")
+def epoch1969_sf_dir(tmp_path_factory) -> str:
+    """Whole corpus shifted to 1969: negative unix time everywhere.
+    Catches sign assumptions in epoch arithmetic (floor-vs-truncate
+    week division) and Spark's zero-initialized streaming watermark
+    (the EPOCH_FLOOR contract, streaming/windows.py)."""
+    dst = str(tmp_path_factory.mktemp("epoch69fix"))
+    for f in os.listdir(SRC):
+        if not f.endswith(".parquet"):
+            continue
+        name = f[:-8]
+        src_path = os.path.join(SRC, f)
+        if name not in PRE_EPOCH_TS:
+            shutil.copy(src_path, os.path.join(dst, f))
+            continue
+        tbl = pq.read_table(src_path)
+        for col in PRE_EPOCH_TS[name]:
+            idx = tbl.schema.get_field_index(col)
+            field = tbl.schema.field(col)
+            vals = tbl[col].to_pylist()
+            mx = max(v for v in vals if v is not None)
+            delta = mx - datetime.datetime(1969, 12, 15)
+            shifted = [None if v is None else v - delta for v in vals]
+            tbl = tbl.set_column(
+                idx, field, pa.array(shifted, type=field.type)
+            )
+        pq.write_table(tbl, os.path.join(dst, f))
+    return dst
+
+
+@pytest.mark.parametrize("key", sorted(REGISTRY))
+def test_allnull_drift_parity(spark, allnull_sf_dir, key):
+    q = REGISTRY[key]
+    result = compare(
+        key, q.fn(spark, allnull_sf_dir), q.sql, allnull_sf_dir,
+        strict=True,
+    )
+    assert result.ok, (
+        f"{key}: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )
+
+
+@pytest.mark.parametrize("key", sorted(REGISTRY))
+def test_epoch1969_drift_parity(spark, epoch1969_sf_dir, key):
+    q = REGISTRY[key]
+    result = compare(
+        key, q.fn(spark, epoch1969_sf_dir), q.sql, epoch1969_sf_dir,
+        strict=True,
     )
     assert result.ok, (
         f"{key}: {result.detail} "
