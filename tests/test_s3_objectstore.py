@@ -154,13 +154,22 @@ def test_s3a_blocker_is_the_missing_jar(spark, s3_endpoint):
         k: hc.get(k)
         for k in (
             "fs.s3a.endpoint", "fs.s3a.access.key", "fs.s3a.secret.key",
-            "fs.s3a.path.style.access",
+            "fs.s3a.path.style.access", "fs.s3a.impl",
+            "fs.s3a.impl.disable.cache",
         )
     }
     hc.set("fs.s3a.endpoint", s3_endpoint)
     hc.set("fs.s3a.access.key", "test")
     hc.set("fs.s3a.secret.key", "test")
     hc.set("fs.s3a.path.style.access", "true")
+    # Pin the impl mapping + bypass the FS cache so the probe asks the
+    # classloader for the REAL S3AFileSystem regardless of what earlier
+    # tests did to the shared session (test_objectstore_writepath
+    # registers-then-unsets a stand-in under this scheme; without the
+    # pin the same blocker surfaces as UnsupportedFileSystemException
+    # instead of the CNFE this test asserts on).
+    hc.set("fs.s3a.impl", "org.apache.hadoop.fs.s3a.S3AFileSystem")
+    hc.set("fs.s3a.impl.disable.cache", "true")
     try:
         with pytest.raises(Exception) as exc_info:
             spark.range(3).write.mode("overwrite").parquet(
