@@ -113,3 +113,24 @@ class RangeStreamReader(SimpleDataSourceStreamReader):
         # Deterministic replay of a committed-but-lost batch — the
         # exactly-once contract under restart.
         return iter([(i,) for i in range(start["pos"], end["pos"])])
+
+
+# Pickle this module BY VALUE. ``spark.dataSource.register()``
+# serializes the DataSource CLASS, which default-pickles by REFERENCE —
+# the spawned planner/worker Python processes must then
+# ``import serverless_etl_aws_spark``, which only succeeds when the
+# driver's cwd (or PYTHONPATH) happens to contain the repo. Found by
+# the round-10 drift probes (driver run with cwd=/tmp: every
+# registration died with ModuleNotFoundError wrapped in
+# PYTHON_DATA_SOURCE_ERROR, while the same key passed from the repo
+# root). By-value registration ships the class definitions inside the
+# pickle, making the source self-contained wherever the driver runs
+# from — the portability a real connector needs.
+try:
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover — older cloudpickle without the API
+    pass

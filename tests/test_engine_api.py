@@ -161,3 +161,42 @@ def test_cli_explain_and_eager_refusal(capsys, sf_dir):
     assert err.startswith("refused:") and "side-effects" in err.replace(
         "side_effects", "side-effects"
     )
+
+
+def test_python_datasource_works_from_foreign_cwd(tmp_path):
+    """spark.dataSource.register() pickles the DataSource CLASS; by
+    default that's a by-REFERENCE pickle, so the spawned planner/worker
+    Python processes must be able to import the package — which broke
+    whenever the driver ran from outside the repo (round-10 probe,
+    cwd=/tmp: ModuleNotFoundError inside PYTHON_DATA_SOURCE_ERROR).
+    sources/pyds.py now registers itself for BY-VALUE pickling; this
+    pins the fix by driving both Python-data-source keys from a
+    foreign working directory in a fresh process."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from serverless_etl_aws_spark.session import get_spark\n"
+        "from serverless_etl_aws_spark.queries import build_registry\n"
+        "spark = get_spark(app_name='foreign-cwd', master='local[2]')\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "reg = build_registry()\n"
+        "sf = '/root/testdata/sf0.001'\n"
+        "assert len(reg['stream_pydatasource'].fn(spark, sf).collect()) == 5000\n"
+        "assert reg['scan_pydatasource'].fn(spark, sf).count() > 0\n"
+        "print('FOREIGN_CWD_OK')\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=str(tmp_path),  # NOT the repo
+        capture_output=True,
+        text=True,
+        timeout=240,
+        env={k: v for k, v in __import__("os").environ.items()
+             if k != "PYTHONPATH"},
+    )
+    assert "FOREIGN_CWD_OK" in proc.stdout, (
+        f"python-data-source keys broke from a foreign cwd:\n"
+        f"stdout={proc.stdout[-1000:]}\nstderr={proc.stderr[-2000:]}"
+    )
