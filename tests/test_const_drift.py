@@ -82,6 +82,21 @@ caught 3 real divergences on first run (all fixed):
   column 100% NULL (the 3% null axis never exercises the ALL-null
   group regime: COUNT > 0 with SUM/AVG NULL everywhere). Probed clean
   261/261.
+
+A second round-10 probe wave added three more axes (10-12), probed
+clean and pinned (the one recurring failure in these probes —
+``stream_pydatasource``'s PYTHON_DATA_SOURCE_ERROR — turned out to be
+the foreign-cwd by-reference-pickle bug, a REAL portability defect
+fixed in sources/pyds.py and pinned in tests/test_engine_api.py, not
+an axis finding):
+
+* **single-row corpus** (``test_singlerow_drift_parity``) — every
+  table exactly one row: the empty↔constant boundary.
+* **duplicated content** (``test_dupcontent_drift_parity``) — every
+  events/documents/embeddings row duplicated under a fresh pk:
+  repeated values, 2×-dup clusters, tie-dense windows.
+* **far-future timestamps** (``test_farfuture_drift_parity``) — whole
+  corpus in the year 2200: the 1969 axis's symmetric partner.
 """
 
 from __future__ import annotations
@@ -474,6 +489,121 @@ def test_epoch1969_drift_parity(spark, epoch1969_sf_dir, key):
     q = REGISTRY[key]
     result = compare(
         key, q.fn(spark, epoch1969_sf_dir), q.sql, epoch1969_sf_dir,
+        strict=True,
+    )
+    assert result.ok, (
+        f"{key}: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )
+
+
+@pytest.fixture(scope="session")
+def singlerow_sf_dir(tmp_path_factory) -> str:
+    """Every table exactly ONE row — the boundary between the empty
+    corpus and the constant axes: single-element windows (every lag
+    NULL, every rank 1), one-group relations, joins that mostly miss."""
+    dst = str(tmp_path_factory.mktemp("singlerowfix"))
+    for f in os.listdir(SRC):
+        if f.endswith(".parquet"):
+            tbl = pq.read_table(os.path.join(SRC, f))
+            pq.write_table(tbl.slice(0, 1), os.path.join(dst, f))
+    return dst
+
+
+#: Tables whose every row is duplicated with a fresh pk (content
+#: identical): repeated values stress tie-handling and 2×-dup clusters.
+DUP_PKS = {
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+@pytest.fixture(scope="session")
+def dupcontent_sf_dir(tmp_path_factory) -> str:
+    import pyarrow.compute as pc
+
+    dst = str(tmp_path_factory.mktemp("dupfix"))
+    for f in os.listdir(SRC):
+        if not f.endswith(".parquet"):
+            continue
+        name = f[:-8]
+        src_path = os.path.join(SRC, f)
+        if name not in DUP_PKS:
+            shutil.copy(src_path, os.path.join(dst, f))
+            continue
+        tbl = pq.read_table(src_path)
+        pk = DUP_PKS[name]
+        idx = tbl.schema.get_field_index(pk)
+        mx = int(pc.max(tbl[pk]).as_py()) + 1
+        shifted = pc.cast(pc.add(tbl[pk], mx), tbl[pk].type)
+        dup = tbl.set_column(idx, tbl.schema.field(pk), shifted)
+        pq.write_table(
+            pa.concat_tables([tbl, dup]), os.path.join(dst, f)
+        )
+    return dst
+
+
+@pytest.fixture(scope="session")
+def farfuture_sf_dir(tmp_path_factory) -> str:
+    """Whole corpus shifted to the year 2200 — far-future (but still
+    µs-representable) time: date formatting widths, year arithmetic,
+    and any epoch assumption symmetric to the 1969 axis."""
+    dst = str(tmp_path_factory.mktemp("farfix"))
+    for f in os.listdir(SRC):
+        if not f.endswith(".parquet"):
+            continue
+        name = f[:-8]
+        src_path = os.path.join(SRC, f)
+        if name not in PRE_EPOCH_TS:
+            shutil.copy(src_path, os.path.join(dst, f))
+            continue
+        tbl = pq.read_table(src_path)
+        for col in PRE_EPOCH_TS[name]:
+            idx = tbl.schema.get_field_index(col)
+            field = tbl.schema.field(col)
+            vals = tbl[col].to_pylist()
+            mn = min(v for v in vals if v is not None)
+            delta = datetime.datetime(2200, 1, 1) - mn
+            shifted = [None if v is None else v + delta for v in vals]
+            tbl = tbl.set_column(
+                idx, field, pa.array(shifted, type=field.type)
+            )
+        pq.write_table(tbl, os.path.join(dst, f))
+    return dst
+
+
+@pytest.mark.parametrize("key", sorted(REGISTRY))
+def test_singlerow_drift_parity(spark, singlerow_sf_dir, key):
+    q = REGISTRY[key]
+    result = compare(
+        key, q.fn(spark, singlerow_sf_dir), q.sql, singlerow_sf_dir,
+        strict=True,
+    )
+    assert result.ok, (
+        f"{key}: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )
+
+
+@pytest.mark.parametrize("key", sorted(REGISTRY))
+def test_dupcontent_drift_parity(spark, dupcontent_sf_dir, key):
+    q = REGISTRY[key]
+    result = compare(
+        key, q.fn(spark, dupcontent_sf_dir), q.sql, dupcontent_sf_dir,
+        strict=True,
+    )
+    assert result.ok, (
+        f"{key}: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )
+
+
+@pytest.mark.parametrize("key", sorted(REGISTRY))
+def test_farfuture_drift_parity(spark, farfuture_sf_dir, key):
+    q = REGISTRY[key]
+    result = compare(
+        key, q.fn(spark, farfuture_sf_dir), q.sql, farfuture_sf_dir,
         strict=True,
     )
     assert result.ok, (
