@@ -222,19 +222,24 @@ def _grepped_keys(root: str, registry, files: tuple[str, ...]) -> set[str]:
 
 
 def _driver_green_keys(
-    root: str,
+    root: str, max_round: int | None = None
 ) -> tuple[set[str], set[str], dict[str, int]]:
     """LATEST driver status per key (the rotation spreads extension keys
     over rounds, so one file never shows the full picture — but a key
     must be judged by its most recent driver row, not a lifetime union:
     a later hash-mismatch supersedes an earlier green; round-9 ADVICE).
-    Returns (hash_green, rows_only_ran, last_round_seen)."""
+    ``max_round`` bounds the artifact set considered (rounds ≤ N) so a
+    render can be reproduced byte-for-byte after the driver writes the
+    NEXT round's file. Returns (hash_green, rows_only_ran,
+    last_round_seen)."""
     latest: dict[str, tuple[int, dict[str, Any]]] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -254,7 +259,7 @@ def _driver_green_keys(
     return hash_green, rows_only - hash_green, last_round
 
 
-def matrix_section(root: str) -> dict[str, Any]:
+def matrix_section(root: str, max_round: int | None = None) -> dict[str, Any]:
     """Per-key verification matrix (VERDICT r8 directive #3): which of
     the five evidence tiers covers each registry key — driver hash,
     local DuckDB oracle, independent semantic oracle, plan-shape test,
@@ -263,7 +268,9 @@ def matrix_section(root: str) -> dict[str, Any]:
     from .queries import build_registry
 
     registry = build_registry()
-    driver_hash, driver_rows_only, last_round = _driver_green_keys(root)
+    driver_hash, driver_rows_only, last_round = _driver_green_keys(
+        root, max_round
+    )
     semantic = _grepped_keys(root, registry, SEMANTIC_TEST_FILES)
     plan = _grepped_keys(root, registry, PLAN_TEST_FILES)
     scaling_path = os.path.join(root, "docs", "SCALING.md")
@@ -362,17 +369,25 @@ def build_report(
     return report
 
 
-def render_evidence_md(root: str = REPO_ROOT) -> str:
+def render_evidence_md(
+    root: str = REPO_ROOT, max_round: int | None = None
+) -> str:
     """Human-readable render of the per-key verification matrix
     (VERDICT r9 directive #7): one row per registry key, in registry
-    order, one column per evidence tier. Deterministic given the repo's
-    artifacts, so tests/test_survey_sync.py pins docs/EVIDENCE.md
-    against a fresh render the same way SCALING.md coverage is pinned."""
-    m = matrix_section(root)
+    order, one column per evidence tier. The header records which
+    driver rounds the render consumed (`max_round`), and the drift test
+    re-renders with THAT bound — so the pin stays byte-stable when the
+    driver writes the next round's CORRECTNESS file after the session,
+    while registry or test-coverage drift still fails loudly."""
+    if max_round is None:
+        max_round = _latest_round(root)
+    m = matrix_section(root, max_round)
     per_key = m["per_key"]
     tick = lambda b: "✓" if b else "—"  # noqa: E731
     lines = [
         "# Per-key verification evidence",
+        "",
+        f"Generated from driver rounds <= {max_round}.",
         "",
         "GENERATED — do not edit by hand. Rebuild with",
         "`python -m serverless_etl_aws_spark report` (or any call to",
