@@ -42,9 +42,15 @@ def synthesize_payloads(docs: DataFrame) -> DataFrame:
     # every mm oracle carries the same text IS NOT NULL predicate.
     return docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
+        # pmod, not %: ids are arbitrary integers, and Spark % keeps the
+        # dividend's sign — a negative doc_id would encode a negative
+        # "width" that the header's fixed-width ASCII field garbles
+        # ("0-51"); pmod keeps width in [1, 64] for ANY id (round-10
+        # negative-ids sweep). Positive ids are unchanged.
         F.expr(
             "concat(encode('IMG1', 'utf-8'), "
-            "encode(lpad(cast(doc_id % 64 + 1 as string), 4, '0'), 'utf-8'), "
+            "encode(lpad(cast(pmod(doc_id, 64) + 1 as string), 4, '0'), "
+            "'utf-8'), "
             "encode(text, 'utf-8'))"
         ).alias("payload"),
     )

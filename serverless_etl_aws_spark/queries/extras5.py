@@ -494,7 +494,10 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     binf = spark.read.format("binaryFile").load(base)
     return binf.select(
-        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        # -? : ids are arbitrary integers — a digits-only pattern
+        # extracts '' from "doc_-12.bin" and the ANSI cast throws
+        # (round-10 negative-ids sweep)
+        F.regexp_extract(F.col("path"), r"doc_(-?\d+)\.bin$", 1)
         .cast("long")
         .alias("doc_id"),
         F.col("length").alias("n_bytes"),

@@ -124,8 +124,11 @@ def llm_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks are trained once per corpus fingerprint and cached."""
     from ..operators.simsearch import corpus_cache_key, pq_topk
 
+    from .llm import _min_vec_id
+
+    emb = t(spark, sf_dir, "embeddings")
     return pq_topk(
-        t(spark, sf_dir, "embeddings"), probe_vec_id=0, k=10,
+        emb, probe_vec_id=_min_vec_id(emb), k=10,
         m=16, ksub=64, refine=8,
         corpus_key=corpus_cache_key(
             os.path.join(sf_dir, "embeddings.parquet"), label="pq"

@@ -566,23 +566,37 @@ WHERE cosine >= 0.4
 # ------------------------------------------------------------ similarity
 
 
+def _min_vec_id(emb: DataFrame) -> int:
+    """Deterministic probe choice: the MINIMUM vec_id. Id-space
+    invariant (a fixture whose ids are shifted, negative, or sparse
+    still has a minimum — the old hardcoded `vec_id 0` raised its loud
+    missing-probe error on the round-10 negative-ids sweep). O(1)
+    driver-side scalar: one map-side-combinable min. Falls back to 0 on
+    an EMPTY corpus so the operators' empty-schema branch engages."""
+    row = emb.agg(F.min("vec_id")).first()
+    return row[0] if row is not None and row[0] is not None else 0
+
+
 def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-10 neighbors of vec_id 0."""
-    return brute_force_topk(t(spark, sf_dir, "embeddings"), probe_vec_id=0, k=10)
+    """Brute-force cosine top-10 neighbors of the minimum-id vector."""
+    emb = t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, probe_vec_id=_min_vec_id(emb), k=10)
 
 
 LLM_SIM_SEARCH_SQL = f"""
 WITH e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings
+), p AS (
+    SELECT MIN(vec_id) AS pid FROM e
 ), probe AS (
-    SELECT va AS vb FROM e WHERE vec_id = 0
+    SELECT va AS vb FROM e WHERE vec_id = (SELECT pid FROM p)
 )
 SELECT vec_id, cosine FROM (
     SELECT e.vec_id,
            floor(({SQL_COSINE.replace('va', 'e.va').replace('vb', 'probe.vb')})
                  * 1000000.0) / 1000000.0 AS cosine
     FROM e, probe
-    WHERE e.vec_id <> 0
+    WHERE e.vec_id <> (SELECT pid FROM p)
 )
 WHERE cosine IS NOT NULL
 ORDER BY cosine DESC, vec_id
@@ -603,8 +617,9 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.simsearch import corpus_cache_key
 
+    emb = t(spark, sf_dir, "embeddings")
     return ivf_topk(
-        t(spark, sf_dir, "embeddings"), probe_vec_id=0, k=10,
+        emb, probe_vec_id=_min_vec_id(emb), k=10,
         n_centroids=16, nprobe=12,
         # index-per-corpus: the coarse quantizer is a persisted artifact,
         # trained once per fixture dir, not once per probe. The key folds
@@ -812,9 +827,11 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 MM_DECODE_META_SQL = """
 SELECT doc_id,
        'IMG1' AS fmt,
-       CAST(doc_id % 64 + 1 AS INTEGER) AS width,
+       -- ((x % 64) + 64) % 64 mirrors Spark's pmod: DuckDB % keeps the
+       -- dividend's sign, diverging on negative ids (round-10 sweep)
+       CAST(((doc_id % 64) + 64) % 64 + 1 AS INTEGER) AS width,
        CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE)
-                 / (doc_id % 64 + 1)) AS INTEGER) AS height,
+                 / (((doc_id % 64) + 64) % 64 + 1)) AS INTEGER) AS height,
        CAST(octet_length(encode(text)) + 8 AS BIGINT) AS n_bytes
 FROM documents
 WHERE text IS NOT NULL

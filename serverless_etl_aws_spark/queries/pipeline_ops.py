@@ -253,11 +253,15 @@ def rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_col="event_date", aggregate=to_gold_partial,
     )
     # initial build: the on-time half (committed through the same atomic
-    # manifest table the upsert uses — gold state is never a bare dir)
-    on_time = to_gold_partial(ev.filter(F.col("event_id") % 2 == 0))
+    # manifest table the upsert uses — gold state is never a bare dir).
+    # pmod, not %: Spark % keeps the dividend's sign, so `% 2 == 1`
+    # matches NO negative odd id (remainder -1) and those rows would
+    # land in NEITHER half — silent data loss on an arbitrary-integer
+    # id space (round-10 negative-ids sweep). pmod partitions exactly.
+    on_time = to_gold_partial(ev.filter(F.pmod(F.col("event_id"), 2) == 0))
     rollup.table.commit_overwrite_partitions(on_time.coalesce(1))
     # late delta: the other half, landing in the SAME partitions/keys
-    delta = to_gold_partial(ev.filter(F.col("event_id") % 2 == 1))
+    delta = to_gold_partial(ev.filter(F.pmod(F.col("event_id"), 2) == 1))
 
     def merge(both):
         return both.groupBy("event_date", "event_type").agg(

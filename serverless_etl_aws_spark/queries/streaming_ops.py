@@ -233,7 +233,11 @@ _STATEFUL_TYPES = "'click','error','purchase','signup','view'"
 
 STREAM_STATEFUL_SQL = f"""
 WITH e AS (
-    SELECT user_id, event_id % 2 AS b, event_type,
+    -- ((x % 2) + 2) % 2: the engine's batch split is numpy's FLOOR mod
+    -- (split_parquet_by_mod), which buckets -5 into b=1; DuckDB's %
+    -- keeps the dividend's sign (-5 % 2 = -1), silently dropping
+    -- negative odd ids from BOTH batches (round-10 negative-ids sweep)
+    SELECT user_id, ((event_id % 2) + 2) % 2 AS b, event_type,
            CAST(FLOOR(COALESCE(value, 0.0) * 100.0 + 0.5) AS BIGINT)
              AS cents
     FROM events

@@ -610,3 +610,101 @@ def test_farfuture_drift_parity(spark, farfuture_sf_dir, key):
         f"{key}: {result.detail} "
         f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
     )
+
+
+#: Id columns shifted to all-NEGATIVE (consistently per table) — ids
+#: are arbitrary integers in production; this is the axis that catches
+#: sign-of-dividend modulo assumptions (Spark % and DuckDB % keep the
+#: dividend's sign; numpy/python % floor).
+NEG_ID_SHIFTS = {
+    "events": ["user_id", "event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+@pytest.fixture(scope="session")
+def negids_sf_dir(tmp_path_factory) -> str:
+    import pyarrow.compute as pc
+
+    dst = str(tmp_path_factory.mktemp("negidsfix"))
+    for f in os.listdir(SRC):
+        if not f.endswith(".parquet"):
+            continue
+        name = f[:-8]
+        src_path = os.path.join(SRC, f)
+        if name not in NEG_ID_SHIFTS:
+            shutil.copy(src_path, os.path.join(dst, f))
+            continue
+        tbl = pq.read_table(src_path)
+        for col in NEG_ID_SHIFTS[name]:
+            idx = tbl.schema.get_field_index(col)
+            mx = int(pc.max(tbl[col]).as_py())
+            shifted = pc.cast(
+                pc.subtract(tbl[col], mx + 1), tbl[col].type
+            )
+            tbl = tbl.set_column(idx, tbl.schema.field(col), shifted)
+        pq.write_table(tbl, os.path.join(dst, f))
+    return dst
+
+
+@pytest.fixture(scope="session")
+def bigdoc_sf_dir(tmp_path_factory) -> str:
+    """One 200 KB document + one empty doc appended: per-doc length
+    caps (editdist prefix, shingle fan-out) under a pathological-size
+    outlier."""
+    import pyarrow.compute as pc
+
+    dst = str(tmp_path_factory.mktemp("bigdocfix"))
+    for f in os.listdir(SRC):
+        if not f.endswith(".parquet"):
+            continue
+        name = f[:-8]
+        src_path = os.path.join(SRC, f)
+        if name != "documents":
+            shutil.copy(src_path, os.path.join(dst, f))
+            continue
+        tbl = pq.read_table(src_path)
+        mx = int(pc.max(tbl["doc_id"]).as_py())
+        big_text = " ".join(f"tok{i % 97}x{i % 13}" for i in range(25000))
+        rows = {
+            "doc_id": [mx + 1, mx + 2],
+            "text": [big_text, ""],
+            "lang": ["en", "en"],
+            "source": ["web", "web"],
+            "n_chars": [len(big_text), 0],
+        }
+        extra = pa.table({
+            c: pa.array(rows[c], type=tbl.schema.field(c).type)
+            for c in tbl.schema.names
+        })
+        pq.write_table(
+            pa.concat_tables([tbl, extra]), os.path.join(dst, f)
+        )
+    return dst
+
+
+@pytest.mark.parametrize("key", sorted(REGISTRY))
+def test_negids_drift_parity(spark, negids_sf_dir, key):
+    q = REGISTRY[key]
+    result = compare(
+        key, q.fn(spark, negids_sf_dir), q.sql, negids_sf_dir,
+        strict=True,
+    )
+    assert result.ok, (
+        f"{key}: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )
+
+
+@pytest.mark.parametrize("key", sorted(REGISTRY))
+def test_bigdoc_drift_parity(spark, bigdoc_sf_dir, key):
+    q = REGISTRY[key]
+    result = compare(
+        key, q.fn(spark, bigdoc_sf_dir), q.sql, bigdoc_sf_dir,
+        strict=True,
+    )
+    assert result.ok, (
+        f"{key}: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )
