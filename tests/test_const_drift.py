@@ -97,6 +97,21 @@ an axis finding):
   repeated values, 2×-dup clusters, tie-dense windows.
 * **far-future timestamps** (``test_farfuture_drift_parity``) — whole
   corpus in the year 2200: the 1969 axis's symmetric partner.
+
+A third round-10 wave (axes 13-14) caught 8 keys in FIVE real
+sign-of-modulo bug classes on first run (all fixed):
+
+* **negative ids** (``test_negids_drift_parity``) — every id column
+  shifted all-negative. Caught: rollup_upsert's ``% 2 == 1`` half
+  matching NO negative odd id (Spark % keeps the dividend's sign —
+  silent data loss; now pmod); stream_stateful's oracle ``% 2``
+  diverging from the engine's numpy FLOOR-mod batch split; the mm_*
+  payload header encoding a negative width (now pmod, mirrored);
+  scan_binaryfile's ``doc_(\d+)`` regex extracting '' from
+  ``doc_-12.bin`` (now ``-?\d+``); and the sim-search probe hardcoded
+  as literal vec_id 0 (now the id-space-invariant MINIMUM vec_id).
+* **giant + empty documents** (``test_bigdoc_drift_parity``) — a
+  200 KB doc and a 0-char doc appended: per-doc caps hold, clean.
 """
 
 from __future__ import annotations
