@@ -79,12 +79,23 @@ class S3ObjectStore:
 
     def exists(self, key: str) -> bool:
         """HEAD probe (reference: check_url_exists shape,
-        fetch_raw_data.py:18-32, against the store instead of the CDN)."""
+        fetch_raw_data.py:18-32, against the store instead of the CDN).
+        Only a genuine not-found maps to False; any other ClientError
+        (403 AccessDenied, throttling, 5xx) re-raises — treating an
+        auth or infra failure as "object absent" would silently skip
+        work (ADVICE r10)."""
         try:
             self.client.head_object(Bucket=self.bucket, Key=key)
             return True
-        except self.client.exceptions.ClientError:
-            return False
+        except self.client.exceptions.ClientError as e:
+            err = e.response.get("Error", {})
+            code = str(err.get("Code", ""))
+            status = e.response.get(
+                "ResponseMetadata", {}
+            ).get("HTTPStatusCode")
+            if code in ("404", "NoSuchKey", "NotFound") or status == 404:
+                return False
+            raise
 
     def list(self, prefix: str = "") -> list[str]:
         """Full listing under a prefix — explicit pagination (the
@@ -144,8 +155,15 @@ class S3ObjectStore:
         content) but means readers of the archive prefix may see an
         object whose source still exists. Contrast
         pipeline/atomic.py's manifest commit, which the engine uses for
-        anything where torn state would be read as data."""
-        dest = archive_prefix + key.rsplit("/", 1)[-1]
+        anything where torn state would be read as data.
+
+        The full source key is preserved under the archive prefix
+        (``archive/a/x.parquet``, not ``archive/x.parquet``): the
+        reference's basename flattening (s3_operations.py:58-72) lets
+        ``a/x.parquet`` then ``b/x.parquet`` silently overwrite each
+        other in the archive (ADVICE r10) — a data-loss bug at scale,
+        fixed rather than inherited."""
+        dest = archive_prefix + key.lstrip("/")
         self.client.copy_object(
             Bucket=self.bucket,
             Key=dest,

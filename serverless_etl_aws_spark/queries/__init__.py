@@ -74,7 +74,13 @@ CONTRACT_2B: tuple[str, ...] = (
 # rows-only by contract (IVF is approximate; its recall contract is
 # pinned in tests/test_operators.py::test_ivf_recall_*), so its driver row reads
 # `no_oracle` like llm_dedup_minhash's — still first driver exposure.
+# All three green in CORRECTNESS_r10 (rotation record 27/27).
+# round 11: agg_heavy_hitters / llm_dedup_apply / llm_prefix_dedup —
+# named verbatim by the round-10 VERDICT directive #1 (the next
+# un-audited trio in the pre-declared order). All three are oracle-SQL
+# keys, so all three rows should be hash-green.
 PRIORITY_EXT: tuple[str, ...] = (
+    "agg_heavy_hitters", "llm_dedup_apply", "llm_prefix_dedup",
     "llm_sim_search_ivf", "llm_paragraph_dedup", "llm_bpe_encode",
     "mm_audio_window", "mm_scene_cut", "mm_phash",
     "mm_frame_sample", "mm_resize", "mm_feature_extract",
@@ -83,11 +89,9 @@ PRIORITY_EXT: tuple[str, ...] = (
     "llm_fingerprint", "llm_lang_id", "llm_quality_score",
     "llm_dedup_embedding", "llm_decontaminate", "llm_knn_join",
     "llm_dedup_ngram", "llm_dedup_cluster", "llm_dedup_simhash",
-    # round-5 graded additions (rotation candidates from round 7 on)
-    "agg_heavy_hitters",
-    # round-6 additions (dedup application/prefix class, robust stats,
-    # traversal, lateral decorrelation — all oracle-SQL-checked)
-    "llm_dedup_apply", "llm_prefix_dedup", "llm_ngram_novelty",
+    # round-5/6 additions not already rotated to the front (robust
+    # stats, traversal, lateral decorrelation — all oracle-SQL-checked)
+    "llm_ngram_novelty",
     "ts_anomaly_mad", "ts_gap_detect", "win_streak", "agg_corr",
     "join_lateral", "graph_bfs",
     # round-6 fourth wave (weighted sampling, exact mode, rolling

@@ -116,18 +116,22 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     by lifting x² from DECIMAL(15,8) to DECIMAL(18,8); x² < 10¹⁰ at
     the new bound, exact). x³ = x²·x is (28,12) and x⁴ = x²·x² is
     (37,16); Spark's +10 sum-widening caps both sums at precision 38,
-    so Σx⁴ holds 22 integer digits — beyond ~10⁶ rows per group at the
-    extreme of the domain the SUM itself overflows, which ANSI mode
-    also surfaces loud (never a silent wrap). The DuckDB oracle's
-    x² is DECIMAL(19,8), already wide enough for the new domain.
+    so Σx⁴ holds 22 integer digits — at the domain extreme x⁴ ≈ 10²⁰,
+    so the SUM overflows at ~100 all-at-max rows per group (at a more
+    typical |value| ≈ 10⁴ it holds ~10⁶ rows), and ANSI mode surfaces
+    that loud (never a silent wrap). The DuckDB oracle's x² is
+    DECIMAL(19,8), already wide enough for the new domain.
 
     Scale: one map-side-combinable groupBy — the four power sums are
     ordinary decimal partial aggregates."""
     raw = F.col("value")
-    # Loud domain guard: outside |value| < 1e5 the DECIMAL(9,4) cast
-    # would overflow with Spark's opaque NUMERIC_VALUE_OUT_OF_RANGE —
-    # raise a NAMED error first so the failure states the contract.
-    guarded = F.when(F.abs(raw) < 100000.0, raw).otherwise(
+    # Loud domain guard: outside the DECIMAL(9,4) range the cast would
+    # overflow with Spark's opaque NUMERIC_VALUE_OUT_OF_RANGE — raise a
+    # NAMED error first so the failure states the contract. The bound
+    # is on the POST-quantization value: a double in
+    # [99999.99995, 100000) passes an |x| < 1e5 test but HALF_UP-rounds
+    # to 100000.0000 in the (9,4) cast, which needs 6 integer digits.
+    guarded = F.when(F.abs(raw) < 99999.99995, raw).otherwise(
         F.raise_error(F.lit(
             "agg_skew_kurt: |value| >= 1e5 is outside the declared "
             "exact-decimal domain (see docstring)"

@@ -261,8 +261,11 @@ def ml_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("conv")
     )
+    # pmod, never % (ARCHITECTURE.md bucketing convention): a signed
+    # modulo on negative odd user_ids would emit a spurious arm=-1 group
+    # (label set {-1,0} instead of {0,1}). Oracle mirror: ((x%2)+2)%2.
     arms = per_user.groupBy(
-        (F.col("user_id") % 2).cast("int").alias("arm")
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("arm")
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("conv").alias("c"),
@@ -308,7 +311,7 @@ WITH per_user AS (
              AS conv
     FROM events GROUP BY user_id
 ), arms AS (
-    SELECT CAST(user_id % 2 AS INT) AS arm,
+    SELECT CAST(((user_id % 2) + 2) % 2 AS INT) AS arm,
            COUNT(*) AS n, SUM(conv) AS c
     FROM per_user GROUP BY 1
 ), wide AS (

@@ -287,11 +287,15 @@ def ml_uplift_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("conv")
     )
+    # pmod, never % (ARCHITECTURE.md bucketing convention): signed
+    # modulo on negative user_ids would emit negative segment/arm labels
+    # ({-4..4} x {-1,0} instead of {0..4} x {0,1}). Oracle mirrors with
+    # the ((x % m) + m) % m identity; DIV truncation matches // there.
     seg = per_user.groupBy(
-        F.expr(f"(user_id DIV 2) % {UPLIFT_SEGMENTS}")
+        F.pmod(F.expr("user_id DIV 2"), F.lit(UPLIFT_SEGMENTS))
         .cast("int")
         .alias("segment"),
-        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("arm"),
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("conv").alias("c"),
@@ -325,8 +329,10 @@ WITH per_user AS (
              AS conv
     FROM events GROUP BY user_id
 ), seg AS (
-    SELECT CAST((user_id // 2) % {UPLIFT_SEGMENTS} AS INT) AS segment,
-           CAST(user_id % 2 AS INT) AS arm,
+    SELECT CAST((((user_id // 2) % {UPLIFT_SEGMENTS})
+                 + {UPLIFT_SEGMENTS}) % {UPLIFT_SEGMENTS} AS INT)
+             AS segment,
+           CAST(((user_id % 2) + 2) % 2 AS INT) AS arm,
            COUNT(*) AS n, SUM(conv) AS c
     FROM per_user GROUP BY 1, 2
 ), wide AS (

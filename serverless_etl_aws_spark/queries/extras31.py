@@ -273,8 +273,10 @@ def ml_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = F.expr(
         "(min(first_day) OVER () + max(first_day) OVER () + 1) DIV 2"
     )
+    # pmod, never % (ARCHITECTURE.md bucketing convention; oracle
+    # mirrors with ((x % 2) + 2) % 2 so negative ids keep arm in {0,1}).
     cells = per_user.select(
-        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("arm"),
         (F.col("first_day") >= mid).cast("int").alias("period"),
         "conv",
     ).groupBy("arm", "period").agg(
@@ -328,7 +330,7 @@ WITH per_user AS (
              AS first_day
     FROM events GROUP BY user_id
 ), marked AS (
-    SELECT CAST(user_id % 2 AS INT) AS arm,
+    SELECT CAST(((user_id % 2) + 2) % 2 AS INT) AS arm,
            CAST(first_day >= (MIN(first_day) OVER ()
                               + MAX(first_day) OVER () + 1) // 2
                 AS INT) AS period,

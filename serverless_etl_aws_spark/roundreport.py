@@ -369,6 +369,32 @@ def build_report(
     return report
 
 
+# Rows-only keys (registry sql=None — approximate by the §2B contract)
+# mapped to the pytest that pins their numeric tolerance/recall bound,
+# so "no oracle" never reads as "no evidence" (VERDICT r10 directive
+# #6). tests/test_survey_sync.py pins this mapping against the live
+# registry AND against the named tests existing on disk.
+ROWS_ONLY_BOUND_TESTS: dict[str, str] = {
+    "agg_approx_distinct": (
+        "tests/test_operators.py::"
+        "test_approx_distinct_within_hll_error_bound"
+    ),
+    "agg_sketch_merge": (
+        "tests/test_operators.py::test_sketch_merge_estimates_match_exact"
+    ),
+    "llm_dedup_minhash": (
+        "tests/test_minhash_recall.py::"
+        "test_banded_minhash_recall_meets_analytic_bound"
+    ),
+    "llm_sim_search_ivf": (
+        "tests/test_operators.py::test_ivf_recall_fixture"
+    ),
+    "llm_sim_search_pq": (
+        "tests/test_operators.py::test_pq_recall_fixture"
+    ),
+}
+
+
 def render_evidence_md(
     root: str = REPO_ROOT, max_round: int | None = None
 ) -> str:
@@ -402,24 +428,30 @@ def render_evidence_md(
         "an independent third implementation (pandas/numpy/closed-form)",
         "checks the formula; **plan** = a physical-plan-shape test pins",
         "pushdown/broadcast/top-k structure; **scaling** = docs/SCALING.md",
-        "carries a measured ratio row or linearity classification.",
+        "carries a measured ratio row or linearity classification;",
+        "**bound test** = for the five rows-only-by-contract keys",
+        "(approximate operators with no exact SQL oracle), the pytest",
+        "that pins the numeric tolerance/recall bound — the evidence",
+        "that replaces the oracle.",
         "",
         f"{m['n_keys']} keys: driver-hash {m['n_driver_hash']}, semantic "
         f"{m['n_semantic_oracle']}, plan {m['n_plan_test']}, scaling "
         f"{m['n_scaling_row']}.",
         "",
         "| key | driver | r | rows-only | oracle | semantic | plan |"
-        " scaling |",
-        "|---|---|---|---|---|---|---|---|",
+        " scaling | bound test |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for key, t in per_key.items():
         rnd = t["driver_last_round"]
+        bound = ROWS_ONLY_BOUND_TESTS.get(key)
         lines.append(
             f"| `{key}` | {tick(t['driver_hash'])} "
             f"| {rnd if rnd is not None else '—'} "
             f"| {tick(t['driver_rows_only'])} | {tick(t['local_oracle'])} "
             f"| {tick(t['semantic_oracle'])} | {tick(t['plan_test'])} "
-            f"| {tick(t['scaling_row'])} |"
+            f"| {tick(t['scaling_row'])} "
+            f"| {'`' + bound + '`' if bound else '—'} |"
         )
     lines.append("")
     return "\n".join(lines)

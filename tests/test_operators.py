@@ -968,3 +968,44 @@ def test_approx_distinct_within_hll_error_bound(spark):
                 f"{sf_dir} {ty}: approx {approx[ty]} vs exact {n_exact} "
                 f"(rel err {rel:.3f} > 3*rsd)"
             )
+
+
+def test_skew_kurt_guard_fires_on_post_quantization_boundary(spark, tmp_path):
+    """ADVICE r10: a double in [99999.99995, 1e5) passes a naive
+    |x| < 1e5 test but HALF_UP-rounds to 100000.0000 in the
+    DECIMAL(9,4) cast — the guard must fire the NAMED error on it,
+    and must still pass a value that quantizes inside the domain."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write_events(d, value):
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1], pa.int64()),
+                "ts": pa.array([1_700_000_000_000_000], pa.timestamp("us")),
+                "user_id": pa.array([1], pa.int64()),
+                "event_type": pa.array(["click"], pa.string()),
+                "value": pa.array([value], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(d / "events.parquet"))
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"):
+            shutil.copy(
+                f"/root/testdata/sf0.001/{t}.parquet", str(d / f"{t}.parquet")
+            )
+
+    from serverless_etl_aws_spark.queries.extras16 import agg_skew_kurt
+
+    bad = tmp_path / "boundary"
+    write_events(bad, 99999.99996)  # rounds to 100000.0000 in (9,4)
+    with pytest.raises(Exception, match="agg_skew_kurt"):
+        agg_skew_kurt(spark, str(bad)).collect()
+
+    ok = tmp_path / "inside"
+    write_events(ok, 99999.99994)  # rounds to 99999.9999 — representable
+    assert agg_skew_kurt(spark, str(ok)).count() == 1

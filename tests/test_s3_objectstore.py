@@ -88,12 +88,49 @@ def test_unprocessed_listing_and_tagging(store):
 
 
 def test_archive_is_copy_then_delete(store):
-    """Reference: archive_file (s3_operations.py:58-72)."""
+    """Reference: archive_file (s3_operations.py:58-72) — but the full
+    source prefix is preserved under archive/ (the reference flattens
+    to the basename, so a/x then b/x silently collide; ADVICE r10)."""
     store.put("bronze/x.parquet", b"payload")
     dest = store.archive("bronze/x.parquet")
-    assert dest == "archive/x.parquet"
+    assert dest == "archive/bronze/x.parquet"
     assert not store.exists("bronze/x.parquet")
-    assert store.get("archive/x.parquet") == b"payload"
+    assert store.get("archive/bronze/x.parquet") == b"payload"
+
+
+def test_archive_same_basename_does_not_collide(store):
+    """The basename-collision class the prefix-preserving dest fixes:
+    archiving a/x.parquet then b/x.parquet must keep BOTH payloads."""
+    store.put("a/x.parquet", b"from-a")
+    store.put("b/x.parquet", b"from-b")
+    assert store.archive("a/x.parquet") == "archive/a/x.parquet"
+    assert store.archive("b/x.parquet") == "archive/b/x.parquet"
+    assert store.get("archive/a/x.parquet") == b"from-a"
+    assert store.get("archive/b/x.parquet") == b"from-b"
+
+
+def test_exists_reraises_non_404_client_errors(store):
+    """ADVICE r10: a 403/throttle/5xx from HEAD must NOT read as
+    "object absent" — only genuine not-found maps to False."""
+    from botocore.exceptions import ClientError
+
+    class Denied:
+        exceptions = store.client.exceptions
+
+        def head_object(self, **kw):
+            raise ClientError(
+                {"Error": {"Code": "403", "Message": "AccessDenied"},
+                 "ResponseMetadata": {"HTTPStatusCode": 403}},
+                "HeadObject",
+            )
+
+    from serverless_etl_aws_spark.pipeline.objectstore import S3ObjectStore
+
+    broken = S3ObjectStore(store.bucket, Denied())
+    import pytest as _pytest
+
+    with _pytest.raises(ClientError):
+        broken.exists("any/key")
 
 
 def test_event_protocol_envelopes(store):
@@ -111,7 +148,7 @@ def test_event_protocol_envelopes(store):
 
     resp = store.handle({"action": "archive", "key": "bronze/e.parquet"})
     assert resp["statusCode"] == 200
-    assert json.loads(resp["body"]) == {"archived_to": "archive/e.parquet"}
+    assert json.loads(resp["body"]) == {"archived_to": "archive/bronze/e.parquet"}
 
     assert store.handle({"action": "explode"})["statusCode"] == 400
     assert store.handle({"action": "archive"})["statusCode"] == 400

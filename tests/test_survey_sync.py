@@ -126,3 +126,26 @@ def test_evidence_md_matches_live_matrix():
         "`python -c 'from serverless_etl_aws_spark.roundreport import "
         "write_evidence_md; write_evidence_md()'` (or the report command)"
     )
+
+
+def test_rows_only_bound_test_mapping_is_complete(registry):
+    """VERDICT r10 directive #6: every rows-only key (registry sql=None)
+    must name the pytest that pins its tolerance/recall bound in
+    roundreport.ROWS_ONLY_BOUND_TESTS (rendered as EVIDENCE.md's
+    'bound test' column), and each named test must exist on disk — so
+    'no oracle' never silently reads as 'no evidence'."""
+    from serverless_etl_aws_spark.roundreport import ROWS_ONLY_BOUND_TESTS
+
+    rows_only = {k for k, q in registry.items() if q.sql is None}
+    assert set(ROWS_ONLY_BOUND_TESTS) == rows_only, (
+        f"bound-test mapping drifted from the live registry: "
+        f"mapping={sorted(ROWS_ONLY_BOUND_TESTS)} rows_only={sorted(rows_only)}"
+    )
+    for key, nodeid in ROWS_ONLY_BOUND_TESTS.items():
+        path, _, testname = nodeid.partition("::")
+        assert testname, f"{key}: bound test '{nodeid}' lacks ::testname"
+        with open(f"/root/repo/{path}", encoding="utf-8") as fh:
+            src = fh.read()
+        assert f"def {testname.split('[')[0]}(" in src, (
+            f"{key}: pinned bound test {nodeid} not found on disk"
+        )
