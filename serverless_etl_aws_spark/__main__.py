@@ -49,6 +49,14 @@ def main(argv: list[str] | None = None) -> int:
         "--no-sweep", action="store_true",
         help="collate artifacts only; skip the live sweep (no JVM boot)",
     )
+    report.add_argument(
+        "--driver-round", type=int, default=None,
+        help="pin which CORRECTNESS_r{N}.json the correctness_driver "
+        "block reads (default: latest on disk). Use to re-render round "
+        "N's report once the driver has written round N's rows — the "
+        "report is otherwise generated before they exist and lags one "
+        "round (VERDICT r10 #5)",
+    )
 
     explain = sub.add_parser(
         "explain",
@@ -84,6 +92,7 @@ def main(argv: list[str] | None = None) -> int:
         path = write_report(
             round_num=args.round,
             sweep_sf=None if args.no_sweep else args.sweep_sf,
+            driver_round=args.driver_round,
         )
         with open(path) as f:
             report = f.read()

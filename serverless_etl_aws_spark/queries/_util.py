@@ -15,6 +15,20 @@ Two rules:
 
 Per-row double arithmetic itself is deterministic IEEE and needs no
 special handling.
+
+Float specials (round-11 axis): NaN/±Inf in a measure column have NO
+exact value — the decimal discipline maps them to NULL on BOTH engines.
+Spark's ANSI ``CAST(double AS DECIMAL)`` already yields NULL for
+non-finite input (verified: NaN/±Inf → NULL, finite → exact), so the
+engine side is the built-in behavior; DuckDB's cast THROWS, so every
+oracle-side decimal cast of a possibly-non-finite double goes through
+``CASE WHEN isfinite(x) THEN x END`` (sql_fin below). Quantization is
+the dangerous one: Spark's ANSI ``floor()`` returns LONG and silently
+fabricates 0 from NaN and ±2⁶³ from ±Inf (measured), where DuckDB's
+double ``floor`` propagates the special — so :func:`fquant` guards
+non-finite to NULL on the engine side and oracle mirrors either
+propagate (NaN ≡ NULL under the comparator) or carry the same
+isfinite CASE where ±Inf can reach the floor.
 """
 
 from __future__ import annotations
@@ -34,9 +48,27 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def dec(col: str | Column) -> Column:
-    """Cast to the engine's exact intermediate decimal type."""
+    """Cast to the engine's exact intermediate decimal type. Non-finite
+    input yields NULL (Spark's ANSI double→decimal cast does this
+    natively); oracle twins mirror with ``sql_fin``."""
     c = F.col(col) if isinstance(col, str) else col
     return c.cast(DEC)
+
+
+def fin(col: str | Column) -> Column:
+    """NULL out non-finite doubles — the explicit engine-side twin of
+    ``sql_fin`` for sites where the double feeds something OTHER than a
+    decimal cast (a floor, a pandas UDF, a JDBC writer)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(~F.isnan(c) & (F.abs(c) != float("inf")), c)
+
+
+def sql_fin(expr: str) -> str:
+    """Oracle-side mirror of the non-finite→NULL contract: DuckDB's
+    double→decimal cast THROWS on NaN/±Inf where Spark's yields NULL,
+    so any decimal cast of a possibly-non-finite double wraps in this
+    CASE. NULL-safe (isfinite(NULL) is NULL → CASE yields NULL)."""
+    return f"CASE WHEN isfinite({expr}) THEN {expr} END"
 
 
 def dsum(col: str | Column, scale: int = 2) -> Column:
@@ -54,9 +86,19 @@ def dsum(col: str | Column, scale: int = 2) -> Column:
 def fquant(col: Column, scale: int = 2) -> Column:
     """Floor-quantize a double: deterministic across engines because the
     input doubles are bit-identical (same IEEE expression) and floor has no
-    half-boundary behavior. Mirror: ``floor(x * 10^scale) / 10^scale``."""
+    half-boundary behavior. Mirror: ``floor(x * 10^scale) / 10^scale``.
+
+    Non-finite input quantizes to NULL: Spark's ANSI ``floor`` returns
+    LONG and silently fabricates 0 from NaN / ±2⁶³ from ±Inf — the
+    worst failure mode (wrong number, no error). DuckDB's double
+    ``floor`` propagates NaN, which the comparator treats as NULL, so
+    plain oracle mirrors stay valid for the NaN path; only oracles
+    whose input can reach ±Inf need an explicit isfinite CASE."""
     factor = float(10 ** scale)
-    return F.floor(col * factor) / factor
+    return F.when(
+        ~F.isnan(col) & (F.abs(col) != float("inf")),
+        F.floor(col * factor) / factor,
+    )
 
 
 def davg(col: str | Column, scale: int = 2) -> Column:
@@ -71,25 +113,31 @@ def davg(col: str | Column, scale: int = 2) -> Column:
 
 def revenue_dec() -> Column:
     """Exact revenue term: DECIMAL(l_extendedprice) * DECIMAL(1-l_discount).
-    DuckDB mirror: ``CAST(l_extendedprice AS DECIMAL(18,4)) *
-    CAST(1 - l_discount AS DECIMAL(18,4))``."""
+    DuckDB mirror: ``SQL_REVENUE_DEC`` (isfinite-guarded — Spark's ANSI
+    cast NULLs non-finite natively, DuckDB's throws)."""
     return dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(DEC)
 
 
 # SQL fragments for the DuckDB side, kept next to their Spark twins above.
 SQL_REVENUE_DEC = (
-    "CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))"
+    "CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END"
+    " AS DECIMAL(18,4))"
+    " * CAST(CASE WHEN isfinite(l_discount) THEN 1 - l_discount END"
+    " AS DECIMAL(18,4))"
 )
 
 
 def sql_dsum(expr: str, scale: int = 2) -> str:
-    return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(18,4))), {scale}) AS DOUBLE)"
+    return (
+        f"CAST(ROUND(SUM(CAST({sql_fin(expr)} AS DECIMAL(18,4))),"
+        f" {scale}) AS DOUBLE)"
+    )
 
 
 def sql_davg(expr: str, scale: int = 2) -> str:
     factor = 10 ** scale
     return (
-        f"floor(CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+        f"floor(CAST(SUM(CAST({sql_fin(expr)} AS DECIMAL(18,4))) AS DOUBLE)"
         f" / COUNT(*) * {factor}.0) / {factor}.0"
     )
 

@@ -51,12 +51,12 @@ AGG_GROUP_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        {sql_dsum('l_quantity')} AS sum_qty,
        {sql_dsum('l_extendedprice')} AS sum_base_price,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                     * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+       CAST(ROUND(SUM(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,4))
+                     * CAST(CASE WHEN isfinite(1 - l_discount) THEN 1 - l_discount END AS DECIMAL(18,4))), 2) AS DOUBLE)
            AS sum_disc_price,
-       CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
-                          * CAST(1 - l_discount AS DECIMAL(18,4)) AS DECIMAL(18,4))
-                     * CAST(1 + l_tax AS DECIMAL(18,4))), 2) AS DOUBLE)
+       CAST(ROUND(SUM(CAST(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,4))
+                          * CAST(CASE WHEN isfinite(1 - l_discount) THEN 1 - l_discount END AS DECIMAL(18,4)) AS DECIMAL(18,4))
+                     * CAST(CASE WHEN isfinite(1 + l_tax) THEN 1 + l_tax END AS DECIMAL(18,4))), 2) AS DOUBLE)
            AS sum_charge,
        {sql_davg('l_quantity')} AS avg_qty,
        {sql_davg('l_extendedprice')} AS avg_price,

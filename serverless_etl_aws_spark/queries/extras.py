@@ -45,7 +45,7 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCAN_CSV_SQL = """
 SELECT l_returnflag,
        COUNT(*) AS line_count,
-       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+       CAST(ROUND(SUM(CAST(CASE WHEN l_quantity - (l_quantity) = 0 THEN l_quantity END AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -239,7 +239,7 @@ GROUP BY o_orderpriority
 
 WIN_FRAME_RANGE_SQL = """
 SELECT o_custkey, o_orderkey,
-       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+       CAST(ROUND(SUM(CAST(CASE WHEN o_totalprice - (o_totalprice) = 0 THEN o_totalprice END AS DECIMAL(18,4))) OVER (
            PARTITION BY o_custkey ORDER BY o_totalprice
            RANGE BETWEEN 50000.0 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
            AS near_spend
@@ -259,9 +259,9 @@ def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUBQ_SCALAR_SQL = """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders o
-WHERE CAST(o_totalprice AS DECIMAL(18,4))
+WHERE CAST(CASE WHEN o_totalprice - (o_totalprice) = 0 THEN o_totalprice END AS DECIMAL(18,4))
       * (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
-      > (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,4)))
+      > (SELECT SUM(CAST(CASE WHEN i.o_totalprice - (i.o_totalprice) = 0 THEN i.o_totalprice END AS DECIMAL(18,4)))
          FROM orders i WHERE i.o_custkey = o.o_custkey)
 """
 
@@ -348,7 +348,7 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 JOIN_SALTED_SQL = """
 SELECT o_orderpriority,
        COUNT(*) AS line_count,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+       CAST(ROUND(SUM(CAST(CASE WHEN l_extendedprice - (l_extendedprice) = 0 THEN l_extendedprice END AS DECIMAL(18,4))), 2) AS DOUBLE)
            AS sum_price
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
@@ -382,7 +382,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 JOIN_BUCKETED_SQL = """
 SELECT c_mktsegment,
        COUNT(*) AS order_count,
-       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+       CAST(ROUND(SUM(CAST(CASE WHEN o_totalprice - (o_totalprice) = 0 THEN o_totalprice END AS DECIMAL(18,4))), 2) AS DOUBLE)
            AS sum_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment

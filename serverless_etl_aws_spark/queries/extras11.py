@@ -373,9 +373,8 @@ WITH w AS (
          ) AS vals
   FROM events WHERE ts IS NOT NULL
 )
-SELECT event_id, user_id,
-       strftime(tsx, '%Y-%m-%d %H:%M:%S') AS ts_s,
-       floor(
+, r AS (
+  SELECT event_id, user_id, tsx,
          list_reduce(
            list_prepend(CAST(0 AS DOUBLE), CAST(vals AS DOUBLE[])),
            (acc, x) -> acc * CAST({EWMA_ALPHA} AS DOUBLE) + x
@@ -384,10 +383,17 @@ SELECT event_id, user_id,
              list_prepend(CAST(0 AS DOUBLE),
                           list_transform(vals, x -> CAST(1 AS DOUBLE))),
              (acc, x) -> acc * CAST({EWMA_ALPHA} AS DOUBLE) + x
-           )
-         * 1000000.0
-       ) / 1000000.0 AS ewma_q6
-FROM w
+           ) AS ewma_raw
+  FROM w
+)
+SELECT event_id, user_id,
+       strftime(tsx, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       -- isfinite mirror of the engine's fquant non-finite→NULL guard:
+       -- a NaN in the frame propagates through the fold; DuckDB floor
+       -- keeps ±Inf where Spark's guard NULLs it
+       CASE WHEN isfinite(ewma_raw)
+            THEN floor(ewma_raw * 1000000.0) / 1000000.0 END AS ewma_q6
+FROM r
 """
 
 
@@ -444,10 +450,20 @@ def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     url = f"jdbc:derby:{db_dir};create=true"
     driver = "org.apache.derby.jdbc.EmbeddedDriver"
 
+    from ._util import fin
+
     src = (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % JDBC_SAMPLE_MOD == 0)
-        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        # Derby (like several RDBMSs) rejects NaN/±Inf DOUBLEs at the
+        # JDBC layer (ERROR 22003) — the export normalizes non-finite
+        # to NULL, the standard warehouse-sync posture (float-specials
+        # contract, _util). Oracle mirrors with the isfinite CASE.
+        .select(
+            "o_orderkey", "o_custkey",
+            fin("o_totalprice").alias("o_totalprice"),
+            "o_orderpriority",
+        )
     )
     (
         src.write.format("jdbc")
@@ -479,7 +495,10 @@ def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SCAN_JDBC_SQL = f"""
-SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+SELECT o_orderkey, o_custkey,
+       CASE WHEN isfinite(o_totalprice) THEN o_totalprice END
+         AS o_totalprice,
+       o_orderpriority
 FROM orders
 WHERE o_orderkey % {JDBC_SAMPLE_MOD} = 0
 """

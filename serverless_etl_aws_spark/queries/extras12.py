@@ -147,8 +147,9 @@ SELECT o_orderkey,
        CAST(TRY_CAST(CASE WHEN o_orderkey % 4 = 0 THEN '2024-13-01'
                           ELSE '2024-02-29' END AS DATE) AS VARCHAR)
          AS as_date,
-       floor(o_totalprice / CAST(o_orderkey % 5 AS DOUBLE) * 10000.0)
-         / 10000.0 AS safe_div_q4
+       CASE WHEN isfinite(o_totalprice / CAST(o_orderkey % 5 AS DOUBLE))
+            THEN floor(o_totalprice / CAST(o_orderkey % 5 AS DOUBLE)
+                       * 10000.0) / 10000.0 END AS safe_div_q4
 FROM orders
 """
 

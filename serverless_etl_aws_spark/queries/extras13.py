@@ -396,15 +396,15 @@ AGG_CORR_SQL = """
 WITH m AS (
     SELECT l_returnflag,
            CAST(COUNT(*) AS DOUBLE) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sx,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sy,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
-                    * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)
+           CAST(SUM(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(19,4))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(19,4))
+                    * CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(19,4))) AS DOUBLE)
                AS sxy,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
-                    * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
-                    * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)
+           CAST(SUM(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(19,4))
+                    * CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(19,4))
+                    * CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(19,4))) AS DOUBLE)
                AS syy
     FROM lineitem
     GROUP BY l_returnflag

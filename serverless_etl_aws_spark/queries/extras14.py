@@ -266,7 +266,7 @@ WITH slot AS (
 ), prof AS (
     SELECT event_type, isodow,
            COUNT(*) AS n_events,
-           SUM(CAST(value AS DECIMAL(18,4))) AS svd
+           SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4))) AS svd
     FROM slot GROUP BY event_type, isodow
 ), overall AS (
     SELECT event_type,

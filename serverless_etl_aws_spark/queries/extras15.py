@@ -64,7 +64,10 @@ def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     front (a null increment would poison the prefix sum)."""
     ev = t(spark, sf_dir, "events").filter(
         # ts IS NOT NULL: no timestamp = no series position (round 9)
-        F.col("value").isNotNull() & F.col("ts").isNotNull()
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+        & F.col("ts").isNotNull()
     )
     w = (
         Window.partitionBy("event_type")
@@ -99,9 +102,10 @@ def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 TS_CUSUM_SQL = f"""
 WITH w AS (
     SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS tsx,
-           SUM(CAST(value AS DECIMAL(18,4)) - CAST({CUSUM_K} AS DECIMAL(18,4)))
+           SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4)) - CAST({CUSUM_K} AS DECIMAL(18,4)))
                OVER ord AS p
-    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    FROM events WHERE value IS NOT NULL AND isfinite(value)
+      AND ts IS NOT NULL
     WINDOW ord AS (PARTITION BY event_type
                    ORDER BY CAST(ts AS TIMESTAMP), event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -140,7 +144,10 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan), and the moment sums are map-side-combinable partials."""
     ev = t(spark, sf_dir, "events").filter(
         # ts IS NOT NULL: no timestamp = no series position (round 9)
-        F.col("value").isNotNull() & F.col("ts").isNotNull()
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+        & F.col("ts").isNotNull()
     )
     w = Window.partitionBy("event_type").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
@@ -177,11 +184,12 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 TS_AUTOCORR_SQL = """
 WITH pairs AS (
     SELECT event_type,
-           CAST(value AS DECIMAL(19,4)) AS x,
+           CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(19,4)) AS x,
            CAST(lag(value) OVER (PARTITION BY event_type
                                  ORDER BY CAST(ts AS TIMESTAMP), event_id)
                 AS DECIMAL(19,4)) AS y
-    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    FROM events WHERE value IS NOT NULL AND isfinite(value)
+      AND ts IS NOT NULL
 ), m AS (
     SELECT event_type,
            CAST(COUNT(*) AS DOUBLE) AS n,

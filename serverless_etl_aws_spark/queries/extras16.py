@@ -77,8 +77,8 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 WIN_DRAWDOWN_SQL = """
 WITH path AS (
     SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsx,
-           CAST(value AS DECIMAL(18,4)) AS v,
-           MAX(CAST(value AS DECIMAL(18,4))) OVER (
+           CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4)) AS v,
+           MAX(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4))) OVER (
                PARTITION BY user_id
                ORDER BY CAST(ts AS TIMESTAMP), event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -131,6 +131,10 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is on the POST-quantization value: a double in
     # [99999.99995, 100000) passes an |x| < 1e5 test but HALF_UP-rounds
     # to 100000.0000 in the (9,4) cast, which needs 6 integer digits.
+    # Non-finite values are NOT a domain violation: they carry no value
+    # on the measure axis, so the relation filter below excludes them
+    # (engine ~isnan/~inf, oracle isfinite(value)) before this guard —
+    # the raise is for FINITE out-of-range input only.
     guarded = F.when(F.abs(raw) < 99999.99995, raw).otherwise(
         F.raise_error(F.lit(
             "agg_skew_kurt: |value| >= 1e5 is outside the declared "
@@ -141,7 +145,11 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     x2 = (x * x).cast("decimal(18,8)")
     m = (
         t(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(
+            F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & (F.abs("value") != float("inf"))
+        )
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("double").alias("n"),
@@ -178,21 +186,21 @@ AGG_SKEW_KURT_SQL = """
 WITH m AS (
     SELECT event_type,
            CAST(COUNT(*) AS DOUBLE) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(9,4))) AS DOUBLE) AS s1,
-           CAST(SUM(CAST(CAST(value AS DECIMAL(9,4))
-                         * CAST(value AS DECIMAL(9,4))
+           CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,4))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,4))
+                         * CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,4))
                          AS DECIMAL(19,8))) AS DOUBLE) AS s2,
-           CAST(SUM(CAST(CAST(value AS DECIMAL(9,4))
-                         * CAST(value AS DECIMAL(9,4))
+           CAST(SUM(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,4))
+                         * CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,4))
                          AS DECIMAL(19,8))
-                    * CAST(value AS DECIMAL(9,4))) AS DOUBLE) AS s3,
-           CAST(SUM(CAST(CAST(value AS DECIMAL(9,4))
-                         * CAST(value AS DECIMAL(9,4))
+                    * CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,4))) AS DOUBLE) AS s3,
+           CAST(SUM(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,4))
+                         * CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,4))
                          AS DECIMAL(19,8))
-                    * CAST(CAST(value AS DECIMAL(9,4))
-                           * CAST(value AS DECIMAL(9,4))
+                    * CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,4))
+                           * CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,4))
                            AS DECIMAL(19,8))) AS DOUBLE) AS s4
-    FROM events WHERE value IS NOT NULL
+    FROM events WHERE value IS NOT NULL AND isfinite(value)
     GROUP BY event_type
 )
 SELECT event_type,
@@ -270,12 +278,12 @@ WITH staged AS (
     SELECT event_type,
            ROW_NUMBER() OVER (PARTITION BY event_type
                               ORDER BY value DESC, event_id) AS rk,
-           SUM(CAST(value AS DECIMAL(18,4))) OVER (
+           SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4))) OVER (
                PARTITION BY event_type
                ORDER BY value DESC, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS cum,
-           SUM(CAST(value AS DECIMAL(18,4)))
+           SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4)))
                OVER (PARTITION BY event_type) AS total,
            COUNT(*) OVER (PARTITION BY event_type) AS n
     FROM events WHERE value IS NOT NULL

@@ -84,7 +84,7 @@ _BENFORD_CASE = " ".join(
 DQ_BENFORD_SQL = f"""
 WITH cnt AS (
     SELECT CAST(regexp_extract(
-               CAST(CAST(value AS DECIMAL(18,4)) AS VARCHAR), '[1-9]', 0)
+               CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4)) AS VARCHAR), '[1-9]', 0)
            AS INT) AS digit,
            COUNT(*) AS n
     FROM events WHERE value IS NOT NULL AND value > 0

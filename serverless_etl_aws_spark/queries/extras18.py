@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import Query
-from ._util import fquant, t
+from ._util import fin, fquant, t
 
 # ---------------------------------------------------------- win_retention
 
@@ -121,7 +121,13 @@ def ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition exchange moves buckets only), one global aggregate,
     and a 5-row unpivot. The U accumulator is DECIMAL(38,0): counts
     beyond 2⁵³ would silently lose integer exactness in a double."""
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = t(spark, sf_dir, "events").filter(
+        # finite values only: non-finite scores have no bucket/label
+        # (Spark's ANSI floor silently fabricates bucket 0 from NaN)
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
     b = ev.select(
         F.floor(F.col("value") * AUC_BUCKET_FACTOR).alias("bkt"),
         "event_type",
@@ -227,7 +233,8 @@ WITH per AS (
     SELECT CAST(floor(value * {AUC_BUCKET_FACTOR}) AS BIGINT) AS bkt,
            COUNT(*) AS n,
            {per_cols}
-    FROM events WHERE value IS NOT NULL GROUP BY 1
+    FROM events WHERE value IS NOT NULL AND isfinite(value)
+    GROUP BY 1
 ), runs AS (
     SELECT *,
            COALESCE(SUM(n) OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED
@@ -310,8 +317,12 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, kind in _PROFILE_COLS:
         aggs.append(F.count(c).alias(f"nn_{c}"))
-        aggs.append(_render(F.min(c), kind).alias(f"mn_{c}"))
-        aggs.append(_render(F.max(c), kind).alias(f"mx_{c}"))
+        # double min/max profile the FINITE domain: a NaN/±Inf outlier
+        # has no decimal rendering (Spark NULLs the cast, DuckDB throws)
+        # — the oracle mirrors with MIN/MAX over isfinite(c).
+        src = fin(c) if kind == "double" else F.col(c)
+        aggs.append(_render(F.min(src), kind).alias(f"mn_{c}"))
+        aggs.append(_render(F.max(src), kind).alias(f"mx_{c}"))
     one = orders.agg(*aggs).crossJoin(ndv_row)  # 1×1
     stack = F.expr(
         "stack({n}, {args}) AS (column_name, n_nonnull, n_distinct,"
@@ -337,12 +348,13 @@ def _profile_sql() -> str:
     branches = []
     for c, kind in _PROFILE_COLS:
         if kind == "double":
+            fc = f"CASE WHEN isfinite({c}) THEN {c} END"
             mn = (
-                f"CAST(CAST(floor(MIN({c}) * 10000.0) / 10000.0"
+                f"CAST(CAST(floor(MIN({fc}) * 10000.0) / 10000.0"
                 f" AS DECIMAL(18,4)) AS VARCHAR)"
             )
             mx = (
-                f"CAST(CAST(floor(MAX({c}) * 10000.0) / 10000.0"
+                f"CAST(CAST(floor(MAX({fc}) * 10000.0) / 10000.0"
                 f" AS DECIMAL(18,4)) AS VARCHAR)"
             )
         elif kind == "timestamp":

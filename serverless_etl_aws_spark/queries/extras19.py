@@ -55,7 +55,13 @@ def ml_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     double division of integer operands (bit-identical cross-engine),
     NULL-guarded for degenerate thresholds (no positives in data ⇒
     recall NULL — same guard discipline as ml_auc after ADVICE r6)."""
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = t(spark, sf_dir, "events").filter(
+        # finite values only: non-finite scores have no bucket/label
+        # (Spark's ANSI floor silently fabricates bucket 0 from NaN)
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
     b = ev.select(
         F.floor("value").cast("long").alias("thr"),
         (F.col("event_type") == POS_LABEL).cast("long").alias("is_pos"),
@@ -105,7 +111,8 @@ WITH per AS (
     SELECT CAST(floor(value) AS BIGINT) AS thr,
            COUNT(*) AS n,
            SUM(CASE WHEN event_type = '{POS_LABEL}' THEN 1 ELSE 0 END) AS pos
-    FROM events WHERE value IS NOT NULL GROUP BY 1
+    FROM events WHERE value IS NOT NULL AND isfinite(value)
+    GROUP BY 1
 ), cum AS (
     SELECT thr,
            SUM(pos) OVER (ORDER BY thr DESC ROWS BETWEEN UNBOUNDED
@@ -158,7 +165,13 @@ def ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     — exact, order-insensitive), never a second corpus scan. Mean score
     follows the decimal discipline (_util.davg form); each rate/lift is
     one double division of exact operands, floor-quantized."""
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = t(spark, sf_dir, "events").filter(
+        # finite values only: non-finite scores have no bucket/label
+        # (Spark's ANSI floor silently fabricates bucket 0 from NaN)
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
     binned = ev.select(
         (F.floor(F.col("value") / CALIB_BIN) * CALIB_BIN)
         .cast("long")
@@ -201,8 +214,9 @@ WITH per AS (
            COUNT(*) AS n,
            SUM(CASE WHEN event_type = '{POS_LABEL}' THEN 1 ELSE 0 END)
              AS pos,
-           SUM(CAST(value AS DECIMAL(18,4))) AS sv
-    FROM events WHERE value IS NOT NULL GROUP BY 1
+           SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4))) AS sv
+    FROM events WHERE value IS NOT NULL AND isfinite(value)
+    GROUP BY 1
 )
 SELECT bin_lo,
        CAST(n AS BIGINT) AS n,

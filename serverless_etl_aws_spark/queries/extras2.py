@@ -211,9 +211,9 @@ WITH ev AS (
 ), stats AS (
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))
-                    * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS ss
+           CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4))) AS DOUBLE) AS s,
+           CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4))
+                    * CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4))) AS DOUBLE) AS ss
     FROM ev GROUP BY event_type
 ), stats2 AS (
     SELECT event_type, n, s / n AS mean,

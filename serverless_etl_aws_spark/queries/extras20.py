@@ -55,7 +55,13 @@ def ml_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one map-side-combinable groupBy onto ≤ max(value) buckets;
     windows, impurity arithmetic and the top-1 run on the bucket
     relation (TakeOrderedAndProject, never a global sort of data)."""
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = t(spark, sf_dir, "events").filter(
+        # finite values only: a non-finite value has no score bucket
+        # (Spark's ANSI floor silently fabricates bucket 0 from NaN)
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
     b = ev.select(
         F.floor("value").cast("long").alias("thr"),
         (F.col("event_type") == POS_LABEL).cast("long").alias("is_pos"),
@@ -117,7 +123,8 @@ WITH per AS (
     SELECT CAST(floor(value) AS BIGINT) AS thr,
            COUNT(*) AS n,
            SUM(CASE WHEN event_type = '{POS_LABEL}' THEN 1 ELSE 0 END) AS pos
-    FROM events WHERE value IS NOT NULL GROUP BY 1
+    FROM events WHERE value IS NOT NULL AND isfinite(value)
+    GROUP BY 1
 ), cand AS (
     SELECT thr,
            SUM(n) OVER (ORDER BY thr DESC ROWS BETWEEN UNBOUNDED
@@ -343,7 +350,13 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one map-side-combinable bucket groupBy; prefix sums, gap
     arithmetic and the top-1 all run on the bucket relation."""
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = t(spark, sf_dir, "events").filter(
+        # finite values only: a non-finite value has no score bucket
+        # (Spark's ANSI floor silently fabricates bucket 0 from NaN)
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
     b = ev.select(
         F.floor("value").cast("long").alias("bkt"),
         (F.col("event_type") == POS_LABEL).cast("long").alias("is_pos"),
@@ -388,7 +401,8 @@ WITH per AS (
     SELECT CAST(floor(value) AS BIGINT) AS bkt,
            COUNT(*) AS n,
            SUM(CASE WHEN event_type = '{POS_LABEL}' THEN 1 ELSE 0 END) AS pos
-    FROM events WHERE value IS NOT NULL GROUP BY 1
+    FROM events WHERE value IS NOT NULL AND isfinite(value)
+    GROUP BY 1
 ), cum AS (
     SELECT bkt,
            SUM(pos) OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING

@@ -259,7 +259,7 @@ SELECT event_type,
        floor(CAST(SUM(CAST(least(greatest(value, lo), hi)
                            AS DECIMAL(18,4))) AS DOUBLE)
              / MAX(n) * 10000.0) / 10000.0 AS winsorized_mean,
-       floor(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+       floor(CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4))) AS DOUBLE)
              / MAX(n) * 10000.0) / 10000.0 AS raw_mean
 FROM bounded
 GROUP BY event_type

@@ -200,7 +200,13 @@ def ml_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one corpus scan, one bucket shuffle; windows on the bucket
     relation."""
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = t(spark, sf_dir, "events").filter(
+        # finite values only: non-finite scores have no bucket/label
+        # (Spark's ANSI floor silently fabricates bucket 0 from NaN)
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
     b = ev.groupBy(
         F.floor("value").cast("long").alias("bucket")
     ).agg(
@@ -249,7 +255,8 @@ WITH b AS (
            COUNT(*) AS n,
            SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
              AS npos
-    FROM events WHERE value IS NOT NULL GROUP BY 1
+    FROM events WHERE value IS NOT NULL AND isfinite(value)
+    GROUP BY 1
 ), c AS (
     SELECT bucket, n, npos,
            SUM(n) OVER (ORDER BY bucket DESC

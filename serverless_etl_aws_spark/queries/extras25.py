@@ -115,12 +115,12 @@ WITH tot AS (
            strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
            ROW_NUMBER() OVER (PARTITION BY user_id
                               ORDER BY ts ASC, event_id ASC) AS k,
-           SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+           SUM(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4)) * 10000 AS BIGINT))
              OVER (PARTITION BY user_id
                    ORDER BY ts ASC, event_id ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
            COUNT(*) OVER (PARTITION BY user_id) AS n,
-           SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+           SUM(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4)) * 10000 AS BIGINT))
              OVER (PARTITION BY user_id) AS tot
     FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
 ), cand AS (
@@ -218,7 +218,7 @@ def ml_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 ML_SPEARMAN_SQL = """
 WITH spend AS (
     SELECT o_custkey AS c_custkey,
-           SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+           SUM(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,4))) AS spend
     FROM orders GROUP BY 1
 ), joined AS (
     SELECT c.c_custkey, n.n_name AS nation, c.c_acctbal,
@@ -398,7 +398,13 @@ def ml_best_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse onto integer score buckets (hundreds of rows), cumulative
     windows on the bucket relation, then a 1-row argmax; the global
     windows run on the bucket relation, never the corpus."""
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = t(spark, sf_dir, "events").filter(
+        # finite values only: non-finite scores have no bucket/label
+        # (Spark's ANSI floor silently fabricates bucket 0 from NaN)
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
     b = ev.select(
         F.floor("value").cast("long").alias("thr"),
         (F.col("event_type") == POS_LABEL).cast("long").alias("is_pos"),
@@ -475,7 +481,8 @@ WITH per AS (
            COUNT(*) AS n,
            SUM(CASE WHEN event_type = '{POS_LABEL}' THEN 1 ELSE 0 END)
              AS pos
-    FROM events WHERE value IS NOT NULL GROUP BY 1
+    FROM events WHERE value IS NOT NULL AND isfinite(value)
+    GROUP BY 1
 ), cum AS (
     SELECT thr AS threshold,
            SUM(pos) OVER (ORDER BY thr DESC ROWS BETWEEN UNBOUNDED

@@ -48,7 +48,14 @@ def dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides the same rank window (max-of-case over the partition), and
     the outlier counts aggregate the same windowed relation — no
     second scan, no self-join."""
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = t(spark, sf_dir, "events").filter(
+        # finite values only: a non-finite value has no rank on the
+        # exact decimal grid (dec() NULLs it, and NULL ordering
+        # diverges NULLS FIRST/LAST between engines) — oracle isfinite
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
     v = (dec("value") * 10000).cast("long")
     wrank = Window.partitionBy("event_type").orderBy(
         F.col("v").asc(), F.col("event_id").asc()
@@ -107,13 +114,13 @@ def dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 DQ_IQR_OUTLIERS_SQL = """
 WITH ranked AS (
     SELECT event_type,
-           CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v,
+           CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v,
            ROW_NUMBER() OVER (PARTITION BY event_type
-                              ORDER BY CAST(CAST(value AS DECIMAL(18,4))
+                              ORDER BY CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4))
                                             * 10000 AS BIGINT) ASC,
                                        event_id ASC) AS rn,
            COUNT(*) OVER (PARTITION BY event_type) AS n
-    FROM events WHERE value IS NOT NULL
+    FROM events WHERE value IS NOT NULL AND isfinite(value)
 ), fenced AS (
     SELECT event_type, v, n,
            MAX(CASE WHEN rn = (n + 3) // 4 THEN v END)
@@ -377,7 +384,7 @@ WITH stamped AS (
                      CAST(CAST(ts AS TIMESTAMP) AS DATE))
                       / CAST(7 AS DOUBLE)) AS BIGINT) AS wk,
            CASE WHEN event_type = 'purchase' AND value IS NOT NULL
-                THEN CAST(value AS DECIMAL(18,4))
+                THEN CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4))
                 ELSE CAST(0 AS DECIMAL(18,4)) END AS rev,
            MIN(CAST(floor(date_diff('day', DATE '1970-01-01',
                          CAST(CAST(ts AS TIMESTAMP) AS DATE))

@@ -355,7 +355,7 @@ WITH daily AS (
     SELECT event_type,
            date_diff('day', DATE '1970-01-01',
                      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d,
-           SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS v
+           SUM(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS v
     FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     GROUP BY 1, 2
 ), staged AS (

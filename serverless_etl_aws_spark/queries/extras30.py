@@ -98,7 +98,7 @@ def agg_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_LORENZ_SQL = f"""
 WITH spend AS (
     SELECT o_custkey AS custkey,
-           SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+           SUM(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,4))) AS spend
     FROM orders GROUP BY 1
 ), ranked AS (
     SELECT spend,

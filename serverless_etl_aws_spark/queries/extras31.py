@@ -145,9 +145,15 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice", "l_quantity",
     ).filter(
         # null prices can't be ranked (Spark ASC is NULLS FIRST, DuckDB
-        # NULLS LAST) and null quantities carry no weight — filter both
+        # NULLS LAST) and null quantities carry no weight — filter both.
+        # Non-finite values have no position on the exact decimal grid
+        # either (dec() NULLs them) — same exclusion, oracle isfinite.
         F.col("l_extendedprice").isNotNull()
+        & ~F.isnan("l_extendedprice")
+        & (F.abs("l_extendedprice") != float("inf"))
         & F.col("l_quantity").isNotNull()
+        & ~F.isnan("l_quantity")
+        & (F.abs("l_quantity") != float("inf"))
     )
     part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     rows = li.join(
@@ -200,13 +206,14 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_WEIGHTED_MEDIAN_SQL = """
 WITH rows_ AS (
     SELECT p.p_brand,
-           CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) * 10000
+           CAST(CAST(CASE WHEN isfinite(l.l_extendedprice) THEN l.l_extendedprice END AS DECIMAL(18,4)) * 10000
                 AS BIGINT) AS price_s,
-           CAST(CAST(l.l_quantity AS DECIMAL(18,4)) * 10000
+           CAST(CAST(CASE WHEN isfinite(l.l_quantity) THEN l.l_quantity END AS DECIMAL(18,4)) * 10000
                 AS BIGINT) AS qty_s,
            l.l_orderkey, l.l_linenumber
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE l.l_extendedprice IS NOT NULL AND l.l_quantity IS NOT NULL
+    WHERE l.l_extendedprice IS NOT NULL AND isfinite(l.l_extendedprice)
+      AND l.l_quantity IS NOT NULL AND isfinite(l.l_quantity)
 ), staged AS (
     SELECT p_brand, price_s,
            SUM(qty_s) OVER (PARTITION BY p_brand
@@ -446,7 +453,7 @@ def agg_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_SHARE_SHIFT_SQL = """
 WITH orders_d AS (
     SELECT o_custkey,
-           CAST(o_totalprice AS DECIMAL(18,4)) AS rev,
+           CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,4)) AS rev,
            date_diff('day', DATE '1970-01-01',
                      CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE)) AS d
     FROM orders

@@ -224,7 +224,13 @@ def ml_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one map-side-combinable collapse onto ≤13 score bins; the
     windows and the final 1-row reduce run on the bin relation."""
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = t(spark, sf_dir, "events").filter(
+        # finite values only: non-finite scores have no bucket/label
+        # (Spark's ANSI floor silently fabricates bucket 0 from NaN)
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
     b = ev.select(
         (F.floor(F.col("value") / ECE_BIN)).cast("int").alias("bin"),
         (dec("value") * 10000).cast("long").alias("score_s"),
@@ -263,11 +269,11 @@ def ml_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 ML_ECE_SQL = f"""
 WITH b AS (
     SELECT CAST(floor(value / {ECE_BIN}) AS INT) AS bin,
-           CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+           CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4)) * 10000 AS BIGINT)
              AS score_s,
            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
              AS is_pos
-    FROM events WHERE value IS NOT NULL
+    FROM events WHERE value IS NOT NULL AND isfinite(value)
 ), per AS (
     SELECT bin, COUNT(*) AS n, SUM(is_pos) AS pos,
            SUM(score_s) AS score_sum

@@ -106,11 +106,11 @@ TS_ANOVA_WEEKDAY_SQL = """
 WITH per AS (
     SELECT CAST(isodow(ts) AS INT) AS isodow,
            COUNT(*) AS ng,
-           SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+           SUM(CAST(CAST(CASE WHEN value - (value) = 0 THEN value END AS DECIMAL(18,4)) * 10000 AS BIGINT))
              AS tg,
-           SUM(CAST(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+           SUM(CAST(CAST(CAST(CASE WHEN value - (value) = 0 THEN value END AS DECIMAL(18,4)) * 10000
                          AS BIGINT) AS HUGEINT)
-               * CAST(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+               * CAST(CAST(CAST(CASE WHEN value - (value) = 0 THEN value END AS DECIMAL(18,4)) * 10000
                            AS BIGINT) AS HUGEINT)) AS sq
     FROM events WHERE value IS NOT NULL
     GROUP BY 1
@@ -266,10 +266,10 @@ def ml_feature_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         y.alias("y"),
         F.expr(
             "stack(4, "
-            "'quantity', CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT), "
-            "'extendedprice', CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT), "
-            "'discount', CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT), "
-            "'tax', CAST(CAST(l_tax AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+            "'quantity', CAST(CAST(CASE WHEN l_quantity - (l_quantity) = 0 THEN l_quantity END AS DECIMAL(18,4)) * 10000 AS BIGINT), "
+            "'extendedprice', CAST(CAST(CASE WHEN l_extendedprice - (l_extendedprice) = 0 THEN l_extendedprice END AS DECIMAL(18,4)) * 10000 AS BIGINT), "
+            "'discount', CAST(CAST(CASE WHEN l_discount - (l_discount) = 0 THEN l_discount END AS DECIMAL(18,4)) * 10000 AS BIGINT), "
+            "'tax', CAST(CAST(CASE WHEN l_tax - (l_tax) = 0 THEN l_tax END AS DECIMAL(18,4)) * 10000 AS BIGINT)"
             ") AS (feature, x)"
         ),
     )
@@ -303,13 +303,13 @@ def ml_feature_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 ML_FEATURE_SCREEN_SQL = """
 WITH base AS (
     SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
-           CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT)
+           CAST(CAST(CASE WHEN l_quantity - (l_quantity) = 0 THEN l_quantity END AS DECIMAL(18,4)) * 10000 AS BIGINT)
              AS f_quantity,
-           CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000
+           CAST(CAST(CASE WHEN l_extendedprice - (l_extendedprice) = 0 THEN l_extendedprice END AS DECIMAL(18,4)) * 10000
                 AS BIGINT) AS f_extendedprice,
-           CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)
+           CAST(CAST(CASE WHEN l_discount - (l_discount) = 0 THEN l_discount END AS DECIMAL(18,4)) * 10000 AS BIGINT)
              AS f_discount,
-           CAST(CAST(l_tax AS DECIMAL(18,4)) * 10000 AS BIGINT) AS f_tax
+           CAST(CAST(CASE WHEN l_tax - (l_tax) = 0 THEN l_tax END AS DECIMAL(18,4)) * 10000 AS BIGINT) AS f_tax
     FROM lineitem
     WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
       AND l_discount IS NOT NULL AND l_tax IS NOT NULL

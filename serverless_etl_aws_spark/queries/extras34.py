@@ -190,7 +190,7 @@ def agg_mix_rate_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_MIX_RATE_DECOMP_SQL = """
 WITH orders_d AS (
     SELECT o_custkey,
-           CAST(o_totalprice AS DECIMAL(18,4)) AS rev,
+           CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,4)) AS rev,
            date_diff('day', DATE '1970-01-01',
                      CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE)) AS d
     FROM orders
@@ -262,7 +262,14 @@ def agg_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ONE event_type window shuffle; selection and the final
     collapse share the partitioning (the dq_iqr_outliers shape)."""
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = t(spark, sf_dir, "events").filter(
+        # finite values only: a non-finite value has no rank on the
+        # exact decimal grid (dec() NULLs it, and NULL ordering
+        # diverges NULLS FIRST/LAST between engines) — oracle isfinite
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
     v = (dec("value") * 10000).cast("long")
     wrank = Window.partitionBy("event_type").orderBy(
         F.col("v").asc(), F.col("event_id").asc()
@@ -308,13 +315,13 @@ def agg_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_MEDIAN_CI_SQL = f"""
 WITH ranked AS (
     SELECT event_type,
-           CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v,
+           CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v,
            ROW_NUMBER() OVER (PARTITION BY event_type
-                              ORDER BY CAST(CAST(value AS DECIMAL(18,4))
+                              ORDER BY CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4))
                                             * 10000 AS BIGINT) ASC,
                                        event_id ASC) AS rn,
            COUNT(*) OVER (PARTITION BY event_type) AS n
-    FROM events WHERE value IS NOT NULL
+    FROM events WHERE value IS NOT NULL AND isfinite(value)
 ), per AS (
     SELECT event_type,
            MAX(n) AS n,

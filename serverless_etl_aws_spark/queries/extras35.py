@@ -125,7 +125,7 @@ WITH cut_row AS (
            SUM(CASE WHEN d < cut AND event_type = 'purchase'
                     THEN 1 ELSE 0 END) AS n_purchases,
            SUM(CASE WHEN d < cut AND value IS NOT NULL THEN
-                 CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                 CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4)) * 10000 AS BIGINT)
                ELSE 0 END) AS value_s,
            MAX(CASE WHEN d < cut THEN d END) AS last_obs_day,
            MAX(cut) AS cut,
@@ -293,7 +293,7 @@ def agg_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_ABC_CLASS_SQL = f"""
 WITH per_part AS (
     SELECT l_partkey,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+           SUM(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,4))) AS rev
     FROM lineitem WHERE l_extendedprice IS NOT NULL
     GROUP BY 1
 ), ranked AS (
@@ -382,10 +382,10 @@ def dq_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
 DQ_SATURATION_SQL = """
 WITH staged AS (
     SELECT event_type,
-           CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v,
-           MIN(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+           CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v,
+           MIN(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4)) * 10000 AS BIGINT))
              OVER (PARTITION BY event_type) AS vmin,
-           MAX(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+           MAX(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4)) * 10000 AS BIGINT))
              OVER (PARTITION BY event_type) AS vmax
     FROM events WHERE value IS NOT NULL
 )

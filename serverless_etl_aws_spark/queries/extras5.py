@@ -78,13 +78,13 @@ AGG_STATS_SQL = """
 WITH partials AS (
   SELECT l_returnflag,
          CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy,
-         CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sd,
-         CAST(SUM(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS DOUBLE) AS sdd
+         CAST(SUM(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(19,4)) * CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(19,4)) * CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(19,4))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(19,4)) * CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(19,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(18,4))) AS DOUBLE) AS sd,
+         CAST(SUM(CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(19,4)) * CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(19,4))) AS DOUBLE) AS sdd
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag,
@@ -127,9 +127,9 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_UNPIVOT_SQL = """
 WITH wide AS (
   SELECT l_returnflag,
-         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+         CAST(ROUND(SUM(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,4))), 2) AS DOUBLE)
            AS sum_qty,
-         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+         CAST(ROUND(SUM(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,4))), 2) AS DOUBLE)
            AS sum_price,
          CAST(COUNT(*) AS DOUBLE) AS n_rows
   FROM lineitem GROUP BY l_returnflag
@@ -246,7 +246,7 @@ TS_RESAMPLE_SQL = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS d,
          COUNT(*) AS event_count,
-         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+         CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4))), 2) AS DOUBLE)
            AS day_value
   FROM events GROUP BY 1, 2
 ), spine AS (
@@ -350,7 +350,7 @@ WITH bounds AS (
 )
 SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
        COUNT(*) AS event_count,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+       CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
 FROM events, bounds
 WHERE CAST(ts AS DATE) >= CAST(bounds.cutoff AS DATE)
 GROUP BY 1
@@ -441,7 +441,7 @@ WITH b AS (
 )
 SELECT l_returnflag,
        COUNT(*) AS n_rows,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+       CAST(ROUND(SUM(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,4))), 2) AS DOUBLE)
          AS sum_price
 FROM lineitem, b
 WHERE l_orderkey >= b.ok0 AND l_orderkey <= (b.ok0 + b.ok1) // 2
@@ -544,7 +544,14 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``floor(x / width)`` (no half-boundary ambiguity across engines, per
     the _util float discipline); one partial-aggregated shuffle of
     O(buckets) rows regardless of table size."""
-    orders = t(spark, sf_dir, "orders")
+    orders = t(spark, sf_dir, "orders").filter(
+        # a non-finite total has no bucket (Spark's ANSI floor would
+        # silently fabricate bucket 0 from NaN); NULL rows keep their
+        # NULL bucket as before — oracle mirrors the same disjunction
+        F.col("o_totalprice").isNull()
+        | (~F.isnan("o_totalprice")
+           & (F.abs("o_totalprice") != float("inf")))
+    )
     bucket = F.floor(F.col("o_totalprice") / F.lit(BUCKET_WIDTH)).cast("long")
     return (
         orders.groupBy(bucket.alias("bucket"))
@@ -565,6 +572,7 @@ SELECT CAST(floor(o_totalprice / {BUCKET_WIDTH}) AS BIGINT) AS bucket,
        CAST(floor(o_totalprice / {BUCKET_WIDTH}) AS BIGINT) * {BUCKET_WIDTH}
          AS bucket_lo
 FROM orders
+WHERE o_totalprice IS NULL OR isfinite(o_totalprice)
 GROUP BY 1
 """
 

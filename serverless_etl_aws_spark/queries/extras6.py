@@ -297,7 +297,7 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
 JOIN_DPP_SQL = """
 SELECT event_type,
        COUNT(*) AS event_count,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+       CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
 FROM events
 WHERE event_type IN ('purchase', 'click')
 GROUP BY event_type

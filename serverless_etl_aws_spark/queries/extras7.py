@@ -244,7 +244,7 @@ WITH per_order AS (
 ), base AS (
   SELECT o.o_orderpriority,
          CAST(COALESCE(p.x, 0) AS DECIMAL(10,0)) AS x,
-         CAST(o.o_totalprice AS DECIMAL(18,4)) AS y
+         CAST(CASE WHEN isfinite(o.o_totalprice) THEN o.o_totalprice END AS DECIMAL(18,4)) AS y
   FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
 ), g AS (
   SELECT o_orderpriority,
@@ -410,7 +410,7 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 TS_INTERPOLATE_SQL = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS d,
-         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS v
+         CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4))), 2) AS DOUBLE) AS v
   FROM events GROUP BY event_type, CAST(ts AS DATE)
 ), bounds AS (
   SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events

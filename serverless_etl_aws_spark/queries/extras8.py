@@ -174,7 +174,7 @@ def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 TS_ROLLING_ZSCORE_SQL = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS d,
-         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS v
+         CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4))), 2) AS DOUBLE) AS v
   FROM events WHERE ts IS NOT NULL
   GROUP BY event_type, CAST(ts AS DATE)
 ), win AS (
@@ -238,7 +238,7 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCAN_XML_SQL = """
 SELECT o_orderstatus,
        COUNT(*) AS n_orders,
-       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+       CAST(ROUND(SUM(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,4))), 2) AS DOUBLE)
            AS sum_price,
        MIN(o_orderkey) AS min_key,
        MAX(o_orderkey) AS max_key

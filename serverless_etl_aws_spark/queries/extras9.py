@@ -100,7 +100,7 @@ def win_frame_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("""
         SELECT o_orderkey, o_orderpriority,
                CAST(o_orderdate AS DATE) AS od,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w
+               CAST(SUM(CAST(CASE WHEN o_totalprice - (o_totalprice) = 0 THEN o_totalprice END AS DECIMAL(18,4))) OVER w
                     AS DOUBLE) AS trailing_sum,
                CAST(COUNT(*) OVER w AS BIGINT) AS trailing_n
         FROM orders_wfrt
@@ -114,7 +114,7 @@ def win_frame_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 WIN_FRAME_RANGE_TIME_SQL = """
 SELECT o_orderkey, o_orderpriority,
        strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS od,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+       CAST(SUM(CAST(CASE WHEN o_totalprice - (o_totalprice) = 0 THEN o_totalprice END AS DECIMAL(18,4))) OVER w AS DOUBLE)
            AS trailing_sum,
        CAST(COUNT(*) OVER w AS BIGINT) AS trailing_n
 FROM orders

@@ -183,7 +183,13 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi shuffle join with ~2× left duplication. DuckDB's IEJoin oracle
     checks the same semantics declaratively.
     """
-    ev = t(spark, sf_dir, "events")
+    # finite values only: a non-finite value has no band bucket (ANSI
+    # floor of ±Inf overflows LONG loudly, NaN fabricates bucket 0) and
+    # can never satisfy the BETWEEN residual — the oracle mirrors with
+    # isfinite(value) in both side filters.
+    ev = t(spark, sf_dir, "events").filter(
+        ~F.isnan("value") & (F.abs("value") != float("inf"))
+    )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("value").alias("purchase_value"),
@@ -218,8 +224,8 @@ SELECT p.event_id AS purchase_id,
        e.event_id AS error_id,
        p.value AS purchase_value,
        e.value AS error_value
-FROM (SELECT * FROM events WHERE event_type = 'purchase' AND value IS NOT NULL) p
-JOIN (SELECT * FROM events WHERE event_type = 'error' AND value IS NOT NULL) e
+FROM (SELECT * FROM events WHERE event_type = 'purchase' AND value IS NOT NULL AND isfinite(value)) p
+JOIN (SELECT * FROM events WHERE event_type = 'error' AND value IS NOT NULL AND isfinite(value)) e
   ON e.value BETWEEN p.value - {RANGE_BAND} AND p.value
 """
 

@@ -205,7 +205,9 @@ ROLLUP_SQL = """
 SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date,
        event_type,
        COUNT(*) AS event_count,
-       CAST(ROUND(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,4))), 2)
+       CAST(ROUND(SUM(CAST(CASE WHEN isfinite(COALESCE(value, 0.0))
+                            THEN COALESCE(value, 0.0) END
+                       AS DECIMAL(18,4))), 2)
             AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
@@ -286,7 +288,9 @@ ROLLUP_UPSERT_SQL = """
 SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date,
        event_type,
        COUNT(*) AS event_count,
-       CAST(ROUND(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,4))), 2)
+       CAST(ROUND(SUM(CAST(CASE WHEN isfinite(COALESCE(value, 0.0))
+                            THEN COALESCE(value, 0.0) END
+                       AS DECIMAL(18,4))), 2)
             AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2

@@ -97,7 +97,7 @@ def fn_math_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FN_MATH_SQL = """
 SELECT l_orderkey, l_linenumber,
-       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4))
+       CAST(ROUND(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,4))
                   * CAST(0.9 AS DECIMAL(3,2)), 2) AS DOUBLE) AS discounted_90,
        ABS(l_discount - 0.05) AS disc_dev,
        CASE WHEN l_quantity > 40 THEN 'bulk'

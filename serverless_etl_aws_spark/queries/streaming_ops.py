@@ -195,7 +195,9 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_JOIN_SQL = """
 SELECT v.stage,
        COUNT(*) AS event_count,
-       CAST(ROUND(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,4))), 2)
+       CAST(ROUND(SUM(CAST(CASE WHEN isfinite(COALESCE(value, 0.0))
+                               THEN COALESCE(value, 0.0) END
+                          AS DECIMAL(18,4))), 2)
             AS DOUBLE) AS sum_value
 FROM events e
 JOIN (VALUES ('click', 'engage'), ('view', 'engage'),
@@ -238,7 +240,10 @@ WITH e AS (
     -- keeps the dividend's sign (-5 % 2 = -1), silently dropping
     -- negative odd ids from BOTH batches (round-10 negative-ids sweep)
     SELECT user_id, ((event_id % 2) + 2) % 2 AS b, event_type,
-           CAST(FLOOR(COALESCE(value, 0.0) * 100.0 + 0.5) AS BIGINT)
+           -- non-finite ≡ NULL ≡ 0 cents (mirrors the engine's
+           -- np.isfinite mask in streaming/stateful.py)
+           CAST(FLOOR(COALESCE(CASE WHEN isfinite(value) THEN value END,
+                               0.0) * 100.0 + 0.5) AS BIGINT)
              AS cents
     FROM events
 ), r1 AS (

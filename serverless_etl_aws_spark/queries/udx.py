@@ -79,8 +79,15 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         # denominator only when the quantity is NULL; an all-NULL sum is
         # NULL, not 0. (A plain .astype("int64") crashed on the first
         # fixture that carried NULL measures.)
+        import numpy as np
+
+        # Non-finite measures carry no exact cents (the float-specials
+        # contract, _util): mask NaN/±Inf to NA like SQL NULL — Inf
+        # would otherwise crash the int64 cast, NaN fabricate garbage.
         price_c = (pdf["l_extendedprice"] * 100).round()
+        price_c = price_c.where(np.isfinite(price_c))
         qty_c = (pdf["l_quantity"] * 100).round()
+        qty_c = qty_c.where(np.isfinite(qty_c))
         pair = price_c.notna() & qty_c.notna()
         qmask = qty_c.notna()
         num = (
@@ -111,11 +118,18 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 UDAF_GROUPED_SQL = """
 SELECT l_returnflag,
-       floor(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                      * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
-             / CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+       floor(CAST(SUM(CAST(CASE WHEN isfinite(l_extendedprice)
+                                THEN ROUND(l_extendedprice * 100) END AS BIGINT)
+                      * CAST(CASE WHEN isfinite(l_quantity)
+                                  THEN ROUND(l_quantity * 100) END AS BIGINT))
+                  AS DOUBLE)
+             / CAST(SUM(CAST(CASE WHEN isfinite(l_quantity)
+                                  THEN ROUND(l_quantity * 100) END AS BIGINT))
+                    AS DOUBLE)
              / 100.0 * 100.0) / 100.0 AS weighted_avg_price,
-       floor(CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+       floor(CAST(SUM(CAST(CASE WHEN isfinite(l_quantity)
+                                THEN ROUND(l_quantity * 100) END AS BIGINT))
+                  AS DOUBLE)
              / 100.0 * 100.0) / 100.0 AS total_qty
 FROM lineitem
 GROUP BY l_returnflag
@@ -181,10 +195,14 @@ def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
-        booked_c = int((odf["o_totalprice"] * 100).round().sum()) if len(odf) else 0
-        shipped_c = (
-            int((ldf["l_extendedprice"] * 100).round().sum()) if len(ldf) else 0
-        )
+        import numpy as np
+
+        # non-finite cents are "no value" (float-specials contract) —
+        # skipped exactly like SQL NULL; the oracle CASEs them out
+        bc = (odf["o_totalprice"] * 100).round()
+        booked_c = int(bc[np.isfinite(bc)].sum()) if len(odf) else 0
+        sc = (ldf["l_extendedprice"] * 100).round()
+        shipped_c = int(sc[np.isfinite(sc)].sum()) if len(ldf) else 0
         return pd.DataFrame(
             {
                 "month": [key[0]],
@@ -212,12 +230,16 @@ UDF_COGROUPED_SQL = """
 WITH o AS (
     SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
            COUNT(*) AS n_orders,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS booked_c
+           SUM(CAST(CASE WHEN isfinite(o_totalprice)
+                         THEN ROUND(o_totalprice * 100) END AS BIGINT))
+             AS booked_c
     FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
 ), l AS (
     SELECT strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m') AS month,
            COUNT(*) AS n_lines,
-           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS shipped_c
+           SUM(CAST(CASE WHEN isfinite(l_extendedprice)
+                         THEN ROUND(l_extendedprice * 100) END AS BIGINT))
+             AS shipped_c
     FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1
 )
 SELECT COALESCE(o.month, l.month) AS month,

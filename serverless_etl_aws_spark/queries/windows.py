@@ -97,7 +97,7 @@ def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WIN_FRAME_SQL = """
 SELECT o_custkey, o_orderkey,
-       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+       CAST(ROUND(SUM(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,4))) OVER (
            PARTITION BY o_custkey
            ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST
            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
@@ -125,7 +125,7 @@ def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WIN_RUNNING_SQL = """
 SELECT o_custkey, o_orderkey,
-       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+       CAST(ROUND(SUM(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,4))) OVER (
            PARTITION BY o_custkey
            ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
@@ -170,7 +170,7 @@ FROM (
                               ORDER BY rev_dec DESC, p_partkey) AS rn
     FROM (
         SELECT p_brand, p_partkey,
-               SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev_dec
+               SUM(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,4))) AS rev_dec
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand, p_partkey
     )

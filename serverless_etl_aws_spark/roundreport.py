@@ -59,8 +59,16 @@ def registry_section() -> dict[str, Any]:
     }
 
 
-def correctness_section(root: str) -> dict[str, Any]:
-    n = _latest_round(root)
+def correctness_section(
+    root: str, driver_round: int | None = None
+) -> dict[str, Any]:
+    """Summarize the driver's CORRECTNESS rows. ``driver_round`` pins
+    WHICH round's file to read (VERDICT r10 #5): REPORT_r{N} is
+    normally generated before the driver writes CORRECTNESS_r{N}, so
+    the default (latest on disk) lags one round — the round checklist
+    re-renders the previous round's report with an explicit
+    ``--driver-round`` once its driver rows exist."""
+    n = driver_round if driver_round is not None else _latest_round(root)
     if n == 0:
         return {"available": False}
     path = os.path.join(root, f"CORRECTNESS_r{n:02d}.json")
@@ -102,6 +110,19 @@ def bench_section(root: str) -> dict[str, Any]:
         w = v.get("warm", -1.0)
         if w > worst_warm:
             worst_key, worst_warm = k, w
+    # Wobble summary over the median-of-3 block (VERDICT r10 #4): the
+    # max absolute and max relative spread across the contract keys, so
+    # a round-over-round bench diff states its own noise floor.
+    pks = d.get("per_key_spread", {})
+    max_spread_key, max_spread = None, 0.0
+    max_rel_key, max_rel = None, 0.0
+    for k, v in pks.items():
+        if v.get("spread", 0.0) > max_spread:
+            max_spread_key, max_spread = k, v["spread"]
+        med = v.get("median") or 0.0
+        rel = (v.get("spread", 0.0) / med) if med > 0 else 0.0
+        if rel > max_rel:
+            max_rel_key, max_rel = k, round(rel, 3)
     return {
         "available": True,
         "sf": d.get("sf"),
@@ -113,6 +134,11 @@ def bench_section(root: str) -> dict[str, Any]:
         "worst_warm_key": worst_key,
         "worst_warm_sec": worst_warm,
         "n_with_spread": sum(1 for v in queries.values() if "spread" in v),
+        "n_median3_keys": len(pks),
+        "max_spread_key": max_spread_key,
+        "max_spread_sec": max_spread,
+        "max_rel_spread_key": max_rel_key,
+        "max_rel_spread": max_rel,
     }
 
 
@@ -354,18 +380,40 @@ def build_report(
     root: str = REPO_ROOT,
     round_num: int | None = None,
     sweep_sf: str | None = "/root/testdata/sf0.001",
+    driver_round: int | None = None,
 ) -> dict[str, Any]:
     n = round_num if round_num is not None else _latest_round(root) + 1
+    corr = correctness_section(root, driver_round)
+    if corr.get("available") and corr.get("driver_round", n) < n:
+        # The driver writes CORRECTNESS_r{n} AFTER this session ends, so
+        # a report generated in-round can only cite the previous round's
+        # rows. The re-render command makes the refresh mechanical.
+        corr["lag_note"] = (
+            f"CORRECTNESS_r{n:02d}.json does not exist yet (the driver "
+            f"writes it after the session); re-render next round with "
+            f"`python -m serverless_etl_aws_spark report --round {n} "
+            f"--driver-round {n} --no-sweep` to refresh this block"
+        )
     report: dict[str, Any] = {
         "round": n,
         "registry": registry_section(),
-        "correctness_driver": correctness_section(root),
+        "correctness_driver": corr,
         "bench": bench_section(root),
         "scaling": scaling_section(root),
         "verification_matrix": matrix_section(root),
     }
     if sweep_sf:
         report["sweep_local"] = sweep_section(sweep_sf)
+    else:
+        # A --no-sweep re-render (the --driver-round refresh path) must
+        # not erase the round's recorded sweep: carry the existing
+        # block forward from the on-disk report.
+        prior = os.path.join(root, f"REPORT_r{n:02d}.json")
+        if os.path.exists(prior):
+            with open(prior) as f:
+                old = json.load(f)
+            if "sweep_local" in old:
+                report["sweep_local"] = old["sweep_local"]
     return report
 
 
@@ -470,8 +518,9 @@ def write_report(
     root: str = REPO_ROOT,
     round_num: int | None = None,
     sweep_sf: str | None = "/root/testdata/sf0.001",
+    driver_round: int | None = None,
 ) -> str:
-    report = build_report(root, round_num, sweep_sf)
+    report = build_report(root, round_num, sweep_sf, driver_round)
     path = os.path.join(root, f"REPORT_r{report['round']:02d}.json")
     tmp = path + ".tmp"
     with open(tmp, "w") as f:

@@ -53,7 +53,11 @@ def _update(
         # (pandas pairwise vs SQL sequential), which can straddle a
         # rounding boundary. State carries cents; /100.0 only at emit
         # (bigint→double division, again bit-identical cross-engine).
+        # Non-finite values carry no cents (float-specials contract):
+        # treated exactly like NULL → 0, BEFORE the int64 cast (numpy's
+        # NaN→int cast is platform-defined garbage, Inf overflows).
         v = pdf["value"].fillna(0.0).to_numpy(dtype="float64")
+        v = np.where(np.isfinite(v), v, 0.0)
         total_cents += int(
             np.floor(v * 100.0 + 0.5).astype("int64").sum()
         )

@@ -112,6 +112,41 @@ sign-of-modulo bug classes on first run (all fixed):
   as literal vec_id 0 (now the id-space-invariant MINIMUM vec_id).
 * **giant + empty documents** (``test_bigdoc_drift_parity``) — a
   200 KB doc and a 0-char doc appended: per-doc caps hold, clean.
+
+Round 11 probed and pinned a FIFTEENTH axis, which caught the largest
+single haul of any axis — 77 keys in SIX real divergence classes (all
+fixed; the VERDICT r10 directive #3 probe):
+
+* **float specials** (``test_floatspec_drift_parity``) — a seeded 3%
+  of every FLOAT measure column replaced with NaN (2%) / +Inf (0.5%) /
+  -Inf (0.5%). The pinned contract (documented in queries/_util.py):
+  **non-finite measures have no exact value — the decimal discipline
+  and quantization map them to NULL on both engines, and rank/bucket/
+  band operators exclude them from the relation** ("no value on the
+  measure axis", the NULL-timestamp convention's measure twin). The
+  six classes, by mechanism: (1) DuckDB's double→DECIMAL cast THROWS
+  on non-finite where Spark's ANSI cast silently yields NULL — ~60
+  oracles gained ``CASE WHEN isfinite(x) THEN x END`` (sql_fin;
+  sql_dsum/sql_davg/SQL_REVENUE_DEC centrally); (2) Spark's ANSI
+  ``floor()`` returns LONG and silently FABRICATES 0 from NaN and ±2⁶³
+  from ±Inf (the worst class: wrong number, no error) where DuckDB's
+  double floor propagates — fquant() now guards non-finite to NULL,
+  and every floor-bucket key (histogram, KS, the ml_* label family,
+  join_range's band bucket) excludes non-finite rows with mirrored
+  isfinite WHEREs; (3) NULL-rank drift: dec() turning NaN into NULL
+  put NULLs into rank windows where Spark orders NULLS FIRST and
+  DuckDB NULLS LAST (median_ci / weighted_median / iqr_outliers) —
+  excluded, same mirror; (4) pandas-UDF int casts: numpy's NaN→int64
+  cast is platform garbage and Inf overflows (udaf_grouped,
+  udf_cogrouped, stream_stateful's cent accounting) — np.isfinite
+  masks, oracle CASEs; (5) Derby's JDBC layer REJECTS non-finite
+  DOUBLEs (ERROR 22003) — scan_jdbc's export normalizes them to NULL,
+  the standard warehouse-sync posture; (6) dual-dialect SQL strings
+  (spark.sql + DuckDB oracle share the text) can't use ``isfinite`` —
+  they carry the portable ``x - x = 0`` finite test instead (false for
+  NaN and ±Inf in both engines). agg_skew_kurt's domain guard now
+  fires only on FINITE out-of-range values (non-finite is "no value",
+  not a domain violation).
 """
 
 from __future__ import annotations
@@ -717,6 +752,71 @@ def test_bigdoc_drift_parity(spark, bigdoc_sf_dir, key):
     q = REGISTRY[key]
     result = compare(
         key, q.fn(spark, bigdoc_sf_dir), q.sql, bigdoc_sf_dir,
+        strict=True,
+    )
+    assert result.ok, (
+        f"{key}: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )
+
+
+#: Float measure columns for the float-specials axis (p_size is int —
+#: NaN/Inf are unrepresentable there; every other MEASURES column is
+#: double).
+FLOAT_MEASURES = {
+    t: [c for c in cols if not (t == "part" and c == "p_size")]
+    for t, cols in MEASURES.items()
+}
+
+
+@pytest.fixture(scope="session")
+def floatspec_sf_dir(tmp_path_factory) -> str:
+    """A seeded 3% of every float measure replaced with specials: 2%
+    NaN, 0.5% +Inf, 0.5% -Inf (PKs, timestamps, categoricals intact)."""
+    import math
+
+    import numpy as np
+
+    dst = str(tmp_path_factory.mktemp("floatspecfix"))
+    for f in os.listdir(SRC):
+        if not f.endswith(".parquet"):
+            continue
+        name = f[:-8]
+        src_path = os.path.join(SRC, f)
+        if name not in FLOAT_MEASURES:
+            shutil.copy(src_path, os.path.join(dst, f))
+            continue
+        tbl = pq.read_table(src_path)
+        for off, col in enumerate(FLOAT_MEASURES[name]):
+            rng = np.random.default_rng(4242 + sum(name.encode()) + off)
+            idx = tbl.schema.get_field_index(col)
+            field = tbl.schema.field(col)
+            vals = tbl[col].to_pylist()
+            r = rng.random(len(vals))
+            out = []
+            for v, p in zip(vals, r):
+                if v is None:
+                    out.append(None)
+                elif p < 0.02:
+                    out.append(math.nan)
+                elif p < 0.025:
+                    out.append(math.inf)
+                elif p < 0.03:
+                    out.append(-math.inf)
+                else:
+                    out.append(v)
+            tbl = tbl.set_column(
+                idx, field, pa.array(out, type=field.type)
+            )
+        pq.write_table(tbl, os.path.join(dst, f))
+    return dst
+
+
+@pytest.mark.parametrize("key", sorted(REGISTRY))
+def test_floatspec_drift_parity(spark, floatspec_sf_dir, key):
+    q = REGISTRY[key]
+    result = compare(
+        key, q.fn(spark, floatspec_sf_dir), q.sql, floatspec_sf_dir,
         strict=True,
     )
     assert result.ok, (
