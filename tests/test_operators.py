@@ -1009,3 +1009,44 @@ def test_skew_kurt_guard_fires_on_post_quantization_boundary(spark, tmp_path):
     ok = tmp_path / "inside"
     write_events(ok, 99999.99994)  # rounds to 99999.9999 — representable
     assert agg_skew_kurt(spark, str(ok)).count() == 1
+
+
+def test_float_specials_engine_assumptions(spark):
+    """The float-specials contract (queries/_util.py) rests on two
+    measured Spark behaviors — pin them so an upstream change (e.g. a
+    future ANSI mode making the decimal cast throw, or floor changing
+    its non-finite result) fails HERE with the contract named, not as
+    50 scattered oracle mismatches.
+
+    1. ANSI CAST(double AS DECIMAL) yields NULL for NaN/±Inf (this is
+       what makes the engine side of 'non-finite → NULL' free);
+    2. ANSI floor() silently returns 0 for NaN and ±2^63 for ±Inf —
+       the fabrication fquant() exists to guard against;
+    3. fquant() itself maps non-finite to NULL and is identity-ish on
+       finite values."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from serverless_etl_aws_spark.queries._util import fin, fquant
+
+    df = spark.createDataFrame(
+        [(math.nan,), (math.inf,), (-math.inf,), (1.25,), (None,)],
+        "x double",
+    )
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+
+    dec_vals = [r.d for r in df.select(
+        F.col("x").cast("decimal(18,4)").alias("d")).collect()]
+    assert dec_vals[:3] == [None, None, None], dec_vals
+    assert float(dec_vals[3]) == 1.25 and dec_vals[4] is None
+
+    floor_vals = [r.f for r in df.select(F.floor("x").alias("f")).collect()]
+    assert floor_vals[0] == 0, "floor(NaN) no longer fabricates 0"
+    assert floor_vals[1] == 2**63 - 1 and floor_vals[2] == -(2**63)
+
+    fq = [r.q for r in df.select(fquant(F.col("x"), 2).alias("q")).collect()]
+    assert fq == [None, None, None, 1.25, None], fq
+
+    fn = [r.v for r in df.select(fin("x").alias("v")).collect()]
+    assert fn[:3] == [None, None, None] and fn[3] == 1.25 and fn[4] is None
