@@ -71,6 +71,30 @@ def sql_fin(expr: str) -> str:
     return f"CASE WHEN isfinite({expr}) THEN {expr} END"
 
 
+def vec_finite(col: str | Column = "embedding") -> Column:
+    """A vector containing ANY non-finite component is not a valid
+    embedding — the vector twin of the scalar float-specials contract:
+    one NaN poisons every dot product it touches (cosine → NaN →
+    engine-specific top-k placement), an Inf overflows scaled-integer
+    centroid sums. Rows with a poisoned vector are EXCLUDED from
+    similarity/quantize/centroid relations; NULL vectors keep their
+    existing per-key NULL handling (this predicate passes them
+    through). Oracle mirror: :func:`sql_vec_finite`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNull() | F.forall(
+        c, lambda x: ~F.isnan(x) & (F.abs(x) != float("inf"))
+    )
+
+
+def sql_vec_finite(expr: str = "embedding") -> str:
+    """DuckDB mirror of :func:`vec_finite` (list_filter counts the
+    non-finite components; NULL lists pass through)."""
+    return (
+        f"({expr} IS NULL OR len(list_filter({expr},"
+        f" x -> NOT isfinite(x))) = 0)"
+    )
+
+
 def dsum(col: str | Column, scale: int = 2) -> Column:
     """Exact decimal sum, rounded IN DECIMAL, then cast to double.
 

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import Query
-from ._util import dsum, fquant, sql_dsum, t
+from ._util import vec_finite, dsum, fquant, sql_dsum, t
 
 # ------------------------------------------------- scan_atomic_table
 
@@ -183,7 +183,8 @@ def ml_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one map pass, JVM zip_with/aggregate lambdas per output dim
     (sequential fold = identical IEEE order cross-engine), no shuffle at
     all."""
-    emb = t(spark, sf_dir, "embeddings").select(
+    # poisoned-vector exclusion (float-specials contract, _util.vec_finite)
+    emb = t(spark, sf_dir, "embeddings").filter(vec_finite()).select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
@@ -218,7 +219,7 @@ def _rp_sql() -> str:
         )
     return (
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
-        "FROM embeddings) SELECT vec_id, " + ", ".join(cols) + " FROM e"
+        "FROM embeddings WHERE (embedding IS NULL OR len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0)) SELECT vec_id, " + ", ".join(cols) + " FROM e"
     )
 
 

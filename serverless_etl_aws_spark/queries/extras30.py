@@ -159,8 +159,16 @@ def dq_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(embedding, x -> cast(x as double))"
         ).alias("v"),
     )
+    # The audit REPORTS poisoned vectors (n_nonfinite) instead of
+    # excluding them, so the norm must be computable in their presence:
+    # it sums the FINITE components only (an Inf² would overflow the
+    # scaled-integer sum loudly; NaN would poison it silently). Oracle
+    # mirrors with list_filter(isfinite) + COALESCE(…, 0) for the
+    # all-poisoned vector whose filtered list is empty (Spark's fold
+    # seed is 0).
     norm2_s = F.expr(
-        "aggregate(v, cast(0 as bigint), "
+        "aggregate(filter(v, x -> not (isnan(x) or "
+        "abs(x) = cast('Infinity' as double))), cast(0 as bigint), "
         "(acc, x) -> acc + cast(floor(x * x * 1e12) as bigint))"
     )
     n_nonfinite = F.expr(
@@ -203,9 +211,10 @@ DQ_EMBEDDING_AUDIT_SQL = f"""
 WITH staged AS (
     SELECT label,
            len(embedding) AS dim,
-           list_sum(list_transform(embedding,
+           COALESCE(list_sum(list_transform(
+             list_filter(embedding, x -> isfinite(CAST(x AS DOUBLE))),
              x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-                             * 1e12) AS BIGINT))) AS norm2_s,
+                             * 1e12) AS BIGINT))), 0) AS norm2_s,
            len(list_filter(embedding,
              x -> isnan(CAST(x AS DOUBLE))
                   OR isinf(CAST(x AS DOUBLE)))) AS n_nonfinite

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import Query
-from ._util import dec, fquant, t
+from ._util import vec_finite, dec, fquant, t
 
 # ----------------------------------------------------------------- dq_json_schema
 
@@ -371,7 +371,8 @@ def ml_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one posexplode (64× rows), one (label, dim) collapse, one
     label collapse to 64-element arrays, then a labels²-sized pair
     join — every relation after the first shuffle is label-bounded."""
-    emb = t(spark, sf_dir, "embeddings").select(
+    # poisoned-vector exclusion (float-specials contract, _util.vec_finite)
+    emb = t(spark, sf_dir, "embeddings").filter(vec_finite()).select(
         "label",
         F.expr(
             "transform(embedding, x -> cast(x as double))"
@@ -436,6 +437,7 @@ WITH dims AS (
                       * {CENTROID_SCALE}) AS BIGINT) AS xq
     FROM embeddings,
          LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+    WHERE (embedding IS NULL OR len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0)
 ), per_dim AS (
     SELECT label, dim, SUM(xq) AS sq, COUNT(*) AS nv
     FROM dims GROUP BY 1, 2

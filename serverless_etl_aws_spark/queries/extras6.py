@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import Query
-from ._util import dsum, fquant, fresh_dir, scratch_root, t
+from ._util import vec_finite, dsum, fquant, fresh_dir, scratch_root, t
 
 SCRATCH = scratch_root()
 
@@ -329,7 +329,8 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket dedup."""
     from ..operators.ml import kmeans_assign
 
-    emb = t(spark, sf_dir, "embeddings").selectExpr(
+    # poisoned-vector exclusion (float-specials contract, _util.vec_finite)
+    emb = t(spark, sf_dir, "embeddings").filter(vec_finite()).selectExpr(
         "vec_id", "CAST(embedding AS array<double>) AS v"
     )
     return kmeans_assign(emb, k=KM_K, iters=KM_ITERS)
@@ -378,6 +379,7 @@ m{i} AS (
 ML_KMEANS_SQL = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WHERE (embedding IS NULL OR len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0)
 ), c0 AS (
   SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < {KM_K}
 ),{_km_assign_sql(1, "c0")},{_km_update_sql(1)},{_km_assign_sql(2, "c1")},{_km_update_sql(2)},{_km_assign_sql(3, "c2", final=True)}

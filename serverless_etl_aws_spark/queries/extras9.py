@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import Query
-from ._util import t
+from ._util import vec_finite, t
 
 
 # --------------------------------------------------------- fn_higher_order
@@ -24,7 +24,8 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter, exists, forall, sequential-fold aggregate, zip_with — the
     lambda-expression surface that keeps array work JVM-side (codegen'd)
     instead of exploding rows or crossing into Python."""
-    emb = t(spark, sf_dir, "embeddings").select(
+    # poisoned-vector exclusion (float-specials contract, _util.vec_finite)
+    emb = t(spark, sf_dir, "embeddings").filter(vec_finite()).select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
@@ -57,6 +58,7 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 FN_HIGHER_ORDER_SQL = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WHERE (embedding IS NULL OR len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0)
 ), flags AS (
   SELECT vec_id, v,
          v IS NULL AS vnull,

@@ -26,7 +26,7 @@ from ..operators.text import (
     sql_lang_score,
 )
 from . import Query
-from ._util import fquant, t
+from ._util import vec_finite, fquant, t
 
 # ---------------------------------------------------------------- text ops
 
@@ -538,7 +538,7 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     test are unchanged."""
     from ..operators.dedup import embedding_cosine_pairs
 
-    emb = t(spark, sf_dir, "embeddings").select(
+    emb = t(spark, sf_dir, "embeddings").filter(vec_finite()).select(
         "vec_id", "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
@@ -550,6 +550,7 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 LLM_DEDUP_EMBEDDING_SQL = f"""
 WITH e AS (
     SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WHERE (embedding IS NULL OR len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0)
 )
 SELECT vec_a, vec_b, label, cosine FROM (
     -- cosine computed ONCE in a subquery: DuckDB does not promise CSE
@@ -579,13 +580,15 @@ def _min_vec_id(emb: DataFrame) -> int:
 
 def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 neighbors of the minimum-id vector."""
-    emb = t(spark, sf_dir, "embeddings")
+    # poisoned-vector exclusion (float-specials contract, _util.vec_finite)
+    emb = t(spark, sf_dir, "embeddings").filter(vec_finite())
     return brute_force_topk(emb, probe_vec_id=_min_vec_id(emb), k=10)
 
 
 LLM_SIM_SEARCH_SQL = f"""
 WITH e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings
+    WHERE (embedding IS NULL OR len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0)
 ), p AS (
     SELECT MIN(vec_id) AS pid FROM e
 ), probe AS (
@@ -617,7 +620,7 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.simsearch import corpus_cache_key
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = t(spark, sf_dir, "embeddings").filter(vec_finite())
     return ivf_topk(
         emb, probe_vec_id=_min_vec_id(emb), k=10,
         n_centroids=16, nprobe=12,
@@ -736,7 +739,7 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction op for embedding columns at 100 TB. Scalar outputs only
     (arrays don't hash-compare stably); q_l1 checks the integer codes,
     max_err the dequantization quality."""
-    emb = t(spark, sf_dir, "embeddings").select(
+    emb = t(spark, sf_dir, "embeddings").filter(vec_finite()).select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
@@ -768,6 +771,7 @@ WITH e AS (
            list_max(list_transform(CAST(embedding AS DOUBLE[]),
                                    x -> abs(x))) / 127.0 AS s
     FROM embeddings
+    WHERE (embedding IS NULL OR len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0)
 )
 SELECT vec_id,
        floor(s * 1e9) / 1e9 AS scale_q,

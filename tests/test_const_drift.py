@@ -147,6 +147,25 @@ fixed; the VERDICT r10 directive #3 probe):
   NaN and ±Inf in both engines). agg_skew_kurt's domain guard now
   fires only on FINITE out-of-range values (non-finite is "no value",
   not a domain violation).
+
+A SIXTEENTH axis extends the specials to VECTORS — the scalar axis
+never touches `embeddings.embedding` (`array<float>`), where one NaN
+component poisons every dot product (cosine → NaN → engine-specific
+top-k placement) and one Inf overflows scaled-integer centroid sums:
+
+* **poisoned embedding vectors** (``test_vecspec_drift_parity``) — a
+  seeded 2% of vectors get one NaN component, 0.5% one +Inf, 0.5% one
+  -Inf. First probe caught 11 embedding-family keys (sim-search brute/
+  IVF, knn-join, hard-negatives, embedding dedup, quantize, kmeans,
+  label centroids, random projection, higher-order fns, the embedding
+  audit). Pinned contract (_util.vec_finite / sql_vec_finite): **a
+  vector containing any non-finite component is not a valid embedding
+  — excluded from similarity/quantize/centroid relations** (NULL
+  vectors keep their existing per-key handling); the one exception is
+  ``dq_embedding_audit``, whose JOB is to report poisoned vectors — it
+  keeps the rows, counts them in `n_nonfinite`, and computes norms
+  over the finite components only (COALESCE(…, 0) mirrors Spark's
+  0-seeded fold for the all-poisoned vector).
 """
 
 from __future__ import annotations
@@ -817,6 +836,60 @@ def test_floatspec_drift_parity(spark, floatspec_sf_dir, key):
     q = REGISTRY[key]
     result = compare(
         key, q.fn(spark, floatspec_sf_dir), q.sql, floatspec_sf_dir,
+        strict=True,
+    )
+    assert result.ok, (
+        f"{key}: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )
+
+
+@pytest.fixture(scope="session")
+def vecspec_sf_dir(tmp_path_factory) -> str:
+    """A seeded 2% of embedding vectors get one NaN component, 0.5% one
+    +Inf, 0.5% one -Inf (all other tables untouched)."""
+    import math
+
+    import numpy as np
+
+    dst = str(tmp_path_factory.mktemp("vecspecfix"))
+    for f in os.listdir(SRC):
+        if not f.endswith(".parquet"):
+            continue
+        if f != "embeddings.parquet":
+            shutil.copy(os.path.join(SRC, f), os.path.join(dst, f))
+            continue
+        tbl = pq.read_table(os.path.join(SRC, f))
+        vecs = tbl["embedding"].to_pylist()
+        rng = np.random.default_rng(777)
+        r = rng.random(len(vecs))
+        pos = rng.integers(0, 10**9, len(vecs))
+        out = []
+        for v, p, k in zip(vecs, r, pos):
+            if v is None or not v:
+                out.append(v)
+                continue
+            v = list(v)
+            j = int(k) % len(v)
+            if p < 0.02:
+                v[j] = math.nan
+            elif p < 0.025:
+                v[j] = math.inf
+            elif p < 0.03:
+                v[j] = -math.inf
+            out.append(v)
+        idx = tbl.schema.get_field_index("embedding")
+        field = tbl.schema.field("embedding")
+        tbl = tbl.set_column(idx, field, pa.array(out, type=field.type))
+        pq.write_table(tbl, os.path.join(dst, f))
+    return dst
+
+
+@pytest.mark.parametrize("key", sorted(REGISTRY))
+def test_vecspec_drift_parity(spark, vecspec_sf_dir, key):
+    q = REGISTRY[key]
+    result = compare(
+        key, q.fn(spark, vecspec_sf_dir), q.sql, vecspec_sf_dir,
         strict=True,
     )
     assert result.ok, (
