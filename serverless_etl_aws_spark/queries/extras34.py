@@ -50,13 +50,28 @@ def dq_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-null row total is a window over the keys-sized relation."""
     ev = t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
     # from_json to map + explode yields (key, value) pairs natively —
-    # get_json_object can't take a per-row path (literal-only)
-    kv = ev.select(
-        F.explode(
-            F.from_json(F.col("props"), "map<string,string>")
-        ).alias("k", "val"),
+    # get_json_object can't take a per-row path (literal-only).
+    # Malformed-JSON hardening (round-11 probe): rows whose props don't
+    # parse contribute to n_json_rows but no keys (from_json → NULL map
+    # ↔ oracle json_valid guard); DUPLICATE keys make the value
+    # ambiguous (Spark's map keeps the LAST occurrence, DuckDB's
+    # json_extract_string the FIRST) so such rows keep key presence but
+    # their values are excluded from the type stats on both engines;
+    # the integer parse is gated on an integral regex because DuckDB's
+    # TRY_CAST ROUNDS '3.5' to 4 where Spark's try_cast nulls it.
+    parsed = ev.select(
+        F.from_json(F.col("props"), "map<string,string>").alias("m"),
+        F.json_object_keys(F.col("props")).alias("jk"),
+    ).filter(F.col("m").isNotNull())
+    kv = parsed.select(
+        (F.size("jk") != F.size(F.map_keys("m"))).alias("hasdup"),
+        F.explode("m").alias("k", "val"),
     )
-    ival = F.col("val").try_cast("long")
+    ival = F.when(
+        ~F.col("hasdup")
+        & F.col("val").rlike(r"\A-?[0-9]{1,18}\z"),
+        F.col("val").cast("long"),
+    )
     per = kv.select("k", ival.alias("iv")).groupBy("k").agg(
         F.count(F.lit(1)).alias("present"),
         F.sum(
@@ -85,11 +100,17 @@ DQ_JSON_SCHEMA_SQL = """
 WITH ev AS (
     SELECT props FROM events WHERE props IS NOT NULL
 ), keys_ AS (
-    SELECT unnest(json_keys(props)) AS k, props FROM ev
+    SELECT unnest(list_distinct(json_keys(props))) AS k, props,
+           len(json_keys(props)) != len(list_distinct(json_keys(props)))
+             AS hasdup
+    FROM ev WHERE json_valid(props)
 ), vals AS (
     SELECT k,
-           TRY_CAST(json_extract_string(props, '$.' || k) AS BIGINT)
-             AS iv
+           TRY_CAST(CASE WHEN NOT hasdup AND regexp_full_match(
+                           json_extract_string(props, '$.' || k),
+                           '-?[0-9]{1,18}')
+                    THEN json_extract_string(props, '$.' || k) END
+                    AS BIGINT) AS iv
     FROM keys_
 ), per AS (
     SELECT k,

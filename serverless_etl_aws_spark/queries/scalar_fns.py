@@ -146,11 +146,16 @@ WITH x AS (
   FROM events
 )
 SELECT event_id, event_type,
-       CAST(k_str AS INTEGER) AS prop_k
+       TRY_CAST(k_str AS INTEGER) AS prop_k
 FROM x
 WHERE regexp_full_match(k_str, '-?[0-9]{1,9}')
-  AND CAST(k_str AS INTEGER) > 50
+  AND TRY_CAST(k_str AS INTEGER) > 50
 """
+# TRY_CAST, not CAST: DuckDB gives WHERE conjuncts no evaluation order,
+# so a hard CAST could run on a k_str the regexp predicate rejects
+# (a 19-digit integral overflows INT32 with a loud ConversionException
+# — malformed-JSON probe, round 11). On regexp-passing strings TRY_CAST
+# and CAST are identical, so the base path is unchanged.
 
 
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -166,6 +166,26 @@ top-k placement) and one Inf overflows scaled-integer centroid sums:
   keeps the rows, counts them in `n_nonfinite`, and computes norms
   over the finite components only (COALESCE(…, 0) mirrors Spark's
   0-seeded fold for the all-poisoned vector).
+
+A SEVENTEENTH axis probes the semi-structured column the measure axes
+never touch — malformed JSON in ``events.props``:
+
+* **malformed JSON props** (``test_jsonspec_drift_parity``) — a seeded
+  3% of props replaced with 20 malformation variants (empty/whitespace,
+  truncated objects, arrays, bare ``null``, duplicate keys, >int64 and
+  1e309 numbers, '3.5', unicode-escaped keys, deep nesting). First
+  probe caught 2 keys: ``fn_json``'s oracle hard-CAST a 19-digit
+  integral in a WHERE conjunct DuckDB may evaluate before the guarding
+  regexp (no conjunct ordering — now TRY_CAST, identical to CAST on
+  every regexp-passing string), and ``dq_json_schema`` hit three
+  divergences at once: DuckDB ``json_keys`` errors on invalid JSON
+  where Spark ``from_json`` nulls (→ json_valid guard, n_json_rows
+  still counts unparseable non-null rows on both engines), DUPLICATE
+  keys are last-wins in Spark's map but first-wins in DuckDB's extract
+  (→ presence counts dedup'd keys, values of duplicate-key objects are
+  excluded from type stats on both engines), and DuckDB ``TRY_CAST``
+  ROUNDS '3.5' to 4 where Spark's ``try_cast`` nulls it (→ both sides
+  gate the integer parse on an integral regex).
 """
 
 from __future__ import annotations
@@ -890,6 +910,58 @@ def test_vecspec_drift_parity(spark, vecspec_sf_dir, key):
     q = REGISTRY[key]
     result = compare(
         key, q.fn(spark, vecspec_sf_dir), q.sql, vecspec_sf_dir,
+        strict=True,
+    )
+    assert result.ok, (
+        f"{key}: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )
+
+
+#: 20 malformation variants for the JSON axis — parse failures, type
+#: surprises, numeric extremes, duplicate keys, structural oddities.
+JSON_BAD = [
+    "", "   ", "not json", '{"k": 1', '{"k": }', "[1, 2, 3]",
+    '{"k": 1e309}', '{"k": "1"}', '{"K": 5}', '{"k": 1, "k": 2}',
+    '{"a": {"b": {"c": {"d": 1}}}}', '{"k": null}', '{"k": true}',
+    '{"k": [1,2]}', '{"k": 3.5}', '{"k": -0}',
+    '{"k": 9223372036854775808}', '{"\\u006b": 42}', "null", "{}",
+]
+
+
+@pytest.fixture(scope="session")
+def jsonspec_sf_dir(tmp_path_factory) -> str:
+    """A seeded 3% of events.props replaced with JSON_BAD variants."""
+    import numpy as np
+
+    dst = str(tmp_path_factory.mktemp("jsonspecfix"))
+    for f in os.listdir(SRC):
+        if not f.endswith(".parquet"):
+            continue
+        if f != "events.parquet":
+            shutil.copy(os.path.join(SRC, f), os.path.join(dst, f))
+            continue
+        tbl = pq.read_table(os.path.join(SRC, f))
+        props = tbl["props"].to_pylist()
+        rng = np.random.default_rng(1234)
+        r = rng.random(len(props))
+        pick = rng.integers(0, len(JSON_BAD), len(props))
+        out = [
+            JSON_BAD[int(k)] if (p is not None and q < 0.03) else p
+            for p, q, k in zip(props, r, pick)
+        ]
+        idx = tbl.schema.get_field_index("props")
+        field = tbl.schema.field("props")
+        tbl = tbl.set_column(idx, field, pa.array(out, type=field.type))
+        pq.write_table(tbl, os.path.join(dst, f))
+    return dst
+
+
+@pytest.mark.parametrize("key", sorted(REGISTRY))
+def test_jsonspec_drift_parity(spark, jsonspec_sf_dir, key):
+    q = REGISTRY[key]
+    result = compare(
+        key, q.fn(spark, jsonspec_sf_dir), q.sql, jsonspec_sf_dir,
         strict=True,
     )
     assert result.ok, (
