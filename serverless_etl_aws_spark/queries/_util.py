@@ -117,11 +117,24 @@ def fquant(col: Column, scale: int = 2) -> Column:
     worst failure mode (wrong number, no error). DuckDB's double
     ``floor`` propagates NaN, which the comparator treats as NULL, so
     plain oracle mirrors stay valid for the NaN path; only oracles
-    whose input can reach ±Inf need an explicit isfinite CASE."""
+    whose input can reach ±Inf need an explicit isfinite CASE.
+
+    FINITE-but-huge input also quantizes to NULL: Spark's long floor
+    silently SATURATES at ±2⁶³ (measured: a 2.7e16 kurtosis quantized
+    to exactly 9223372036854.775 — Long.MAX/10⁶ — with no error),
+    where DuckDB's double floor keeps the value. |x·factor| ≥ 9.2e18
+    has no exact quantization, so it is NULL; an oracle whose value
+    can reach that magnitude mirrors with
+    ``CASE WHEN abs(x * F) < 9.2e18 THEN floor(x * F) / F END``
+    (the predicate folds on bit-identical doubles — see
+    agg_skew_kurt, whose near-singular m2 regime hit this)."""
     factor = float(10 ** scale)
+    scaled = col * factor
     return F.when(
-        ~F.isnan(col) & (F.abs(col) != float("inf")),
-        F.floor(col * factor) / factor,
+        ~F.isnan(col)
+        & (F.abs(col) != float("inf"))
+        & (F.abs(scaled) < 9.2e18),
+        F.floor(scaled) / factor,
     )
 
 

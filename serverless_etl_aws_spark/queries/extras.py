@@ -26,12 +26,32 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
     )
-    li.write.mode("overwrite").option("header", True).csv(out)
+    # Lossless string round-trip (hostile-strings axis, round 11):
+    # multiLine=True or an embedded newline silently SPLITS the quoted
+    # row on read (multiLine disables input splitting — at 100 TB
+    # prefer escaping newlines at write or a splittable format; this
+    # key's contract is round-trip fidelity); the \N sentinel keeps
+    # '' distinct from NULL (Spark's default maps both to NULL — data
+    # equal to the literal sentinel is the one inherent CSV caveat);
+    # ignore*WhiteSpace=False on BOTH sides (the writer AND reader trim
+    # by default, silently corrupting edge-whitespace values).
+    (
+        li.write.mode("overwrite")
+        .option("header", True)
+        .option("nullValue", "\\N")
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(out)
+    )
     back = (
         spark.read.schema(
             "l_orderkey long, l_linenumber int, l_returnflag string, l_quantity double"
         )
         .option("header", True)
+        .option("multiLine", True)
+        .option("nullValue", "\\N")
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
         .csv(out)
     )
     return back.groupBy("l_returnflag").agg(

@@ -184,34 +184,59 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AGG_SKEW_KURT_SQL = """
 WITH m AS (
+    -- s1..s4 go decimal→VARCHAR→DOUBLE, not decimal→DOUBLE: DuckDB's
+    -- direct high-scale decimal→double cast is NOT correctly rounded
+    -- (1 ulp off on some scale-12/16 sums — measured), while Spark's
+    -- BigDecimal→double is; strtod on the exact decimal string IS
+    -- correctly rounded, so the round-trip makes both engines'
+    -- doubles bit-identical. A 1-ulp skew here amplifies to ~1e16
+    -- through m4/m2² on near-zero-variance groups (caught by the
+    -- round-11 hostile-strings axis, which creates tiny groups).
     SELECT event_type,
            CAST(COUNT(*) AS DOUBLE) AS n,
-           CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,4))) AS DOUBLE) AS s1,
-           CAST(SUM(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,4))
+           CAST(CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,4))) AS VARCHAR) AS DOUBLE) AS s1,
+           CAST(CAST(SUM(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,4))
                          * CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,4))
-                         AS DECIMAL(19,8))) AS DOUBLE) AS s2,
-           CAST(SUM(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,4))
+                         AS DECIMAL(19,8))) AS VARCHAR) AS DOUBLE) AS s2,
+           CAST(CAST(SUM(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,4))
                          * CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,4))
                          AS DECIMAL(19,8))
-                    * CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,4))) AS DOUBLE) AS s3,
-           CAST(SUM(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,4))
+                    * CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,4))) AS VARCHAR) AS DOUBLE) AS s3,
+           CAST(CAST(SUM(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,4))
                          * CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,4))
                          AS DECIMAL(19,8))
                     * CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,4))
                            * CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,4))
-                           AS DECIMAL(19,8))) AS DOUBLE) AS s4
+                           AS DECIMAL(19,8))) AS VARCHAR) AS DOUBLE) AS s4
     FROM events WHERE value IS NOT NULL AND isfinite(value)
     GROUP BY event_type
 )
 SELECT event_type,
        CAST(n AS BIGINT) AS n_rows,
-       CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0 THEN
+       -- the abs(…·1e6) < 9.2e18 conjunct mirrors fquant's
+       -- quantization-overflow guard: Spark's long floor SATURATES at
+       -- ±2⁶³ where DuckDB's double floor keeps the value (hit by the
+       -- near-singular-variance kurtosis the hostile-strings axis
+       -- creates); both sides NULL the unquantizable statistic
+       CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0
+             AND abs((s3 / n - 3.0 * (s1 / n) * (s2 / n)
+                + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+               / ((s2 / n - (s1 / n) * (s1 / n))
+                  * sqrt(s2 / n - (s1 / n) * (s1 / n)))
+               * 1000000.0) < 9.2e18 THEN
          floor((s3 / n - 3.0 * (s1 / n) * (s2 / n)
                 + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
                / ((s2 / n - (s1 / n) * (s1 / n))
                   * sqrt(s2 / n - (s1 / n) * (s1 / n)))
                * 1000000.0) / 1000000.0 END AS skewness,
-       CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0 THEN
+       CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0
+             AND abs(((s4 / n - 4.0 * (s1 / n) * (s3 / n)
+                 + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                 - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                / ((s2 / n - (s1 / n) * (s1 / n))
+                   * (s2 / n - (s1 / n) * (s1 / n)))
+                - 3.0)
+               * 1000000.0) < 9.2e18 THEN
          floor(((s4 / n - 4.0 * (s1 / n) * (s3 / n)
                  + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
                  - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))

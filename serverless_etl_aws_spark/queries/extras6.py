@@ -205,13 +205,19 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the same components with regexes, so the two
     parsers must agree byte-for-byte."""
     docs = t(spark, sf_dir, "documents")
-    # Sanitize the generator-controlled fields to URI-safe characters
-    # BEFORE building the URL: java.net.URI (behind parse_url) returns a
-    # NULL host for authorities containing '_' and NULLs every component
-    # on a space/non-ASCII char, while the oracle's regexes extract
-    # unconditionally -- a regenerated source like 'common_crawl' would
-    # diverge. The oracle applies the identical sanitizer.
-    safe = lambda c: F.regexp_replace(c, r"[^A-Za-z0-9.-]", "-")  # noqa: E731
+    # Sanitize the generator-controlled fields to a VALID hostname
+    # label BEFORE building the URL: java.net.URI (behind parse_url)
+    # returns a NULL host for authorities containing '_', NULLs every
+    # component on a space/non-ASCII char, and ALSO rejects labels that
+    # start or end with '-' or are empty (hostile-strings axis: a
+    # sanitized "'apos" → '-apos' or 'trailing ' → 'trailing-' NULLed
+    # the host where the oracle's regex extracted it). Three mirrored
+    # steps: charset-replace, trim edge hyphens, empty → 'src'.
+    def safe(c):
+        replaced = F.regexp_replace(c, r"[^A-Za-z0-9]", "-")
+        trimmed = F.regexp_replace(replaced, r"^-+|-+$", "")
+        return F.when(trimmed == "", F.lit("src")).otherwise(trimmed)
+
     url = F.concat(
         F.lit("https://"), safe(F.col("source")),
         F.lit(".example.com/docs/"),
@@ -230,9 +236,21 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
 FN_URL_SQL = """
 WITH u AS (
   SELECT doc_id,
-         'https://' || regexp_replace(source, '[^A-Za-z0-9.-]', '-', 'g')
+         'https://'
+           || CASE WHEN regexp_replace(
+                     regexp_replace(source, '[^A-Za-z0-9]', '-', 'g'),
+                     '^-+|-+$', '', 'g') = '' THEN 'src'
+                   ELSE regexp_replace(
+                     regexp_replace(source, '[^A-Za-z0-9]', '-', 'g'),
+                     '^-+|-+$', '', 'g') END
            || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
-           || '?ref=' || regexp_replace(lang, '[^A-Za-z0-9.-]', '-', 'g')
+           || '?ref='
+           || CASE WHEN regexp_replace(
+                     regexp_replace(lang, '[^A-Za-z0-9]', '-', 'g'),
+                     '^-+|-+$', '', 'g') = '' THEN 'src'
+                   ELSE regexp_replace(
+                     regexp_replace(lang, '[^A-Za-z0-9]', '-', 'g'),
+                     '^-+|-+$', '', 'g') END
            AS url
   FROM documents
 )

@@ -968,3 +968,87 @@ def test_jsonspec_drift_parity(spark, jsonspec_sf_dir, key):
         f"{key}: {result.detail} "
         f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
     )
+
+
+#: Hostile string variants for the 18th axis.
+HOSTILE_STRINGS = [
+    "a,b", 'q"uote', "line\nbreak", "tab\there", "semi;colon",
+    "back\\slash", "<xml>&amp;", "]]>", "emo\U0001F3F3\uFE0F\u200D\U0001F308ji",
+    "zwj\u200dx", "rtl\u05d0\u05d1", "nul\x00byte", "trailing ", " leading",
+    "LONG" * 60, "'apos", "null", "NaN", "", "crlf\r\nline",
+]
+
+#: Columns perturbed by the axis. Partition-feeding columns exclude
+#: the NUL variant (POSIX paths cannot contain \x00) and anything the
+#: 'col=' prefix would push past NAME_MAX — those failure modes are
+#: loud FS errors by design, pinned separately below.
+STR_COLS = {
+    "lineitem": [("l_returnflag", "NO_NUL")],
+    "orders": [("o_orderpriority", "NO_NUL")],
+    "events": [("event_type", "NO_NUL")],
+    "customer": [("c_mktsegment", "ALL")],
+    "documents": [("source", "ALL")],
+}
+
+
+@pytest.fixture(scope="session")
+def strspec_sf_dir(tmp_path_factory) -> str:
+    import numpy as np
+
+    # partition pool: no NUL, and the long variant capped so
+    # 'o_orderpriority=' + value stays under NAME_MAX (255 bytes)
+    no_nul = [
+        ("LONG" * 55) if h == "LONG" * 60 else h
+        for h in HOSTILE_STRINGS if "\x00" not in h
+    ]
+    dst = str(tmp_path_factory.mktemp("strspecfix"))
+    for f in os.listdir(SRC):
+        if not f.endswith(".parquet"):
+            continue
+        name = f[:-8]
+        sp = os.path.join(SRC, f)
+        if name not in STR_COLS:
+            shutil.copy(sp, os.path.join(dst, f))
+            continue
+        tbl = pq.read_table(sp)
+        for off, (col, mode) in enumerate(STR_COLS[name]):
+            pool = no_nul if mode == "NO_NUL" else HOSTILE_STRINGS
+            rng = np.random.default_rng(9001 + sum(name.encode()) + off)
+            idx = tbl.schema.get_field_index(col)
+            field = tbl.schema.field(col)
+            vals = tbl[col].to_pylist()
+            r = rng.random(len(vals))
+            pick = rng.integers(0, len(pool), len(vals))
+            out = [
+                pool[int(k)] if (v is not None and p < 0.03) else v
+                for v, p, k in zip(vals, r, pick)
+            ]
+            tbl = tbl.set_column(idx, field, pa.array(out, type=field.type))
+        pq.write_table(tbl, os.path.join(dst, f))
+    return dst
+
+
+@pytest.mark.parametrize("key", sorted(REGISTRY))
+def test_strspec_drift_parity(spark, strspec_sf_dir, key):
+    q = REGISTRY[key]
+    result = compare(
+        key, q.fn(spark, strspec_sf_dir), q.sql, strspec_sf_dir,
+        strict=True,
+    )
+    assert result.ok, (
+        f"{key}: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )
+
+
+def test_partition_value_nul_fails_loudly(spark, tmp_path):
+    """The contract the 18th axis's NO_NUL carve-out rests on: a NUL
+    byte in a partition-column value CANNOT land on a POSIX filesystem
+    — the write must fail with a loud error, never silently corrupt or
+    drop the row. (Same class: a value whose 'col=' dir name exceeds
+    NAME_MAX.)"""
+    df = spark.createDataFrame([(1, "ok"), (2, "nul\x00byte")], "i int, p string")
+    with pytest.raises(Exception, match="TASK_WRITE_FAILED|Mkdirs|IOException"):
+        df.write.partitionBy("p").mode("overwrite").parquet(
+            str(tmp_path / "nul_part")
+        )
