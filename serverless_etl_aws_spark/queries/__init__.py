@@ -77,9 +77,14 @@ CONTRACT_2B: tuple[str, ...] = (
 # All three green in CORRECTNESS_r10 (rotation record 27/27).
 # round 11: agg_heavy_hitters / llm_dedup_apply / llm_prefix_dedup —
 # named verbatim by the round-10 VERDICT directive #1 (the next
-# un-audited trio in the pre-declared order). All three are oracle-SQL
-# keys, so all three rows should be hash-green.
+# un-audited trio in the pre-declared order). All three oracle-SQL
+# keys hash-passed on first exposure (CORRECTNESS_r11; record 30/30).
+# round 12: llm_ngram_novelty / ts_anomaly_mad / ts_gap_detect — named
+# verbatim by the round-11 VERDICT directive #1 (the next un-audited
+# trio in the pre-declared order). All three are oracle-SQL keys, so
+# all three rows should be hash-green.
 PRIORITY_EXT: tuple[str, ...] = (
+    "llm_ngram_novelty", "ts_anomaly_mad", "ts_gap_detect",
     "agg_heavy_hitters", "llm_dedup_apply", "llm_prefix_dedup",
     "llm_sim_search_ivf", "llm_paragraph_dedup", "llm_bpe_encode",
     "mm_audio_window", "mm_scene_cut", "mm_phash",
@@ -91,8 +96,7 @@ PRIORITY_EXT: tuple[str, ...] = (
     "llm_dedup_ngram", "llm_dedup_cluster", "llm_dedup_simhash",
     # round-5/6 additions not already rotated to the front (robust
     # stats, traversal, lateral decorrelation — all oracle-SQL-checked)
-    "llm_ngram_novelty",
-    "ts_anomaly_mad", "ts_gap_detect", "win_streak", "agg_corr",
+    "win_streak", "agg_corr",
     "join_lateral", "graph_bfs",
     # round-6 fourth wave (weighted sampling, exact mode, rolling
     # median, weekly seasonality — all oracle-SQL-checked)
