@@ -1839,3 +1839,167 @@ def test_salted_join_partitions_on_salt(spark, sf_dir):
     assert any("__salt" in ln for ln in exchanges), (
         "no exchange partitions on the salt — the hot key is not spread"
     )
+
+
+# --------------------------------------------------------------------------
+# Round-12 additions (VERDICT r11 directive #7): the 10 most expensive
+# keys that had no plan-shape assertion. The hash gate catches wrong
+# ANSWERS; only these catch a silently de-optimized PLAN (the r11
+# topk_per_group bench wobble was unadjudicable precisely because no
+# plan pin existed). Strategy-level pins only — node presence/absence
+# and key columns, never exact node counts AQE may legitimately change.
+
+
+def test_topk_partial_window_group_limit(spark, sf_dir):
+    """topk_per_group must keep the scale-correct shape: part dim
+    broadcast, partial aggregation before the shuffle, and Spark's
+    rank-limit pushdown (WindowGroupLimit Partial) BEFORE the window
+    exchange so each map task ships at most k rows per group. Also pins
+    the r12 adjudication of the r11 bench wobble: this plan is the one
+    the byte-identical-since-r10 code produces."""
+    from serverless_etl_aws_spark.queries.windows import topk_per_group
+
+    plan = plan_of(topk_per_group(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # map-side combine
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("WindowGroupLimit")[-1].split("\n")[0], (
+        "rank-limit pushdown lost its partial (pre-shuffle) stage"
+    )
+    fmt = formatted(topk_per_group(spark, sf_dir))
+    li_schema = [
+        ln for ln in fmt.splitlines() if "ReadSchema" in ln and "l_partkey" in ln
+    ]
+    assert li_schema and "l_shipdate" not in li_schema[0]  # pruned scan
+
+
+def test_join_range_is_bucketed_band_not_nested_loop(spark, sf_dir):
+    """join_range's contract: the theta join is rewritten to explode-to-
+    covering-buckets + EQUI join + residual BETWEEN. A regression to the
+    naive plan shows up as a nested-loop/cartesian node — the O(n*m)
+    shape that cannot run at 100 TB."""
+    from serverless_etl_aws_spark.queries.joins import join_range
+
+    plan = plan_of(join_range(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan  # left side duplicated to buckets
+    join_lines = [ln for ln in plan.splitlines() if "Join [" in ln or "Join bucket" in ln]
+    assert any("bucket" in ln for ln in join_lines), (
+        f"equi-join is not on the band bucket:\n{join_lines}"
+    )
+
+
+def test_percentile_shares_scan_per_measure(spark, sf_dir):
+    """agg_percentile computes BOTH quantity percentiles from one
+    lineitem scan (one sort-window pass per measure, not per
+    percentile): exactly 2 file scans (qty + discount), window-ranked,
+    never a cartesian."""
+    from serverless_etl_aws_spark.queries.extras import agg_percentile
+
+    plan = plan_of(agg_percentile(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 2
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multi_distinct_compiles_to_expand_single_scan(spark, sf_dir):
+    """agg_multi_distinct's three DISTINCT aggregates must resolve via
+    Catalyst's Expand in ONE aggregation pipeline over ONE scan — the
+    regression is N self-joined scans."""
+    from serverless_etl_aws_spark.queries.extras10 import agg_multi_distinct
+
+    plan = plan_of(agg_multi_distinct(spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_minhash_is_banded_bucket_join_not_all_pairs(spark, sf_dir):
+    """llm_dedup_minhash (rows-only by contract — this is its plan-side
+    evidence): signatures band via posexplode, candidates come from an
+    EQUI self-join on (table, bucket), and the verify join is candidate-
+    only. All-pairs regressions surface as cartesian/nested-loop nodes."""
+    from serverless_etl_aws_spark.queries.llm import llm_dedup_minhash
+
+    plan = plan_of(llm_dedup_minhash(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate posexplode" in plan  # band explode
+    join_lines = [ln for ln in plan.splitlines() if "Join [" in ln]
+    assert any("bucket" in ln for ln in join_lines), (
+        "candidate generation lost the LSH bucket equi-join"
+    )
+
+
+def test_ngram_dedup_joins_on_shingle_never_cartesian(spark, sf_dir):
+    """llm_dedup_ngram: candidate pairs come from the shingle-postings
+    equi-join with map-side-combinable aggregation, never an all-pairs
+    product."""
+    from serverless_etl_aws_spark.queries.llm import llm_dedup_ngram
+
+    plan = plan_of(llm_dedup_ngram(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_editdist_levenshtein_runs_on_candidates_only(spark, sf_dir):
+    """llm_dedup_editdist: the O(L^2) levenshtein must sit ABOVE the
+    blocking join (candidate pairs only), and the expensive verify is an
+    equi-join of the candidate list back to the text — no cartesian."""
+    from serverless_etl_aws_spark.queries.llm import llm_dedup_editdist
+
+    plan = plan_of(llm_dedup_editdist(spark, sf_dir))
+    assert "levenshtein" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # levenshtein evaluates after the last join (on joined candidates):
+    # it must appear only in Filter/Project nodes, never inside a join
+    # condition-free product over raw documents
+    lev_lines = [ln for ln in plan.splitlines() if "levenshtein" in ln]
+    assert lev_lines and all(
+        "CartesianProduct" not in ln for ln in lev_lines
+    )
+
+
+def test_embedding_dedup_blocks_on_label(spark, sf_dir):
+    """llm_dedup_embedding: the cosine self-join is EQUI on the block
+    label (SemDeDup blocking) — the all-pairs cosine regression would
+    plan as a nested-loop over the full corpus."""
+    from serverless_etl_aws_spark.queries.llm import llm_dedup_embedding
+
+    plan = plan_of(llm_dedup_embedding(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    join_lines = [ln for ln in plan.splitlines() if "Join [" in ln]
+    assert join_lines and any(
+        "label" in ln or "__blk" in ln for ln in join_lines
+    ), f"cosine join is not label-blocked:\n{join_lines}"
+
+
+def test_cluster_assignment_single_window_shuffle(spark, sf_dir):
+    """llm_dedup_cluster: after the iterative small-star contraction
+    (checkpointed — its own loop is bounded by the components operator's
+    tests), the final cluster_size assignment is ONE window over ONE
+    hash exchange; no join or product re-enters the plan."""
+    from serverless_etl_aws_spark.queries.llm import llm_dedup_cluster
+
+    plan = plan_of(llm_dedup_cluster(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dedup_apply_survivor_pick_uses_rank_limit(spark, sf_dir):
+    """llm_dedup_apply (canonical-survivor selection): the per-cluster
+    argmax must ride the same WindowGroupLimit rank-limit pushdown as
+    topk_per_group — each map task ships one candidate survivor per
+    cluster, not the whole cluster."""
+    from serverless_etl_aws_spark.queries.extras13 import llm_dedup_apply
+
+    plan = plan_of(llm_dedup_apply(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "row_number" in plan
