@@ -56,19 +56,46 @@ def synthesize_payloads(docs: DataFrame) -> DataFrame:
     )
 
 
+#: Metadata row emitted for a payload with no parsable header — the
+#: QUARANTINE posture (round 12): at 100 TB-of-media scale, truncated
+#: objects are a statistical certainty, and one corrupt payload must
+#: never take down a whole stage. Contract:
+#:   * payload shorter than the 8-byte header, or an IMG1 header whose
+#:     width field is non-numeric or zero → CORRUPT: extract_metadata
+#:     emits the row with fmt/width/height NULL and the ACTUAL byte
+#:     count (so corrupt volume stays countable/routable); the
+#:     transform passes (resize/frame/feature/audio/scene/phash) DROP
+#:     the row — no decodable media, nothing to transform.
+#:   * a COMPLETE header with an unknown magic stays a loud
+#:     NotImplementedError — that is the codec-injection seam, a
+#:     deployment gap rather than a data defect.
+#: The registry's mm_* oracles are unaffected: synthesize_payloads only
+#: emits well-formed headers, so the quarantine path is exercised by
+#: the direct operator tests (tests/test_multimodal.py).
+_CORRUPT = {"fmt": None, "width": None, "height": None}
+
+
 def decode_payload(payload: bytes) -> dict:
     """Default codec: parse the synthetic IMG1 header. A real build
     injects the actual codec (PIL.Image.open etc.) via the ``codec``
     parameter of extract_metadata/resize_payloads; everything around it
     stays. tests/test_multimodal.py proves the seam with a real PNG
-    header parser (stdlib struct) injected through the same parameter."""
+    header parser (stdlib struct) injected through the same parameter.
+
+    Malformed payloads (truncated header, zero/garbled width) return
+    the quarantine dict rather than raising — see ``_CORRUPT`` above."""
+    if payload is None or len(payload) < 8:
+        return {**_CORRUPT, "n_bytes": 0 if payload is None else len(payload)}
     magic = payload[:4].decode("ascii", errors="replace")
     if magic != "IMG1":
         raise NotImplementedError(
             f"codec for magic {magic!r} not available in this environment "
             "(stubbed: only the synthetic IMG1 format decodes here)"
         )
-    width = int(payload[4:8].decode("ascii"))
+    width_field = payload[4:8]
+    if not width_field.isdigit() or int(width_field) == 0:
+        return {**_CORRUPT, "n_bytes": len(payload)}
+    width = int(width_field)
     body = payload[8:]
     height = -(-len(body) // width)  # ceil-div: rows needed at this width
     return {
@@ -77,6 +104,22 @@ def decode_payload(payload: bytes) -> dict:
         "height": height,
         "n_bytes": len(payload),
     }
+
+
+def _body(payload: bytes) -> bytes | None:
+    """Payload body for the transform passes, or None when the payload
+    has no parsable header (the quarantine contract: transforms DROP
+    corrupt payloads; extract_metadata is where they stay visible).
+    An unknown magic with a complete header passes through — the byte
+    transforms are format-agnostic; format validation is the decode
+    seam's job (extract_metadata/resize)."""
+    if payload is None or len(payload) < 8:
+        return None
+    if payload[:4] == b"IMG1" and (
+        not payload[4:8].isdigit() or int(payload[4:8]) == 0
+    ):
+        return None  # IMG1 header with garbled/zero width: corrupt
+    return payload[8:]
 
 
 def extract_metadata(
@@ -94,11 +137,13 @@ def extract_metadata(
                 {
                     "doc_id": pdf["doc_id"].values,
                     "fmt": [m["fmt"] for m in metas],
+                    # nullable Int32 (not int32): quarantined payloads
+                    # carry NULL geometry through the Arrow batch
                     "width": pd.array(
-                        [m["width"] for m in metas], dtype="int32"
+                        [m["width"] for m in metas], dtype="Int32"
                     ),
                     "height": pd.array(
-                        [m["height"] for m in metas], dtype="int32"
+                        [m["height"] for m in metas], dtype="Int32"
                     ),
                     "n_bytes": pd.array(
                         [m["n_bytes"] for m in metas], dtype="int64"
@@ -125,6 +170,8 @@ def resize_payloads(
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 meta = decode(payload)
+                if meta.get("width") is None:  # quarantine: drop
+                    continue
                 body_len = meta["n_bytes"] - 8
                 rows.append(
                     (
@@ -162,7 +209,10 @@ def feature_extract(with_payloads: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = np.frombuffer(payload, dtype=np.uint8)[8:]  # skip header
+                body = _body(payload)
+                if body is None:  # quarantine: drop
+                    continue
+                b = np.frombuffer(body, dtype=np.uint8)
                 rows.append(
                     (
                         doc_id,
@@ -199,7 +249,9 @@ def frame_sample(
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                body = payload[8:]
+                body = _body(payload)
+                if body is None:  # quarantine: drop
+                    continue
                 n_frames = -(-len(body) // frame_size)
                 for frame_no in range(0, n_frames, every):
                     chunk = body[
@@ -245,7 +297,10 @@ def audio_window(
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = np.frombuffer(payload, dtype=np.uint8)[8:]  # skip header
+                body = _body(payload)
+                if body is None:  # quarantine: drop
+                    continue
+                b = np.frombuffer(body, dtype=np.uint8)
                 for w in range(0, len(b), window):
                     c = b[w: w + window].astype(np.int64)
                     rows.append(
@@ -298,7 +353,10 @@ def scene_cut(
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = np.frombuffer(payload, dtype=np.uint8)[8:]  # skip header
+                body = _body(payload)
+                if body is None:  # quarantine: drop
+                    continue
+                b = np.frombuffer(body, dtype=np.uint8)
                 n_frames = len(b) // frame
                 if n_frames < 2:
                     continue
@@ -343,7 +401,10 @@ def phash64(
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = np.frombuffer(payload, dtype=np.uint8)[8:]  # header
+                body = _body(payload)
+                if body is None:  # quarantine: drop
+                    continue
+                b = np.frombuffer(body, dtype=np.uint8)
                 p = b[:width].astype(np.int64)
                 if p.size == 0:
                     rows.append((doc_id, 0, 0, 0))

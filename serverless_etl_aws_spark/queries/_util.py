@@ -95,6 +95,55 @@ def sql_vec_finite(expr: str = "embedding") -> str:
     )
 
 
+def vec_dim_mode(emb: DataFrame, col: str = "embedding") -> int | None:
+    """The corpus's dominant (modal) vector dimension — the round-12
+    ragged-dims contract's reference dim. A vector whose dimension
+    differs from the corpus mode is not a valid embedding: cosine
+    against it is undefined (Spark ``zip_with`` NULL-pads the shorter
+    side; DuckDB errors or NULLs differently), centroid sums need
+    uniform dims, and a ragged sample crashes ``np.array`` in the
+    IVF/PQ trainers. Mode is computed over NON-NULL vectors of the RAW
+    table (dim is a shape property, independent of component values, so
+    poisoned-but-right-dim vectors still count); ties break to the
+    SMALLEST dim. O(1)-result driver collect: one map-side-combinable
+    groupBy over the handful of distinct dims. Oracle mirror:
+    :func:`sql_vec_dim_ok`. Returns None on a corpus with no vectors
+    (callers skip the filter — the relation is empty anyway)."""
+    row = (
+        emb.filter(F.col(col).isNotNull())
+        .groupBy(F.size(F.col(col)).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("d").asc())
+        .first()
+    )
+    return int(row["d"]) if row is not None else None
+
+
+def vec_dim_ok(emb: DataFrame, col: str = "embedding") -> Column:
+    """Engine-side ragged-dims filter: keep NULL vectors (per-key NULL
+    handling stays) and vectors whose dimension equals the corpus mode
+    (:func:`vec_dim_mode`). On a vector-free corpus this reduces to the
+    NULL pass-through."""
+    c = F.col(col)
+    dim = vec_dim_mode(emb, col)
+    if dim is None:
+        return c.isNull() | F.lit(True)
+    return c.isNull() | (F.size(c) == dim)
+
+
+def sql_vec_dim_ok(expr: str = "embedding", table: str = "embeddings") -> str:
+    """DuckDB mirror of :func:`vec_dim_ok`: the modal-dim subquery over
+    the same raw table, ties to the smallest dim, NULLs pass through.
+    (On an all-NULL corpus the subquery is empty and ``len = NULL`` is
+    never true — equivalent, since there are no non-NULL vectors.)"""
+    return (
+        f"({expr} IS NULL OR len({expr}) = ("
+        f"SELECT len(embedding) FROM {table} WHERE embedding IS NOT NULL "
+        f"GROUP BY len(embedding) ORDER BY COUNT(*) DESC, len(embedding) "
+        f"LIMIT 1))"
+    )
+
+
 def dsum(col: str | Column, scale: int = 2) -> Column:
     """Exact decimal sum, rounded IN DECIMAL, then cast to double.
 

@@ -578,17 +578,21 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(2 * F.col("cnt") >= F.col("mx"))
         .select("src", "dst")
     )
-    nodes = nation.select(F.col("n_nationkey").alias("id"))
+    # a graph's node set is a SET: duplicate-pk nation rows (round-12
+    # dupkey axis) must collapse to one node, or the min-label iteration
+    # carries duplicate state and the name join below fans out 2x2
+    nodes = nation.select(F.col("n_nationkey").alias("id")).distinct()
     comp = connected_components(nodes, kept)
     return (
         comp.join(
             F.broadcast(nation.select("n_nationkey", "n_name")),
             comp.id == F.col("n_nationkey"),
         )
-        .select(
-            "n_name",
-            F.col("component").cast("long").alias("component"),
-        )
+        # per NAME, min component — the oracle's GROUP BY n_name
+        # mirrored exactly, so a duplicated pk (same or perturbed name)
+        # yields identical rows on both engines
+        .groupBy("n_name")
+        .agg(F.min("component").cast("long").alias("component"))
     )
 
 

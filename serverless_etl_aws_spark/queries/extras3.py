@@ -17,7 +17,10 @@ from pyspark.sql import functions as F
 from ..operators.simsearch import SQL_COSINE, cosine_expr, quant6
 from ..operators.text import SQL_FINGERPRINT, fingerprint
 from . import Query
-from ._util import vec_finite, dsum, hadoop_dir_bytes, sql_dsum, t, scratch_root, fresh_dir
+from ._util import (
+    dsum, fresh_dir, hadoop_dir_bytes, scratch_root, sql_dsum,
+    sql_vec_dim_ok, t, vec_dim_ok, vec_finite,
+)
 
 SCRATCH = scratch_root()
 
@@ -46,8 +49,10 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions, vec_id tie-break — same contract the hash-green
     ``llm_sim_search`` key uses.
     """
-    # poisoned-vector exclusion (float-specials contract, _util.vec_finite)
-    emb = t(spark, sf_dir, "embeddings").filter(vec_finite()).select(
+    # poisoned-vector + ragged-dim exclusion (float-specials contract
+    # _util.vec_finite; round-12 ragged-dims contract _util.vec_dim_ok)
+    raw = t(spark, sf_dir, "embeddings")
+    emb = raw.filter(vec_dim_ok(raw) & vec_finite()).select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
@@ -76,6 +81,7 @@ LLM_KNN_JOIN_SQL = f"""
 WITH e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
     WHERE (embedding IS NULL OR len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0)
+      AND {sql_vec_dim_ok()}
 ), cand AS (
     SELECT p.vec_id AS pid, c.vec_id,
            floor(({SQL_COSINE.replace('va', 'c.emb').replace('vb', 'p.emb')})

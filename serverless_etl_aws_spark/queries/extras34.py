@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import Query
-from ._util import vec_finite, dec, fquant, t
+from ._util import dec, fquant, sql_vec_dim_ok, t, vec_dim_ok, vec_finite
 
 # ----------------------------------------------------------------- dq_json_schema
 
@@ -392,8 +392,10 @@ def ml_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one posexplode (64× rows), one (label, dim) collapse, one
     label collapse to 64-element arrays, then a labels²-sized pair
     join — every relation after the first shuffle is label-bounded."""
-    # poisoned-vector exclusion (float-specials contract, _util.vec_finite)
-    emb = t(spark, sf_dir, "embeddings").filter(vec_finite()).select(
+    # poisoned-vector + ragged-dim exclusion (float-specials contract
+    # _util.vec_finite; round-12 ragged-dims contract _util.vec_dim_ok)
+    raw = t(spark, sf_dir, "embeddings")
+    emb = raw.filter(vec_dim_ok(raw) & vec_finite()).select(
         "label",
         F.expr(
             "transform(embedding, x -> cast(x as double))"
@@ -459,6 +461,7 @@ WITH dims AS (
     FROM embeddings,
          LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
     WHERE (embedding IS NULL OR len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0)
+      AND {sql_vec_dim_ok()}
 ), per_dim AS (
     SELECT label, dim, SUM(xq) AS sq, COUNT(*) AS nv
     FROM dims GROUP BY 1, 2

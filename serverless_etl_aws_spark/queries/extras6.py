@@ -13,7 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import Query
-from ._util import vec_finite, dsum, fquant, fresh_dir, scratch_root, t
+from ._util import (
+    dsum, fquant, fresh_dir, scratch_root, sql_vec_dim_ok, t,
+    vec_dim_ok, vec_finite,
+)
 
 SCRATCH = scratch_root()
 
@@ -126,7 +129,10 @@ def llm_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .llm import _min_vec_id
 
-    emb = t(spark, sf_dir, "embeddings")
+    # ragged-dim exclusion (round-12 contract, _util.vec_dim_ok): a
+    # ragged sample crashes the np.array codebook trainer outright
+    raw = t(spark, sf_dir, "embeddings")
+    emb = raw.filter(vec_dim_ok(raw))
     return pq_topk(
         emb, probe_vec_id=_min_vec_id(emb), k=10,
         m=16, ksub=64, refine=8,
@@ -347,8 +353,10 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket dedup."""
     from ..operators.ml import kmeans_assign
 
-    # poisoned-vector exclusion (float-specials contract, _util.vec_finite)
-    emb = t(spark, sf_dir, "embeddings").filter(vec_finite()).selectExpr(
+    # poisoned-vector + ragged-dim exclusion (float-specials contract
+    # _util.vec_finite; round-12 ragged-dims contract _util.vec_dim_ok)
+    raw = t(spark, sf_dir, "embeddings")
+    emb = raw.filter(vec_dim_ok(raw) & vec_finite()).selectExpr(
         "vec_id", "CAST(embedding AS array<double>) AS v"
     )
     return kmeans_assign(emb, k=KM_K, iters=KM_ITERS)
@@ -398,6 +406,7 @@ ML_KMEANS_SQL = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     WHERE (embedding IS NULL OR len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0)
+      AND {sql_vec_dim_ok()}
 ), c0 AS (
   SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < {KM_K}
 ),{_km_assign_sql(1, "c0")},{_km_update_sql(1)},{_km_assign_sql(2, "c1")},{_km_update_sql(2)},{_km_assign_sql(3, "c2", final=True)}

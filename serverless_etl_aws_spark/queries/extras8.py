@@ -16,7 +16,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import Query
-from ._util import vec_finite, dec, dsum, fquant, fresh_dir, scratch_root, t
+from ._util import (
+    dec, dsum, fquant, fresh_dir, scratch_root, sql_vec_dim_ok, t,
+    vec_dim_ok, vec_finite,
+)
 
 SCRATCH = scratch_root()
 
@@ -265,8 +268,10 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     out of the mismatch predicate identically in both engines."""
     from ..operators.simsearch import cosine_expr, quant6, two_stage_topk
 
-    # poisoned-vector exclusion (float-specials contract, _util.vec_finite)
-    emb = t(spark, sf_dir, "embeddings").filter(vec_finite()).select(
+    # poisoned-vector + ragged-dim exclusion (float-specials contract
+    # _util.vec_finite; round-12 ragged-dims contract _util.vec_dim_ok)
+    raw = t(spark, sf_dir, "embeddings")
+    emb = raw.filter(vec_dim_ok(raw) & vec_finite()).select(
         "vec_id",
         "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
@@ -295,6 +300,7 @@ def _hn_sql() -> str:
 WITH e AS (
     SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
     WHERE (embedding IS NULL OR len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0)
+      AND {sql_vec_dim_ok()}
 ), cand AS (
     SELECT p.vec_id AS pid, c.vec_id,
            floor(({cos}) * 1000000.0) / 1000000.0 AS cosine

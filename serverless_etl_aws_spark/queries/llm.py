@@ -26,7 +26,7 @@ from ..operators.text import (
     sql_lang_score,
 )
 from . import Query
-from ._util import vec_finite, fquant, t
+from ._util import fquant, sql_vec_dim_ok, t, vec_dim_ok, vec_finite
 
 # ---------------------------------------------------------------- text ops
 
@@ -538,7 +538,9 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     test are unchanged."""
     from ..operators.dedup import embedding_cosine_pairs
 
-    emb = t(spark, sf_dir, "embeddings").filter(vec_finite()).select(
+    # poisoned-vector + ragged-dim exclusion (vec_finite / vec_dim_ok)
+    raw = t(spark, sf_dir, "embeddings")
+    emb = raw.filter(vec_dim_ok(raw) & vec_finite()).select(
         "vec_id", "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
@@ -551,6 +553,7 @@ LLM_DEDUP_EMBEDDING_SQL = f"""
 WITH e AS (
     SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     WHERE (embedding IS NULL OR len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0)
+      AND {sql_vec_dim_ok()}
 )
 SELECT vec_a, vec_b, label, cosine FROM (
     -- cosine computed ONCE in a subquery: DuckDB does not promise CSE
@@ -580,8 +583,10 @@ def _min_vec_id(emb: DataFrame) -> int:
 
 def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 neighbors of the minimum-id vector."""
-    # poisoned-vector exclusion (float-specials contract, _util.vec_finite)
-    emb = t(spark, sf_dir, "embeddings").filter(vec_finite())
+    # poisoned-vector + ragged-dim exclusion (float-specials contract
+    # _util.vec_finite; round-12 ragged-dims contract _util.vec_dim_ok)
+    raw = t(spark, sf_dir, "embeddings")
+    emb = raw.filter(vec_dim_ok(raw) & vec_finite())
     return brute_force_topk(emb, probe_vec_id=_min_vec_id(emb), k=10)
 
 
@@ -589,6 +594,7 @@ LLM_SIM_SEARCH_SQL = f"""
 WITH e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings
     WHERE (embedding IS NULL OR len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0)
+      AND {sql_vec_dim_ok()}
 ), p AS (
     SELECT MIN(vec_id) AS pid FROM e
 ), probe AS (
@@ -620,7 +626,8 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.simsearch import corpus_cache_key
 
-    emb = t(spark, sf_dir, "embeddings").filter(vec_finite())
+    raw = t(spark, sf_dir, "embeddings")
+    emb = raw.filter(vec_dim_ok(raw) & vec_finite())
     return ivf_topk(
         emb, probe_vec_id=_min_vec_id(emb), k=10,
         n_centroids=16, nprobe=12,

@@ -1052,3 +1052,196 @@ def test_partition_value_nul_fails_loudly(spark, tmp_path):
         df.write.partitionBy("p").mode("overwrite").parquet(
             str(tmp_path / "nul_part")
         )
+
+
+# --------------------------------------------------------------------------
+# Round-12 SHAPE axes (VERDICT r11 directive #2): the 18 prior axes
+# perturb VALUES; these three perturb SHAPE — ragged embedding
+# dimensions, duplicate primary keys in dimension tables, and payload
+# byte-lengths pinned to the multimodal frame/window boundaries.
+
+
+@pytest.fixture(scope="session")
+def dimdrift_sf_dir(tmp_path_factory) -> str:
+    """Ragged embedding dims (19th axis): a seeded 1.5% of vectors
+    truncated to dim 32, 1% extended to dim 96, 0.5% emptied to [].
+    First probe caught 6 keys: zip_with NULL-pads the shorter side of a
+    ragged cosine (engine-specific NULL placement vs DuckDB's
+    out-of-range list index), a ragged sample crashes np.array in the
+    IVF/PQ codebook trainers outright, and ragged vectors poisoned the
+    kmeans/centroid folds. Pinned contract (_util.vec_dim_mode /
+    vec_dim_ok / sql_vec_dim_ok): a vector whose dimension differs
+    from the corpus's MODAL dim is not a valid embedding — excluded
+    from similarity/quantize/centroid relations (ties break to the
+    smallest dim; NULL vectors keep their per-key handling;
+    dq_embedding_audit still reports dim drift rather than hiding it)."""
+    import math  # noqa: F401  (parity with sibling fixtures)
+
+    import numpy as np
+
+    dst = str(tmp_path_factory.mktemp("dimdriftfix"))
+    for f in os.listdir(SRC):
+        if not f.endswith(".parquet"):
+            continue
+        if f != "embeddings.parquet":
+            shutil.copy(os.path.join(SRC, f), os.path.join(dst, f))
+            continue
+        tbl = pq.read_table(os.path.join(SRC, f))
+        vecs = tbl["embedding"].to_pylist()
+        rng = np.random.default_rng(424242)
+        r = rng.random(len(vecs))
+        out = []
+        for v, p in zip(vecs, r):
+            if v is None or not v:
+                out.append(v)
+            elif p < 0.015:
+                out.append(v[:32])
+            elif p < 0.025:
+                out.append(v + [float((i * 37) % 19) / 19.0 for i in range(32)])
+            elif p < 0.03:
+                out.append([])
+            else:
+                out.append(v)
+        idx = tbl.schema.get_field_index("embedding")
+        field = tbl.schema.field("embedding")
+        tbl = tbl.set_column(idx, field, pa.array(out, type=field.type))
+        pq.write_table(tbl, os.path.join(dst, f))
+    return dst
+
+
+@pytest.mark.parametrize("key", sorted(REGISTRY))
+def test_dimdrift_drift_parity(spark, dimdrift_sf_dir, key):
+    q = REGISTRY[key]
+    result = compare(
+        key, q.fn(spark, dimdrift_sf_dir), q.sql, dimdrift_sf_dir,
+        strict=True,
+    )
+    assert result.ok, (
+        f"{key}: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )
+
+
+#: Duplicate-PK injection: table -> (perturb col, perturb fn, fraction).
+#: The duplicate keeps the SAME pk and perturbs ONE non-key attribute —
+#: the dirty dimension feed every warehouse eventually receives (a
+#: full-row-identical duplicate would be value-invisible to the hash).
+DUPKEY_SPECS = {
+    "region": ("r_name", lambda v: v + " DUP", 0.25),
+    "nation": ("n_name", lambda v: v + " DUP", 0.08),
+    "customer": ("c_acctbal", lambda v: v + 1000.0, 0.02),
+    "supplier": ("s_acctbal", lambda v: v + 1000.0, 0.15),
+    "part": ("p_retailprice", lambda v: v + 1.0, 0.02),
+}
+
+
+@pytest.fixture(scope="session")
+def dupkey_sf_dir(tmp_path_factory) -> str:
+    """Duplicate dimension PKs (20th axis): a seeded slice of every
+    dimension table re-appended under the SAME primary key with one
+    perturbed attribute. Every equi-join against these dims silently
+    fans out — identically in both engines, which is exactly what this
+    axis verifies (plus: no key may assume pk-uniqueness in an ordering
+    tie-break or a first()-style pick)."""
+    import numpy as np
+
+    dst = str(tmp_path_factory.mktemp("dupkeyfix"))
+    for f in os.listdir(SRC):
+        if not f.endswith(".parquet"):
+            continue
+        name = f[:-8]
+        sp = os.path.join(SRC, f)
+        if name not in DUPKEY_SPECS:
+            shutil.copy(sp, os.path.join(dst, f))
+            continue
+        col, fn, frac = DUPKEY_SPECS[name]
+        tbl = pq.read_table(sp)
+        n = tbl.num_rows
+        rng = np.random.default_rng(31337 + n)
+        take = sorted(rng.choice(n, max(1, int(n * frac)), replace=False))
+        dup = tbl.take(pa.array(take))
+        vals = [fn(v) for v in dup[col].to_pylist()]
+        idx = dup.schema.get_field_index(col)
+        field = dup.schema.field(col)
+        dup = dup.set_column(idx, field, pa.array(vals, type=field.type))
+        pq.write_table(pa.concat_tables([tbl, dup]), os.path.join(dst, f))
+    return dst
+
+
+@pytest.mark.parametrize("key", sorted(REGISTRY))
+def test_dupkey_drift_parity(spark, dupkey_sf_dir, key):
+    q = REGISTRY[key]
+    result = compare(
+        key, q.fn(spark, dupkey_sf_dir), q.sql, dupkey_sf_dir,
+        strict=True,
+    )
+    assert result.ok, (
+        f"{key}: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )
+
+
+#: Byte-edge text variants: utf-8 lengths pinned on/around the mm
+#: frame (64) and audio window (256) boundaries, including multi-byte
+#: characters straddling a frame edge.
+BYTEDGE = [
+    "",                              # empty body: header-only payload
+    "x",                             # single byte
+    "a" * 63, "a" * 64, "a" * 65,    # frame boundary +-1 (frame_size 64)
+    "b" * 255, "b" * 256, "b" * 257,  # audio window boundary (256)
+    "a" * 63 + "é",             # 2-byte char straddles byte 64
+    "a" * 62 + "€",             # 3-byte char ends exactly at 64(+1)
+    "a" * 60 + "\U0001F600" * 2,     # 4-byte emoji pair across boundary
+    "c" * 64 * 4,                    # exactly the frame-sample stride
+]
+
+
+@pytest.fixture(scope="session")
+def bytedge_sf_dir(tmp_path_factory) -> str:
+    """Payload byte-edges (21st axis): 3% of documents.text replaced
+    with BYTEDGE variants — the byte twin of the giant+empty documents
+    axis, aimed at the multimodal frame/window geometry (ceil-div,
+    trailing partial frames, multi-byte chars split across a frame
+    boundary) and at every text key's tokenizer/shingler under
+    boundary-length input. n_chars is kept consistent with the
+    replaced text (fixture invariant)."""
+    import numpy as np
+
+    dst = str(tmp_path_factory.mktemp("bytedgefix"))
+    for f in os.listdir(SRC):
+        if not f.endswith(".parquet"):
+            continue
+        if f != "documents.parquet":
+            shutil.copy(os.path.join(SRC, f), os.path.join(dst, f))
+            continue
+        tbl = pq.read_table(os.path.join(SRC, f))
+        texts = tbl["text"].to_pylist()
+        rng = np.random.default_rng(6464)
+        r = rng.random(len(texts))
+        pick = rng.integers(0, len(BYTEDGE), len(texts))
+        out = [
+            BYTEDGE[int(k)] if (t is not None and p < 0.03) else t
+            for t, p, k in zip(texts, r, pick)
+        ]
+        idx = tbl.schema.get_field_index("text")
+        field = tbl.schema.field("text")
+        tbl = tbl.set_column(idx, field, pa.array(out, type=field.type))
+        nidx = tbl.schema.get_field_index("n_chars")
+        nfield = tbl.schema.field("n_chars")
+        nvals = [len(t) if t is not None else None for t in out]
+        tbl = tbl.set_column(nidx, nfield, pa.array(nvals, type=nfield.type))
+        pq.write_table(tbl, os.path.join(dst, f))
+    return dst
+
+
+@pytest.mark.parametrize("key", sorted(REGISTRY))
+def test_bytedge_drift_parity(spark, bytedge_sf_dir, key):
+    q = REGISTRY[key]
+    result = compare(
+        key, q.fn(spark, bytedge_sf_dir), q.sql, bytedge_sf_dir,
+        strict=True,
+    )
+    assert result.ok, (
+        f"{key}: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )

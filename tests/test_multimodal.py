@@ -134,3 +134,76 @@ def test_resize_accepts_injected_codec(spark):
     assert (row["doc_id"], row["width"], row["height"], row["n_bytes"]) == (
         7, 5, -(-body_len // 5), body_len + 8,
     )
+
+
+# --------------------------------------------------------------------------
+# Round-12 quarantine contract (VERDICT r11 directive #2c): truncated /
+# empty / header-garbled payloads — the byte twin of the giant+empty
+# documents axis. At 100 TB of media, truncated objects are a
+# statistical certainty; one corrupt payload must never fail a stage.
+
+CORRUPT_PAYLOADS = [
+    (101, b""),                       # empty object
+    (102, b"IMG"),                    # truncated mid-magic
+    (103, b"IMG1004"),                # truncated mid-width-field
+    (104, b"IMG1" + b"00ab" + b"xyz"),  # garbled width digits
+    (105, b"IMG1" + b"0000" + b"xyz"),  # zero width
+]
+
+VALID_PAYLOADS = [
+    (1, b"IMG1" + b"0004" + b"0123456789"),   # 10-byte body, width 4
+    (2, b"IMG1" + b"0064"),                   # header-only: EMPTY body is
+                                              # VALID media (0 bytes)
+]
+
+
+def test_corrupt_payloads_quarantine_in_metadata(spark):
+    """extract_metadata keeps corrupt payloads VISIBLE: fmt/geometry
+    NULL, n_bytes = the actual byte count — countable and routable, not
+    a stage failure and not a silent drop."""
+    df = payload_df(spark, VALID_PAYLOADS + CORRUPT_PAYLOADS)
+    got = {
+        r["doc_id"]: (r["fmt"], r["width"], r["height"], r["n_bytes"])
+        for r in extract_metadata(df).collect()
+    }
+    assert got[1] == ("IMG1", 4, 3, 18)
+    assert got[2] == ("IMG1", 64, 0, 8)
+    for doc_id, payload in CORRUPT_PAYLOADS:
+        assert got[doc_id] == (None, None, None, len(payload)), (
+            f"doc {doc_id} did not quarantine: {got[doc_id]}"
+        )
+
+
+def test_corrupt_payloads_dropped_by_transforms(spark):
+    """The transform passes (resize / frame / feature / audio / scene /
+    phash) DROP corrupt payloads — no decodable media, nothing to
+    transform — while valid rows in the same Arrow batch flow through
+    untouched."""
+    from serverless_etl_aws_spark.operators.multimodal import (
+        audio_window,
+        feature_extract,
+        frame_sample,
+        phash64,
+        scene_cut,
+    )
+
+    df = payload_df(spark, VALID_PAYLOADS + CORRUPT_PAYLOADS)
+    for op in (
+        lambda d: resize_payloads(d, target_width=8),
+        lambda d: frame_sample(d, frame_size=4, every=1),
+        feature_extract,
+        lambda d: audio_window(d, window=4),
+        lambda d: scene_cut(d, frame=2),
+        phash64,
+    ):
+        ids = {r["doc_id"] for r in op(df).collect()}
+        assert ids <= {1, 2}, f"corrupt rows leaked through {op}: {ids}"
+        assert 1 in ids  # the valid row is not collateral damage
+
+
+def test_unknown_magic_still_raises_codec_gap(spark):
+    """A COMPLETE header with an unknown magic is a deployment gap (the
+    codec seam), not a data defect — it must stay loud, not quarantine."""
+    df = payload_df(spark, [(1, b"WEBP" + b"0004" + b"abcd")])
+    with pytest.raises(Exception, match="codec for magic"):
+        extract_metadata(df).collect()
