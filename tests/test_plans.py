@@ -2003,3 +2003,129 @@ def test_dedup_apply_survivor_pick_uses_rank_limit(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
     assert "row_number" in plan
+
+
+# --------------------------------------------------------------------------
+# Round-12 second wave: the next 10 most expensive non-eager keys
+# without a plan pin (after the directive-#7 ten above). Same rule:
+# strategy-level structure only, no AQE-variable node counts.
+
+
+def test_agg_stats_partial_agg_single_scan(spark, sf_dir):
+    """agg_stats: one scan, map-side combine (two HashAggregate tiers
+    around one exchange), no join."""
+    from serverless_etl_aws_spark.queries.extras5 import agg_stats
+
+    plan = plan_of(agg_stats(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_simhash_band_blocked_not_all_pairs(spark, sf_dir):
+    """llm_dedup_simhash: candidates come from the 4x16-bit band
+    equi-join (Generate explodes the bands), never an all-pairs
+    product; the popcount verify runs on candidates only."""
+    from serverless_etl_aws_spark.queries.llm import llm_dedup_simhash
+
+    plan = plan_of(llm_dedup_simhash(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # band explode
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
+    """ml_kmeans: the n x k distance scoring is a BROADCAST nested-loop
+    against the k=8 centroid relation — the corpus side streams
+    map-side, never shuffles whole, and never meets itself in a true
+    cartesian. (BroadcastNestedLoopJoin is the INTENDED node here: the
+    build side is k rows; the regression is a shuffle-based cartesian
+    or a corpus-side exchange before the scoring join.)"""
+    from serverless_etl_aws_spark.queries.extras6 import ml_kmeans
+
+    plan = plan_of(ml_kmeans(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan  # corpus never shuffles to score
+
+
+def test_decontaminate_is_broadcast_shingle_semijoin(spark, sf_dir):
+    """llm_decontaminate: eval 8-grams explode (Generate), dedup, and
+    BROADCAST into one map-side pass over the corpus — the 100 TB shape
+    (the corpus never shuffles; only the tiny benchmark side does)."""
+    from serverless_etl_aws_spark.queries.llm import llm_decontaminate
+
+    plan = plan_of(llm_decontaminate(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pagerank_iterations_stay_equi_join(spark, sf_dir):
+    """graph_pagerank: every unrolled iteration joins rank to the edge
+    list by node key (SMJ/BHJ) — a regression to a nested-loop spread
+    is the plan that cannot run on a real graph."""
+    from serverless_etl_aws_spark.queries.extras6 import graph_pagerank
+
+    plan = plan_of(graph_pagerank(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_cube_compiles_to_expand_single_scan(spark, sf_dir):
+    """agg_cube: the 2^n grouping sets resolve via ONE Expand over ONE
+    scan in one aggregation pipeline — not 2^n unioned scans."""
+    from serverless_etl_aws_spark.queries.aggregates import agg_cube
+
+    plan = plan_of(agg_cube(spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "Union" not in plan
+
+
+def test_label_propagation_iterations_stay_equi_join(spark, sf_dir):
+    """graph_label_propagation: the per-iteration label spread is an
+    equi-join on node ids with aggregation — never a product."""
+    from serverless_etl_aws_spark.queries.extras10 import (
+        graph_label_propagation,
+    )
+
+    plan = plan_of(graph_label_propagation(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_pairs_topk_not_global_sort(spark, sf_dir):
+    """llm_bpe_pairs: the most-frequent-pair pick is
+    TakeOrderedAndProject (partial top-k per partition, k rows per map
+    task), never a global Sort of the full pair histogram."""
+    from serverless_etl_aws_spark.queries.extras6 import llm_bpe_pairs
+
+    plan = plan_of(llm_bpe_pairs(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # map-side pair counting
+
+
+def test_bigram_lm_no_true_cartesian(spark, sf_dir):
+    """llm_bigram_lm: the only product-shaped node is the 1x1 broadcast
+    of the scalar totals relation; the n-gram relations join equi."""
+    from serverless_etl_aws_spark.queries.extras3 import llm_bigram_lm
+
+    plan = plan_of(llm_bigram_lm(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bfs_final_plan_reads_checkpoint_only(spark, sf_dir):
+    """graph_bfs (compute-eager): after the bounded iterative expansion
+    (its loop is pinned by the graph operator tests), the RETURNED
+    relation is a read of checkpointed state — no join or product
+    re-enters the final plan."""
+    from serverless_etl_aws_spark.queries.extras13 import graph_bfs
+
+    plan = plan_of(graph_bfs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan  # checkpointed frontier state
