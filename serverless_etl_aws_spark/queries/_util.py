@@ -79,10 +79,21 @@ def vec_finite(col: str | Column = "embedding") -> Column:
     centroid sums. Rows with a poisoned vector are EXCLUDED from
     similarity/quantize/centroid relations; NULL vectors keep their
     existing per-key NULL handling (this predicate passes them
-    through). Oracle mirror: :func:`sql_vec_finite`."""
+    through). Oracle mirror: :func:`sql_vec_finite`.
+
+    A NULL ELEMENT is missing, not non-finite — it passes (round-12 fix
+    of a latent r11 asymmetry the consolidated sweep caught: the
+    original ``forall(x -> finite(x))`` went NULL on a NULL element and
+    silently dropped the row, while the oracle's
+    ``list_filter(x -> NOT isfinite(x))`` counts only DEFINITE
+    non-finite components and kept it. The exists-based form below
+    gives Spark the oracle's semantics exactly: any definite NaN/±Inf →
+    drop; NULL elements alone → keep, and their 3VL/NULL-poisoning
+    behavior stays each key's own contract — see fn_higher_order)."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.isNull() | F.forall(
-        c, lambda x: ~F.isnan(x) & (F.abs(x) != float("inf"))
+    return c.isNull() | F.coalesce(
+        ~F.exists(c, lambda x: F.isnan(x) | (F.abs(x) == float("inf"))),
+        F.lit(True),
     )
 
 
