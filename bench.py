@@ -43,11 +43,54 @@ from serverless_etl_aws_spark.queries import build_registry
 from serverless_etl_aws_spark.session import get_spark
 
 
+def _box_snapshot() -> dict[str, float | int | str]:
+    """Load average + concurrent-Spark census at bench start.
+
+    ``spark_jvms`` counts OTHER live JVM processes with spark on their
+    command line (this process hasn't booted its JVM yet); >0 means the
+    numbers in this artifact were taken on a contended box and a
+    round-over-round comparison should expect a uniform inflation.
+    """
+    snap: dict[str, float | int | str] = {}
+    try:
+        la1, la5, la15 = os.getloadavg()
+        snap["loadavg_1m"] = round(la1, 2)
+        snap["loadavg_5m"] = round(la5, 2)
+        snap["loadavg_15m"] = round(la15, 2)
+    except OSError:  # pragma: no cover — /proc-less platform
+        snap["loadavg_1m"] = -1.0
+    n_jvm = 0
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == os.getpid():
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().decode("utf-8", "replace")
+            except OSError:
+                continue
+            if "java" in cmd and "spark" in cmd.lower():
+                n_jvm += 1
+    except OSError:  # pragma: no cover
+        n_jvm = -1
+    snap["spark_jvms"] = n_jvm
+    snap["utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    return snap
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    # Box-state snapshot BEFORE the JVM boots (VERDICT r12 #2): the r10
+    # and r12 suite-total moves were both adjudicated "shared box" after
+    # the fact by comparing untouched-key ratios; recording the 1-minute
+    # load average and the number of Spark JVMs already running makes
+    # "box was busy" a recorded fact at measurement time instead of a
+    # post-hoc inference.
+    box_env = _box_snapshot()
 
     spark = get_spark(
         app_name="bench",
@@ -156,6 +199,7 @@ def main() -> None:
         }
         payload = {
             "sf": sf,
+            "box_env": box_env,
             "adjudications": ADJUDICATIONS,
             "per_key_spread": per_key_spread,
             "warm_total": round(

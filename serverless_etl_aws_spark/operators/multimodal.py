@@ -83,15 +83,29 @@ def decode_payload(payload: bytes) -> dict:
     header parser (stdlib struct) injected through the same parameter.
 
     Malformed payloads (truncated header, zero/garbled width) return
-    the quarantine dict rather than raising — see ``_CORRUPT`` above."""
-    if payload is None or len(payload) < 8:
-        return {**_CORRUPT, "n_bytes": 0 if payload is None else len(payload)}
-    magic = payload[:4].decode("ascii", errors="replace")
-    if magic != "IMG1":
-        raise NotImplementedError(
-            f"codec for magic {magic!r} not available in this environment "
-            "(stubbed: only the synthetic IMG1 format decodes here)"
-        )
+    the quarantine dict rather than raising — see ``_CORRUPT`` above.
+    Distinctions the quarantine row preserves (ADVICE r12):
+
+    * a NULL payload is a MISSING object, not a zero-byte one —
+      n_bytes is NULL, where an empty ``b""`` payload reports 0;
+    * any payload long enough to carry a magic (≥4 bytes) is checked
+      against the known formats FIRST, so a truncated foreign-format
+      object still raises the codec-gap error instead of silently
+      quarantining — 'unknown codec stays loud' holds at every length.
+      Only a payload too short to identify (<4 bytes) quarantines
+      without a format verdict."""
+    if payload is None:
+        return {**_CORRUPT, "n_bytes": None}
+    if len(payload) >= 4:
+        magic = payload[:4].decode("ascii", errors="replace")
+        if magic != "IMG1":
+            raise NotImplementedError(
+                f"codec for magic {magic!r} not available in this "
+                "environment (stubbed: only the synthetic IMG1 format "
+                "decodes here)"
+            )
+    if len(payload) < 8:
+        return {**_CORRUPT, "n_bytes": len(payload)}
     width_field = payload[4:8]
     if not width_field.isdigit() or int(width_field) == 0:
         return {**_CORRUPT, "n_bytes": len(payload)}
@@ -145,8 +159,10 @@ def extract_metadata(
                     "height": pd.array(
                         [m["height"] for m in metas], dtype="Int32"
                     ),
+                    # nullable Int64: a NULL payload reports n_bytes
+                    # NULL (missing object ≠ zero-byte object)
                     "n_bytes": pd.array(
-                        [m["n_bytes"] for m in metas], dtype="int64"
+                        [m["n_bytes"] for m in metas], dtype="Int64"
                     ),
                 }
             )

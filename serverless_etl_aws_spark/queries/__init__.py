@@ -81,9 +81,14 @@ CONTRACT_2B: tuple[str, ...] = (
 # keys hash-passed on first exposure (CORRECTNESS_r11; record 30/30).
 # round 12: llm_ngram_novelty / ts_anomaly_mad / ts_gap_detect — named
 # verbatim by the round-11 VERDICT directive #1 (the next un-audited
-# trio in the pre-declared order). All three are oracle-SQL keys, so
-# all three rows should be hash-green.
+# trio in the pre-declared order). All three hash-passed on first
+# exposure (CORRECTNESS_r12; rotation record 33/33).
+# round 13: win_streak / agg_corr / join_lateral — named verbatim by
+# the round-12 VERDICT directive #1 (the next un-audited trio in the
+# pre-declared order). All three are oracle-SQL keys, so all three
+# rows should be hash-green.
 PRIORITY_EXT: tuple[str, ...] = (
+    "win_streak", "agg_corr", "join_lateral",
     "llm_ngram_novelty", "ts_anomaly_mad", "ts_gap_detect",
     "agg_heavy_hitters", "llm_dedup_apply", "llm_prefix_dedup",
     "llm_sim_search_ivf", "llm_paragraph_dedup", "llm_bpe_encode",
@@ -94,10 +99,9 @@ PRIORITY_EXT: tuple[str, ...] = (
     "llm_fingerprint", "llm_lang_id", "llm_quality_score",
     "llm_dedup_embedding", "llm_decontaminate", "llm_knn_join",
     "llm_dedup_ngram", "llm_dedup_cluster", "llm_dedup_simhash",
-    # round-5/6 additions not already rotated to the front (robust
-    # stats, traversal, lateral decorrelation — all oracle-SQL-checked)
-    "win_streak", "agg_corr",
-    "join_lateral", "graph_bfs",
+    # round-5/6 additions not already rotated to the front
+    # (win_streak/agg_corr/join_lateral moved to slots 48-50 in r13)
+    "graph_bfs",
     # round-6 fourth wave (weighted sampling, exact mode, rolling
     # median, weekly seasonality — all oracle-SQL-checked)
     "sample_weighted", "agg_mode", "win_rolling_median", "ts_seasonal",

@@ -106,6 +106,46 @@ def sql_vec_finite(expr: str = "embedding") -> str:
     )
 
 
+#: Modal-dim cache: (sorted source files + mtime_ns/size, col) → mode.
+#: vec_dim_mode is an EAGER O(1)-result job; without the cache every
+#: embedding key re-scans the corpus once per DataFrame CONSTRUCTION
+#: (including plan/explain-only paths — ADVICE r12). The key is bound to
+#: the on-disk content (same discipline as simsearch.corpus_cache_key),
+#: so a regenerated fixture invalidates it; DataFrames with no file
+#: lineage (createDataFrame in tests) or non-local URIs skip the cache.
+_DIM_MODE_CACHE: dict[tuple[str, str], int | None] = {}
+
+
+def clear_dim_mode_cache() -> None:
+    """Drop every cached modal dim (test/maintenance hook)."""
+    _DIM_MODE_CACHE.clear()
+
+
+def _content_key(emb: DataFrame) -> str | None:
+    """Content-bound cache key for a file-backed DataFrame: its source
+    files' (path, mtime_ns, size), or None when the lineage has no local
+    files (in-memory test frames, non-file URIs) — those stay uncached."""
+    try:
+        files = sorted(emb.inputFiles())
+    except Exception:  # pragma: no cover — non-file-source plans
+        return None
+    if not files:
+        return None
+    parts = []
+    for uri in files:
+        if not uri.startswith("file:"):
+            return None
+        p = uri[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+        try:
+            st = os.stat(p)
+        except OSError:
+            return None
+        parts.append(f"{p}:{st.st_mtime_ns}:{st.st_size}")
+    return "|".join(parts)
+
+
 def vec_dim_mode(emb: DataFrame, col: str = "embedding") -> int | None:
     """The corpus's dominant (modal) vector dimension — the round-12
     ragged-dims contract's reference dim. A vector whose dimension
@@ -119,7 +159,14 @@ def vec_dim_mode(emb: DataFrame, col: str = "embedding") -> int | None:
     SMALLEST dim. O(1)-result driver collect: one map-side-combinable
     groupBy over the handful of distinct dims. Oracle mirror:
     :func:`sql_vec_dim_ok`. Returns None on a corpus with no vectors
-    (callers skip the filter — the relation is empty anyway)."""
+    (callers skip the filter — the relation is empty anyway).
+
+    Memoized per on-disk corpus content (``_DIM_MODE_CACHE``): the mode
+    is a corpus property, so one scan per fixture per process — not one
+    per DataFrame construction."""
+    ck = _content_key(emb)
+    if ck is not None and (ck, col) in _DIM_MODE_CACHE:
+        return _DIM_MODE_CACHE[(ck, col)]
     row = (
         emb.filter(F.col(col).isNotNull())
         .groupBy(F.size(F.col(col)).alias("d"))
@@ -127,7 +174,10 @@ def vec_dim_mode(emb: DataFrame, col: str = "embedding") -> int | None:
         .orderBy(F.col("n").desc(), F.col("d").asc())
         .first()
     )
-    return int(row["d"]) if row is not None else None
+    mode = int(row["d"]) if row is not None else None
+    if ck is not None:
+        _DIM_MODE_CACHE[(ck, col)] = mode
+    return mode
 
 
 def vec_dim_ok(emb: DataFrame, col: str = "embedding") -> Column:

@@ -129,10 +129,13 @@ def llm_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .llm import _min_vec_id
 
-    # ragged-dim exclusion (round-12 contract, _util.vec_dim_ok): a
-    # ragged sample crashes the np.array codebook trainer outright
+    # ragged-dim + poisoned-vector exclusion (round-12 contract,
+    # _util.vec_dim_ok; round-11 contract, _util.vec_finite — ADVICE r12:
+    # a NaN/Inf vector of modal dim would otherwise reach the np
+    # codebook trainer and poison the ADC codebooks, unlike every
+    # sibling similarity key which already filters both)
     raw = t(spark, sf_dir, "embeddings")
-    emb = raw.filter(vec_dim_ok(raw))
+    emb = raw.filter(vec_dim_ok(raw) & vec_finite())
     return pq_topk(
         emb, probe_vec_id=_min_vec_id(emb), k=10,
         m=16, ksub=64, refine=8,

@@ -1126,12 +1126,22 @@ def test_dimdrift_drift_parity(spark, dimdrift_sf_dir, key):
 #: The duplicate keeps the SAME pk and perturbs ONE non-key attribute —
 #: the dirty dimension feed every warehouse eventually receives (a
 #: full-row-identical duplicate would be value-invisible to the hash).
+#: NULL guard (ADVICE r12): the sampled duplicate row may carry a NULL
+#: in the perturbed attribute on a future NULL-bearing fixture — keep
+#: the NULL (a duplicate PK whose attribute is missing is still a
+#: duplicate PK) instead of crashing the fixture build with TypeError.
 DUPKEY_SPECS = {
-    "region": ("r_name", lambda v: v + " DUP", 0.25),
-    "nation": ("n_name", lambda v: v + " DUP", 0.08),
-    "customer": ("c_acctbal", lambda v: v + 1000.0, 0.02),
-    "supplier": ("s_acctbal", lambda v: v + 1000.0, 0.15),
-    "part": ("p_retailprice", lambda v: v + 1.0, 0.02),
+    "region": ("r_name", lambda v: None if v is None else v + " DUP", 0.25),
+    "nation": ("n_name", lambda v: None if v is None else v + " DUP", 0.08),
+    "customer": (
+        "c_acctbal", lambda v: None if v is None else v + 1000.0, 0.02,
+    ),
+    "supplier": (
+        "s_acctbal", lambda v: None if v is None else v + 1000.0, 0.15,
+    ),
+    "part": (
+        "p_retailprice", lambda v: None if v is None else v + 1.0, 0.02,
+    ),
 }
 
 
@@ -1244,4 +1254,182 @@ def test_bytedge_drift_parity(spark, bytedge_sf_dir, key):
     assert result.ok, (
         f"{key}: {result.detail} "
         f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 22nd axis (VERDICT r12 directive #3): TIME SEMANTICS — non-UTC session
+# timezone + DST-edge timestamps. Every prior axis ran with the session
+# pinned UTC by the test harness itself. The engine's declared contract is
+# "the session timezone is UTC" (session.py docstring), enforced by
+# tune_for_session on EVERY entry through __spark_entry__.queries() — so
+# what needs proving is that the pin HOLDS when the driver's session
+# arrives dirty (a DST-observing zone), over a fixture whose timestamps
+# straddle both 2024 America/New_York transitions:
+#   spring-forward gap: 2024-03-10 07:00Z (02:00 EST -> 03:00 EDT — the
+#     local hour 02:xx does not exist);
+#   fall-back repeat:   2024-11-03 06:00Z (02:00 EDT -> 01:00 EST — the
+#     local hour 01:xx happens twice).
+# If the pin ever failed, daily-bucket/date_trunc/weekday keys would
+# diverge: the shifted corpus has plenty of instants whose UTC day and
+# New-York day differ (any UTC time before 05:00), and
+# test_dirty_timezone_would_change_results below proves that divergence
+# is REAL (not a vacuous axis) by running one such expression unpinned.
+
+DST_TS_COLS = {
+    "events": ["ts"],
+    "lineitem": ["l_shipdate"],
+    "orders": ["o_orderdate"],
+}
+
+# Exact-edge instants injected verbatim (UTC naive, as stored):
+DST_EDGE_INSTANTS = [
+    datetime.datetime(2024, 3, 10, 6, 59, 59, 999999),   # last pre-gap us
+    datetime.datetime(2024, 3, 10, 7, 0, 0),             # gap opens
+    datetime.datetime(2024, 3, 10, 7, 30, 0),            # inside local gap
+    datetime.datetime(2024, 11, 3, 5, 30, 0),            # 01:30 EDT (1st)
+    datetime.datetime(2024, 11, 3, 5, 59, 59, 999999),   # last EDT us
+    datetime.datetime(2024, 11, 3, 6, 0, 0),             # repeat opens
+    datetime.datetime(2024, 11, 3, 6, 30, 0),            # 01:30 EST (2nd)
+]
+
+
+@pytest.fixture(scope="session")
+def dst_sf_dir(tmp_path_factory) -> str:
+    """DST-edge fixture: every ts column shifted (epoch1969-style delta,
+    order/gap structure preserved) so the distribution's max sits 90
+    minutes AFTER the spring-forward instant — the corpus straddles the
+    gap — then a seeded ~10% slice of events.ts rewritten to within
+    ±2 h of the fall-back instant, the first rows pinned to the exact
+    edge microseconds above."""
+    import numpy as np
+
+    dst = str(tmp_path_factory.mktemp("dstfix"))
+    spring_target = datetime.datetime(2024, 3, 10, 8, 30, 0)
+    fallback = datetime.datetime(2024, 11, 3, 6, 0, 0)
+    for f in os.listdir(SRC):
+        if not f.endswith(".parquet"):
+            continue
+        name = f[:-8]
+        src_path = os.path.join(SRC, f)
+        if name not in DST_TS_COLS:
+            shutil.copy(src_path, os.path.join(dst, f))
+            continue
+        tbl = pq.read_table(src_path)
+        for col in DST_TS_COLS[name]:
+            idx = tbl.schema.get_field_index(col)
+            field = tbl.schema.field(col)
+            vals = tbl[col].to_pylist()
+            mx = max(v for v in vals if v is not None)
+            delta = mx - spring_target
+            shifted = [None if v is None else v - delta for v in vals]
+            if name == "events":
+                rng = np.random.default_rng(20240310)
+                r = rng.random(len(shifted))
+                offs = rng.integers(-7200, 7201, len(shifted))
+                n_edge = 0
+                for i in range(len(shifted)):
+                    if shifted[i] is None or r[i] >= 0.10:
+                        continue
+                    if n_edge < len(DST_EDGE_INSTANTS):
+                        shifted[i] = DST_EDGE_INSTANTS[n_edge]
+                        n_edge += 1
+                    else:
+                        shifted[i] = fallback + datetime.timedelta(
+                            seconds=int(offs[i])
+                        )
+            tbl = tbl.set_column(
+                idx, field, pa.array(shifted, type=field.type)
+            )
+        pq.write_table(tbl, os.path.join(dst, f))
+    return dst
+
+
+@pytest.fixture()
+def dirty_session_tz(spark):
+    """Simulate the driver handing the engine a session configured for a
+    DST-observing zone; restore the harness confs afterwards so later
+    axes keep their tuning."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.session.timeZone",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    yield
+    for k, v in saved.items():
+        spark.conf.set(k, v)
+
+
+def _entry_queries():
+    import __spark_entry__
+
+    return __spark_entry__.queries()
+
+
+ENTRY_QUERIES = _entry_queries()
+
+
+@pytest.mark.parametrize("key", sorted(REGISTRY))
+def test_dst_dirty_tz_drift_parity(spark, dst_sf_dir, dirty_session_tz, key):
+    """Full-registry strict parity with the session timezone DIRTY at
+    entry: the call goes through __spark_entry__'s wrap (exactly the
+    driver's path), whose tune_for_session must repin UTC before the
+    plan is built — and the repin must be OBSERVED, not assumed."""
+    q = REGISTRY[key]
+    df = ENTRY_QUERIES[key](spark, dst_sf_dir)
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC", (
+        "tune_for_session did not repin the session timezone"
+    )
+    result = compare(key, df, q.sql, dst_sf_dir, strict=True)
+    assert result.ok, (
+        f"{key}: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )
+
+
+def test_dirty_timezone_would_change_results(spark, dst_sf_dir):
+    """The axis has teeth: WITHOUT the repin, a New-York session tz
+    moves date_trunc day buckets (UTC instants before 05:00 fall on the
+    previous local day) — so the parity above is evidence the pin held,
+    not evidence timezones don't matter."""
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    df = spark.read.parquet(os.path.join(dst_sf_dir, "events.parquet"))
+    df.createOrReplaceTempView("dst_events_tz_probe")
+    q = (
+        "SELECT COUNT(DISTINCT date_trunc('DAY', ts)) AS n "
+        "FROM dst_events_tz_probe WHERE ts IS NOT NULL"
+    )
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc_days = spark.sql(q).collect()[0]["n"]
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny_buckets = spark.sql(q).collect()[0]["n"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
+        spark.catalog.dropTempView("dst_events_tz_probe")
+    # The bucket COUNT need not differ, but the bucket INSTANT must.
+    # NOTE a TIMESTAMP LITERAL can't show it: the literal parses in the
+    # session tz and renders in the same session tz — wall-clock in,
+    # wall-clock out. Parquet data is stored as INSTANTS, so probe a
+    # fixed instant (timestamp_micros): 1730601000000000 is
+    # 2024-11-03 02:30:00 UTC = 2024-11-02 22:30:00 EDT — a New-York
+    # session truncates it to local midnight Nov 2 (instant
+    # 2024-11-02 04:00:00Z), a UTC session to UTC midnight Nov 3.
+    probe = (
+        "SELECT unix_micros(date_trunc('DAY',"
+        " timestamp_micros(1730601000000000))) AS m"
+    )
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc_bucket = spark.sql(probe).collect()[0]["m"]
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny_bucket = spark.sql(probe).collect()[0]["m"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
+    assert utc_bucket != ny_bucket, (
+        f"expected tz-sensitive truncation, got {utc_bucket} == "
+        f"{ny_bucket} (utc_days={utc_days}, ny_buckets={ny_buckets})"
     )

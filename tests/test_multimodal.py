@@ -207,3 +207,34 @@ def test_unknown_magic_still_raises_codec_gap(spark):
     df = payload_df(spark, [(1, b"WEBP" + b"0004" + b"abcd")])
     with pytest.raises(Exception, match="codec for magic"):
         extract_metadata(df).collect()
+
+
+def test_null_payload_reports_null_n_bytes(spark):
+    """A NULL payload is a MISSING object, not a zero-byte one (ADVICE
+    r12): extract_metadata quarantines it with n_bytes NULL, while an
+    empty b'' payload in the same batch reports n_bytes 0 — the two
+    stay distinguishable for routing/accounting."""
+    df = spark.createDataFrame(
+        [(1, None), (2, bytearray(b""))], "doc_id long, payload binary"
+    )
+    got = {
+        r["doc_id"]: (r["fmt"], r["width"], r["height"], r["n_bytes"])
+        for r in extract_metadata(df).collect()
+    }
+    assert got[1] == (None, None, None, None)
+    assert got[2] == (None, None, None, 0)
+
+
+def test_truncated_foreign_magic_still_raises_codec_gap(spark):
+    """'Unknown codec stays loud' holds at every length (ADVICE r12): a
+    payload long enough to carry its magic (≥4 bytes) but shorter than
+    the full header must raise the codec-gap error when the magic is
+    foreign — only a <4-byte fragment (no identifiable format)
+    quarantines without a verdict."""
+    df = payload_df(spark, [(1, b"WEBPab")])  # 6 bytes, foreign magic
+    with pytest.raises(Exception, match="codec for magic"):
+        extract_metadata(df).collect()
+    # sub-magic fragment: quarantine, not a raise
+    assert decode_payload(b"WE") == {
+        "fmt": None, "width": None, "height": None, "n_bytes": 2,
+    }

@@ -1050,3 +1050,49 @@ def test_float_specials_engine_assumptions(spark):
 
     fn = [r.v for r in df.select(fin("x").alias("v")).collect()]
     assert fn[:3] == [None, None, None] and fn[3] == 1.25 and fn[4] is None
+
+
+def test_vec_dim_mode_memoized_per_corpus_content(spark, sf_dir, tmp_path):
+    """vec_dim_mode is an EAGER O(1)-result job — without memoization
+    every embedding key re-scans the corpus once per DataFrame
+    CONSTRUCTION, including plan/explain-only paths (ADVICE r12). Pin:
+    (a) same on-disk corpus → one scan, cached result served to later
+    calls (including through a FILTERED lineage of the same files);
+    (b) the cache is content-bound — rewriting the corpus in place
+    invalidates it; (c) an in-memory DataFrame (no file lineage) stays
+    uncached and still computes correctly."""
+    from serverless_etl_aws_spark.catalog import load_table
+    from serverless_etl_aws_spark.queries import _util
+    from serverless_etl_aws_spark.queries._util import (
+        clear_dim_mode_cache, vec_dim_mode,
+    )
+
+    clear_dim_mode_cache()
+    try:
+        raw = load_table(spark, sf_dir, "embeddings")
+        d1 = vec_dim_mode(raw)
+        assert d1 is not None and d1 > 0
+        assert len(_util._DIM_MODE_CACHE) == 1
+        cached = dict(_util._DIM_MODE_CACHE)
+        # second call (filtered lineage, same source files): cache hit,
+        # no new entry, same answer
+        d2 = vec_dim_mode(raw.filter("vec_id >= 0"))
+        assert d2 == d1 and _util._DIM_MODE_CACHE == cached
+
+        # content-bound: a DIFFERENT corpus file gets its own entry
+        import pyspark.sql.functions as F
+        small = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [3.0, 4.0]), (3, [5.0, 6.0, 7.0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = str(tmp_path / "emb2.parquet")
+        small.coalesce(1).write.mode("overwrite").parquet(out)
+        re = spark.read.parquet(out)
+        assert vec_dim_mode(re) == 2
+        assert len(_util._DIM_MODE_CACHE) == 2
+
+        # no file lineage: uncached but correct
+        assert vec_dim_mode(small) == 2
+        assert len(_util._DIM_MODE_CACHE) == 2
+    finally:
+        clear_dim_mode_cache()
