@@ -284,8 +284,16 @@ def ivf_topk(
 
     import numpy as np
 
-    emb = embeddings.select("vec_id", _to_double("embedding").alias("v"))
-    if embeddings.limit(1).count() == 0:
+    # A NULL vector is a missing embedding: it can neither train the
+    # quantizer (np.asarray over a sample containing None is
+    # inhomogeneous — the round-13 file-layout axis's all-NULL-column
+    # part file crashed exactly there) nor score in the batch matmul —
+    # excluded from the index outright, matching the brute-force path
+    # where a NULL embedding's cosine is NULL and filtered.
+    emb = embeddings.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", _to_double("embedding").alias("v")
+    )
+    if emb.limit(1).count() == 0:
         # empty corpus: nothing to train on, nothing to search — the
         # index build is a no-op and the result relation is empty
         return emb.select(
@@ -472,8 +480,12 @@ def pq_topk(
     (the ivf_topk tolerance note applies verbatim)."""
     import numpy as np
 
-    emb = embeddings.select("vec_id", _to_double("embedding").alias("v"))
-    if embeddings.limit(1).count() == 0:
+    # NULL vectors excluded for the same reason as ivf_topk (missing
+    # embedding: untrainable, unscorable — see the note there).
+    emb = embeddings.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", _to_double("embedding").alias("v")
+    )
+    if emb.limit(1).count() == 0:
         # empty corpus: no codebooks to train, nothing to search
         return emb.select(
             "vec_id", F.lit(0.0).cast("double").alias("cosine")

@@ -174,13 +174,23 @@ def dq_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nonfinite = F.expr(
         "size(filter(v, x -> isnan(x) or abs(x) = cast('Infinity' as double)))"
     )
+    # A NULL embedding is a MISSING vector (round-13 file-layout axis:
+    # an all-NULL-column part file is a realistic broken-writer shape):
+    # it has no dim, no norm, no components — it is COUNTED (n_null_vec,
+    # the audit reports, it never drops) but contributes nothing to the
+    # dim/zero/nonfinite/norm statistics. All per-vector expressions
+    # above yield NULL on a NULL v, so the aggregates below skip those
+    # rows natively; only the mean's denominator needs the non-null
+    # count, guarded for the all-NULL label.
     staged = emb.select(
         "label",
+        F.col("v").isNull().alias("is_null_vec"),
         F.size("v").alias("dim"),
         norm2_s.alias("norm2_s"),
         n_nonfinite.alias("n_nonfinite"),
     ).select(
         "label",
+        "is_null_vec",
         "dim",
         "n_nonfinite",
         F.floor(
@@ -188,8 +198,12 @@ def dq_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.lit(1e6)
         ).cast("long").alias("norm_q6"),
     )
+    n_normed = F.count("norm_q6")
     return staged.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(
+            F.when(F.col("is_null_vec"), 1).otherwise(0)
+        ).cast("long").alias("n_null_vec"),
         F.sum(
             F.when(F.col("dim") != EMB_DIM, 1).otherwise(0)
         ).cast("long").alias("n_dim_drift"),
@@ -197,10 +211,13 @@ def dq_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("norm_q6") == 0, 1).otherwise(0)
         ).cast("long").alias("n_zero_vec"),
         F.sum("n_nonfinite").cast("long").alias("n_nonfinite"),
-        fquant(
-            F.sum("norm_q6").cast("double")
-            / (F.count(F.lit(1)) * 1000000).cast("double"),
-            6,
+        F.when(
+            n_normed > 0,
+            fquant(
+                F.sum("norm_q6").cast("double")
+                / (n_normed * 1000000).cast("double"),
+                6,
+            ),
         ).alias("mean_norm"),
         (F.min("norm_q6").cast("double") / 1e6).alias("min_norm"),
         (F.max("norm_q6").cast("double") / 1e6).alias("max_norm"),
@@ -210,31 +227,45 @@ def dq_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 DQ_EMBEDDING_AUDIT_SQL = f"""
 WITH staged AS (
     SELECT label,
+           embedding IS NULL AS is_null_vec,
            len(embedding) AS dim,
-           COALESCE(list_sum(list_transform(
-             list_filter(embedding, x -> isfinite(CAST(x AS DOUBLE))),
-             x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-                             * 1e12) AS BIGINT))), 0) AS norm2_s,
+           -- COALESCE only for a NON-NULL all-poisoned vector (its
+           -- filtered list is empty; Spark's fold seed is 0). A NULL
+           -- embedding has NO norm — it must stay NULL, not 0 (the
+           -- round-13 file-layout axis caught the conflation: an
+           -- all-NULL-column part file read as a batch of zero-norm
+           -- vectors and dragged min_norm to 0).
+           CASE WHEN embedding IS NULL THEN NULL
+                ELSE COALESCE(list_sum(list_transform(
+                  list_filter(embedding,
+                              x -> isfinite(CAST(x AS DOUBLE))),
+                  x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                  * 1e12) AS BIGINT))), 0)
+           END AS norm2_s,
            len(list_filter(embedding,
              x -> isnan(CAST(x AS DOUBLE))
                   OR isinf(CAST(x AS DOUBLE)))) AS n_nonfinite
     FROM embeddings
 ), q AS (
-    SELECT label, dim, n_nonfinite,
+    SELECT label, is_null_vec, dim, n_nonfinite,
            CAST(floor(sqrt(CAST(norm2_s AS DOUBLE) / 1e12) * 1e6)
                 AS BIGINT) AS norm_q6
     FROM staged
 )
 SELECT label,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN is_null_vec THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_vec,
        CAST(SUM(CASE WHEN dim <> {EMB_DIM} THEN 1 ELSE 0 END)
             AS BIGINT) AS n_dim_drift,
        CAST(SUM(CASE WHEN norm_q6 = 0 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_zero_vec,
        CAST(SUM(n_nonfinite) AS BIGINT) AS n_nonfinite,
-       floor(CAST(SUM(norm_q6) AS DOUBLE)
-             / CAST(COUNT(*) * 1000000 AS DOUBLE)
-             * 1000000.0) / 1000000.0 AS mean_norm,
+       CASE WHEN COUNT(norm_q6) > 0 THEN
+         floor(CAST(SUM(norm_q6) AS DOUBLE)
+               / CAST(COUNT(norm_q6) * 1000000 AS DOUBLE)
+               * 1000000.0) / 1000000.0
+       END AS mean_norm,
        CAST(MIN(norm_q6) AS DOUBLE) / 1e6 AS min_norm,
        CAST(MAX(norm_q6) AS DOUBLE) / 1e6 AS max_norm
 FROM q GROUP BY label

@@ -83,8 +83,20 @@ def stage_events_dir(
         shutil.rmtree(src)
     os.makedirs(src)
     if n_files == 1:
-        shutil.copy(os.path.join(sf_dir, "events.parquet"),
-                    os.path.join(src, "events_0.parquet"))
+        fixture = os.path.join(sf_dir, "events.parquet")
+        if os.path.isdir(fixture):
+            # Multi-file fixture layout (round-13 file-layout axis): the
+            # staged copy must still be ONE file so the file source's
+            # processing order stays pinned — consolidate via pyarrow
+            # (read_table accepts a directory).
+            import pyarrow.parquet as pq
+
+            pq.write_table(
+                pq.read_table(fixture),
+                os.path.join(src, "events_0.parquet"),
+            )
+        else:
+            shutil.copy(fixture, os.path.join(src, "events_0.parquet"))
         return src
     split_parquet_by_mod(
         os.path.join(sf_dir, "events.parquet"), src, n_files,

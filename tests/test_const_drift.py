@@ -1433,3 +1433,103 @@ def test_dirty_timezone_would_change_results(spark, dst_sf_dir):
         f"expected tz-sensitive truncation, got {utc_bucket} == "
         f"{ny_bucket} (utc_days={utc_days}, ny_buckets={ny_buckets})"
     )
+
+
+# ---------------------------------------------------------------------------
+# 23rd axis (VERDICT r12 directive #4): ADVERSARIAL FILE LAYOUT. Every
+# fixture so far is one tidy parquet FILE per table; real lake tables are
+# directories of part files written by different jobs over time — column
+# orders drift, writers disagree about dictionary encoding, row groups
+# come tiny, and some part file has a column that is entirely NULL (so
+# its dictionary/statistics pages are degenerate). The VALUES are the
+# base corpus (only the designated null-column chunk differs), so this
+# axis perturbs STRUCTURE a scan must absorb: catalog.load_table's
+# footer sniffing (first-member walk on a directory), declared-schema
+# column-order pinning, DuckDB's by-name multi-file bind, pyarrow
+# dataset reads in the staging helpers (stage_events_dir,
+# split_parquet_by_mod, scan_merge_schema's orders staging, the
+# corpus_cache_key walk), and row-group-granular operators
+# (maintenance_zorder) over 100-row groups.
+
+#: Per-table column whose THIRD chunk is written entirely NULL (one
+#: all-NULL-column part file per table). Dimension minis (region,
+#: nation) get the layout treatment without the null chunk.
+LAYOUT_NULL_COL = {
+    "events": "value",
+    "lineitem": "l_discount",
+    "orders": "o_totalprice",
+    "customer": "c_acctbal",
+    "supplier": "s_acctbal",
+    "part": "p_retailprice",
+    "documents": "text",
+    "embeddings": "embedding",
+}
+
+
+@pytest.fixture(scope="session")
+def layout_sf_dir(tmp_path_factory) -> str:
+    """Rewrite every table as a DIRECTORY of 3 part files: part-000 in
+    the original column order (dictionary encoding, 100-row groups),
+    part-001 with the column order REVERSED and dictionary encoding OFF,
+    part-002 with the column order ROTATED and the designated column
+    all-NULL. Values otherwise identical to the base corpus."""
+    dst = str(tmp_path_factory.mktemp("layoutfix"))
+    for f in sorted(os.listdir(SRC)):
+        if not f.endswith(".parquet"):
+            continue
+        name = f[:-8]
+        tbl = pq.read_table(os.path.join(SRC, f))
+        names = tbl.schema.names
+        n = tbl.num_rows
+        third = max(1, n // 3)
+        tdir = os.path.join(dst, f)
+        os.makedirs(tdir)
+        c0 = tbl.slice(0, third)
+        c1 = tbl.slice(third, third).select(list(reversed(names)))
+        c2 = tbl.slice(2 * third).select(names[1:] + names[:1])
+        null_col = LAYOUT_NULL_COL.get(name)
+        if null_col is not None and c2.num_rows:
+            idx = c2.schema.get_field_index(null_col)
+            field = c2.schema.field(null_col)
+            c2 = c2.set_column(
+                idx, field, pa.nulls(c2.num_rows, type=field.type)
+            )
+        pq.write_table(
+            c0, os.path.join(tdir, "part-000.parquet"), row_group_size=100
+        )
+        pq.write_table(
+            c1, os.path.join(tdir, "part-001.parquet"), row_group_size=100,
+            use_dictionary=False,
+        )
+        pq.write_table(
+            c2, os.path.join(tdir, "part-002.parquet"), row_group_size=100
+        )
+    return dst
+
+
+@pytest.mark.parametrize("key", sorted(REGISTRY))
+def test_layout_drift_parity(spark, layout_sf_dir, key):
+    q = REGISTRY[key]
+    result = compare(
+        key, q.fn(spark, layout_sf_dir), q.sql, layout_sf_dir,
+        strict=True,
+    )
+    assert result.ok, (
+        f"{key}: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )
+
+
+def test_layout_fixture_column_order_is_pinned(spark, layout_sf_dir):
+    """load_table returns the DECLARED column order for every table no
+    matter which part file a split starts in, and the events footer
+    sniff resolves the directory layout."""
+    from serverless_etl_aws_spark.catalog import events_ts_unit, load_table
+    from serverless_etl_aws_spark.schemas import TABLES
+
+    for name, schema in TABLES.items():
+        df = load_table(spark, layout_sf_dir, name)
+        assert df.columns == [f.name for f in schema.fields], name
+    assert events_ts_unit(
+        os.path.join(layout_sf_dir, "events.parquet")
+    ) == "us"

@@ -2129,3 +2129,277 @@ def test_bfs_final_plan_reads_checkpoint_only(spark, sf_dir):
     plan = plan_of(graph_bfs(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "Scan ExistingRDD" in plan  # checkpointed frontier state
+
+
+# ---------------------------------------------------------------------------
+# Round-13 wave (VERDICT r12 directive #5): 20 more pins down the
+# BENCH_DETAIL warm-time ranking — headed by the three r12 beyond-spread
+# bench movers (join_semi / agg_distinct / stream_session), whose missing
+# plan pins are exactly what made their adjudication a manual audit
+# instead of a mechanical artifact diff.
+
+
+def test_join_semi_is_broadcast_left_semi(spark, sf_dir):
+    """join_semi (r12 bench mover): the urgent-orders side reduces to a
+    BROADCAST build and the join stays LeftSemi — no row multiplication,
+    no shuffle of the customer side, no distinct-after-inner rewrite."""
+    from serverless_etl_aws_spark.queries.joins import join_semi
+
+    plan = plan_of(join_semi(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_agg_distinct_two_phase_rewrite(spark, sf_dir):
+    """agg_distinct (r12 bench mover): COUNT(DISTINCT) + COUNT(*) in one
+    pass compiles to the two-phase distinct-aggregate rewrite — four
+    HashAggregate stages around two exchanges, one scan; never a
+    self-join of the orders table."""
+    from serverless_etl_aws_spark.queries.aggregates import agg_distinct
+
+    plan = plan_of(agg_distinct(spark, sf_dir))
+    assert plan.count("HashAggregate") == 4
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_stream_session_result_is_materialized_read(spark, sf_dir):
+    """stream_session (r12 bench mover; EAGER streaming key): the
+    session-window job runs at build time and the RETURNED relation is a
+    plain read of the committed result — the plan a repeated consumer
+    re-executes must contain no join, no window, no product."""
+    from serverless_etl_aws_spark.queries.streaming_ops import stream_session
+
+    plan = plan_of(stream_session(spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
+    for node in ("Join", "Window", "CartesianProduct", "FileScan parquet"):
+        assert node not in plan, node
+
+
+def test_graph_components_final_plan_reads_checkpoint(spark, sf_dir):
+    """graph_components (compute-eager): after the iterative min-label
+    loop (pinned by the operator tests), the returned relation is the
+    checkpointed component state + ONE broadcast equi-join to attach
+    names — never a product, never a sort-merge of the iteration body."""
+    from serverless_etl_aws_spark.queries.extras19 import graph_components
+
+    plan = plan_of(graph_components(spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_agg_funnel_dims_broadcast_no_product(spark, sf_dir):
+    """agg_funnel: every stage-to-stage attach is a broadcast equi-join
+    (the funnel stages are tiny aggregates); the event scan never
+    shuffles into a sort-merge join and never meets a product."""
+    from serverless_etl_aws_spark.queries.extras3 import agg_funnel
+
+    plan = plan_of(agg_funnel(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_probe_side_broadcast(spark, sf_dir):
+    """llm_hard_negatives: the probe set is the BROADCAST build of the
+    scoring join (BroadcastNestedLoopJoin with a k-row build side is the
+    intended node — the corpus side must never shuffle or sort-merge),
+    and candidate explosion happens via Generate, not a self-join."""
+    from serverless_etl_aws_spark.queries.extras8 import llm_hard_negatives
+
+    plan = plan_of(llm_hard_negatives(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Generate" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_udaf_grouped_single_shuffle_pandas_agg(spark, sf_dir):
+    """udaf_grouped: ONE exchange on the grouping key feeding
+    FlatMapGroupsInPandas — the Arrow-batched grouped-UDAF shape; a
+    second exchange would mean the groups are being re-shuffled."""
+    from serverless_etl_aws_spark.queries.udx import udaf_grouped
+
+    plan = plan_of(udaf_grouped(spark, sf_dir))
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_udf_cogrouped_two_sides_one_cogroup(spark, sf_dir):
+    """udf_cogrouped: each side shuffles ONCE on the cogroup key into a
+    single FlatMapCoGroupsInPandas — no join node before the cogroup
+    (the cogroup IS the join), no extra exchange after."""
+    from serverless_etl_aws_spark.queries.udx import udf_cogrouped
+
+    plan = plan_of(udf_cogrouped(spark, sf_dir))
+    assert plan.count("FlatMapCoGroupsInPandas") == 1
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan
+
+
+def test_agg_unpivot_expands_via_generate_single_scan(spark, sf_dir):
+    """agg_unpivot: wide→long goes through ONE Generate over ONE scan
+    (melt-in-place) — never a per-measure UNION of re-scans."""
+    from serverless_etl_aws_spark.queries.extras5 import agg_unpivot
+
+    plan = plan_of(agg_unpivot(spark, sf_dir))
+    assert "Generate" in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "Union" not in plan
+
+
+def test_fn_try_cast_fused_single_scan(spark, sf_dir):
+    """fn_try_cast: per-row try_cast projection stays inside one
+    whole-stage-codegen span over one scan — no exchange, no Python."""
+    from serverless_etl_aws_spark.queries.extras12 import fn_try_cast
+
+    plan = plan_of(fn_try_cast(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange" not in plan
+    assert "*(1)" in plan
+    assert "EvalPython" not in plan
+
+
+def test_agg_approx_quantile_partial_sketch_merge(spark, sf_dir):
+    """agg_approx_quantile: the KLL/GK sketch aggregates partially on
+    the map side and merges after ONE exchange (two ObjectHashAggregate
+    stages) — the sketch never ships raw rows to one node."""
+    from serverless_etl_aws_spark.queries.extras2 import agg_approx_quantile
+
+    plan = plan_of(agg_approx_quantile(spark, sf_dir))
+    assert plan.count("ObjectHashAggregate") == 2
+    assert plan.count("Exchange") == 1
+
+
+def test_fn_json_parses_jvm_side_single_scan(spark, sf_dir):
+    """fn_json: from_json/get_json_object run as JVM expressions over
+    one scan — no Python eval, no exchange, no generate-explode (the
+    key projects typed fields, it doesn't flatten)."""
+    from serverless_etl_aws_spark.queries.scalar_fns import fn_json
+
+    plan = plan_of(fn_json(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_mm_audio_window_single_arrow_pass(spark, sf_dir):
+    """mm_audio_window: ONE Arrow-batched MapInPandas pass over one
+    scan, no shuffle — the multimodal batch-transform shape (payload
+    bytes cross the JVM↔Python boundary exactly once)."""
+    from serverless_etl_aws_spark.queries.llm import mm_audio_window
+
+    plan = plan_of(mm_audio_window(spark, sf_dir))
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange" not in plan
+
+
+def test_join_asof_tolerance_no_product(spark, sf_dir):
+    """join_asof_tolerance: the as-of match resolves via time-bucket
+    equi-join + window rank — never a range cross-product, never a
+    nested-loop spread of the probe side."""
+    from serverless_etl_aws_spark.queries.joins import join_asof_tolerance
+
+    plan = plan_of(join_asof_tolerance(spark, sf_dir))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_win_sessionize_single_user_shuffle(spark, sf_dir):
+    """win_sessionize: gap-flag + running session id are windows over
+    the SAME user/ts ordering — one scan, windows stacked on one
+    partitioning, no join."""
+    from serverless_etl_aws_spark.queries.extras3 import win_sessionize
+
+    plan = plan_of(win_sessionize(spark, sf_dir))
+    assert plan.count("Window") >= 1
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_subquery_scalar_broadcast_not_recompute_per_row(spark, sf_dir):
+    """subquery_scalar: the scalar aggregate attaches via broadcast
+    equi/1×1 join — the per-row plan never re-executes the aggregate
+    subtree as a correlated loop (no product nodes)."""
+    from serverless_etl_aws_spark.queries.extras import subquery_scalar
+
+    plan = plan_of(subquery_scalar(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_dedup_hash_only_shuffle(spark, sf_dir):
+    """llm_cross_dedup: the cross-snapshot match joins on content HASH
+    (broadcast of the smaller snapshot's hash set) — document text
+    never shuffles, and the plan carries no product."""
+    from serverless_etl_aws_spark.queries.extras3 import llm_cross_dedup
+
+    plan = plan_of(llm_cross_dedup(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zscore_outlier_stats_broadcast_back(spark, sf_dir):
+    """agg_zscore_outlier: per-group stats aggregate once and broadcast
+    back onto the row stream (BHJ) — never a self-join shuffle of the
+    full fact table against itself."""
+    from serverless_etl_aws_spark.queries.extras2 import agg_zscore_outlier
+
+    plan = plan_of(agg_zscore_outlier(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("FileScan parquet") == 2  # fact + stats branch
+
+
+def test_win_frame_range_time_single_window(spark, sf_dir):
+    """win_frame_range_time: the time-range frame is ONE Window over one
+    sort/exchange on (user, ts) — no join, no second shuffle."""
+    from serverless_etl_aws_spark.queries.extras9 import win_frame_range_time
+
+    plan = plan_of(win_frame_range_time(spark, sf_dir))
+    assert plan.count("Window") == 1
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_sim_search_jvm_topk_no_python(spark, sf_dir):
+    """llm_sim_search: brute-force cosine is a pure-JVM
+    aggregate(zip_with) expression (no Python eval nodes), the probe
+    attaches via a 1-row broadcast, and top-k is TakeOrderedAndProject
+    — never a global sort of the scored corpus."""
+    from serverless_etl_aws_spark.queries.llm import llm_sim_search
+
+    plan = plan_of(llm_sim_search(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sample_hash_fused_single_scan(spark, sf_dir):
+    """sample_hash: deterministic hash-mod sampling is a fused
+    filter+project over one scan — no exchange, no Python, no sort
+    (sampling must not cost a shuffle at any scale)."""
+    from serverless_etl_aws_spark.queries.extras import sample_hash
+
+    plan = plan_of(sample_hash(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange" not in plan and "Sort" not in plan
+    assert "*(1)" in plan
+
+
+def test_bpe_encode_final_plan_reads_checkpoint(spark, sf_dir):
+    """llm_bpe_encode (compute-eager): the iterative merge loop runs at
+    build (pinned by the BPE operator tests); the returned relation
+    reads checkpointed state — no join or product re-enters it."""
+    from serverless_etl_aws_spark.queries.extras9 import llm_bpe_encode
+
+    plan = plan_of(llm_bpe_encode(spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan

@@ -2431,6 +2431,7 @@ def test_embedding_audit_matches_numpy_norms(spark):
         norms = np.sqrt((m**2).sum(axis=1))
         row = got.loc[lab]
         assert row["n_vecs"] == len(grp)
+        assert row["n_null_vec"] == 0  # base fixture: no missing vectors
         assert row["n_dim_drift"] == int((m.shape[1] != 64) * len(grp))
         assert row["n_zero_vec"] == int((norms < 1e-6).sum())
         assert row["n_nonfinite"] == int((~np.isfinite(m)).sum())
