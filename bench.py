@@ -136,6 +136,39 @@ def main() -> None:
             "3x on a post-sweep dirty box that halved after a scratch "
             "clean + re-run (maintenance_compact 13.4->5.1)."
         ),
+        "join_semi": (
+            "r13: r11->r12 delta +0.78s exceeded spread 0.134 - "
+            "environmental, not structural. Code byte-identical r11->r12 "
+            "(git log --stat: no r12 commit touched joins.py); the "
+            "broadcast-left-semi plan is now PINNED "
+            "(test_join_semi_is_broadcast_left_semi); idle-box "
+            "median-of-3 re-run (loadavg_1m 0.22 at start, no other "
+            "Spark JVMs) = 0.552s warm median [0.769, 0.552, 0.548], "
+            "well under the r12 0.936 and still declining - the r12 "
+            "number carried uniform box contention plus first-touch "
+            "broadcast machinery."
+        ),
+        "agg_distinct": (
+            "r13: r11->r12 delta +0.43s exceeded spread 0.116 - "
+            "environmental, same evidence shape as join_semi: code "
+            "byte-identical r11->r12, two-phase distinct-aggregate "
+            "rewrite now PINNED (test_agg_distinct_two_phase_rewrite), "
+            "idle-box median-of-3 = 0.536s [0.705, 0.503, 0.536] vs "
+            "the r12 0.759."
+        ),
+        "stream_session": (
+            "r13: r11->r12 delta +2.85s vs spread 2.18 - GC "
+            "sensitivity, not plan: code untouched r11->r12, the "
+            "result relation is pinned as a materialized read "
+            "(test_stream_session_result_is_materialized_read). "
+            "Idle-box re-runs WITH an explicit JVM System.gc between "
+            "runs sit at 1.68-2.01s; WITHOUT one the key escalates "
+            "4.9 -> 16 -> 21s as heap pressure from preceding keys "
+            "lands on its state-store/checkpoint I/O - the streaming "
+            "family's wall time is a GC barometer (matches the r12 "
+            "'post-sweep dirty box 3x' note). Read it from median + "
+            "spread + box_env, never the single number."
+        ),
         "topk_per_group": (
             "r12: r10→r11 delta +0.27s exceeded spread 0.077 — "
             "plan-identical, box. The Spark-side function is "

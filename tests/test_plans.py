@@ -2403,3 +2403,191 @@ def test_bpe_encode_final_plan_reads_checkpoint(spark, sf_dir):
     assert "Scan ExistingRDD" in plan
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+# Second round-13 wave: the three NEWLY-ROTATED driver-audit keys (their
+# plans deserve pins the round their correctness gets driver exposure)
+# plus the next block down the warm-time ranking.
+
+
+def test_win_streak_uses_window_group_limit(spark, sf_dir):
+    """win_streak (r13 driver-audit slot): the per-user streak pick rides
+    Spark 4's WindowGroupLimit pushdown (rank filter prunes partitions
+    before the full window evaluates) — one scan, no join."""
+    from serverless_etl_aws_spark.queries.extras13 import win_streak
+
+    plan = plan_of(win_streak(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_agg_corr_single_pass_partial(spark, sf_dir):
+    """agg_corr (r13 driver-audit slot): the correlation's power sums
+    aggregate partially map-side around ONE exchange over ONE scan —
+    never a self-join of the measures."""
+    from serverless_etl_aws_spark.queries.extras13 import agg_corr
+
+    plan = plan_of(agg_corr(spark, sf_dir))
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_join_lateral_decorrelates_to_window_limit(spark, sf_dir):
+    """join_lateral (r13 driver-audit slot): the per-customer lateral
+    top-k decorrelates to a window-group-limit + broadcast equi-join —
+    never a correlated nested loop, never a product."""
+    from serverless_etl_aws_spark.queries.extras13 import join_lateral
+
+    plan = plan_of(join_lateral(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stream_tumbling_result_is_materialized_read(spark, sf_dir):
+    """stream_tumbling (EAGER): the drained AvailableNow result is a
+    checkpointed in-memory relation — re-consuming it re-reads state,
+    never re-runs the stream (no scan/join/window in the final plan)."""
+    from serverless_etl_aws_spark.queries.streaming_ops import stream_tumbling
+
+    plan = plan_of(stream_tumbling(spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
+    for node in ("Join", "Window", "FileScan parquet"):
+        assert node not in plan, node
+
+
+def test_win_percent_rank_single_window(spark, sf_dir):
+    """win_percent_rank: one Window over one exchange, one scan."""
+    from serverless_etl_aws_spark.queries.extras2 import win_percent_rank
+
+    plan = plan_of(win_percent_rank(spark, sf_dir))
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_win_ignore_nulls_single_window(spark, sf_dir):
+    """win_ignore_nulls: the IGNORE NULLS gap-fill is ONE Window pass —
+    never a self-join backfill."""
+    from serverless_etl_aws_spark.queries.extras12 import win_ignore_nulls
+
+    plan = plan_of(win_ignore_nulls(spark, sf_dir))
+    assert plan.count("Window") == 1
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_join_full_outer_sort_merge(spark, sf_dir):
+    """join_full_outer: FULL OUTER cannot broadcast — the correct shape
+    is a sort-merge join on the key, and never a product."""
+    from serverless_etl_aws_spark.queries.joins import join_full_outer
+
+    plan = plan_of(join_full_outer(spark, sf_dir))
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fn_url_fused_single_scan(spark, sf_dir):
+    """fn_url: parse_url/regexp projections stay fused JVM-side over one
+    scan — no exchange, no Python eval."""
+    from serverless_etl_aws_spark.queries.extras6 import fn_url
+
+    plan = plan_of(fn_url(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "*(1)" in plan
+
+
+def test_fn_math_cond_fused_single_scan(spark, sf_dir):
+    """fn_math_cond: math + CASE chains compile into one codegen span
+    over one scan."""
+    from serverless_etl_aws_spark.queries.scalar_fns import fn_math_cond
+
+    plan = plan_of(fn_math_cond(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange" not in plan
+    assert "*(1)" in plan
+
+
+def test_agg_conditional_partial_agg_single_scan(spark, sf_dir):
+    """agg_conditional: FILTER-clause aggregates fold into ONE two-phase
+    aggregation over ONE scan — never one scan per conditional sum."""
+    from serverless_etl_aws_spark.queries.extras7 import agg_conditional
+
+    plan = plan_of(agg_conditional(spark, sf_dir))
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_sample_weighted_fused_no_shuffle(spark, sf_dir):
+    """sample_weighted: deterministic weighted sampling is a fused
+    filter over one scan — sampling never costs a shuffle."""
+    from serverless_etl_aws_spark.queries.extras14 import sample_weighted
+
+    plan = plan_of(sample_weighted(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange" not in plan
+
+
+def test_quality_score_jvm_only_single_scan(spark, sf_dir):
+    """llm_quality_score: the per-doc quality features are pure JVM
+    string expressions over one scan — no Python in the hot path."""
+    from serverless_etl_aws_spark.queries.llm import llm_quality_score
+
+    plan = plan_of(llm_quality_score(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "Exchange" not in plan
+
+
+def test_lang_id_jvm_only_single_scan(spark, sf_dir):
+    """llm_lang_id: n-gram language ID scores entirely in JVM
+    expressions over one scan — no Python, no shuffle."""
+    from serverless_etl_aws_spark.queries.llm import llm_lang_id
+
+    plan = plan_of(llm_lang_id(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "Exchange" not in plan
+
+
+def test_mm_frame_sample_single_arrow_pass(spark, sf_dir):
+    """mm_frame_sample: one Arrow-batched MapInPandas pass, no shuffle
+    (same multimodal batch-transform contract as mm_audio_window)."""
+    from serverless_etl_aws_spark.queries.llm import mm_frame_sample
+
+    plan = plan_of(mm_frame_sample(spark, sf_dir))
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange" not in plan
+
+
+def test_span_corruption_generate_single_scan(spark, sf_dir):
+    """llm_span_corruption: span explosion is ONE Generate over ONE
+    scan with partial aggregation — no join, no Python."""
+    from serverless_etl_aws_spark.queries.extras9 import llm_span_corruption
+
+    plan = plan_of(llm_span_corruption(spark, sf_dir))
+    assert "Generate" in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_scan_csv_reads_csv_source(spark, sf_dir):
+    """scan_csv (EAGER staging): the returned relation is a real CSV
+    FileScan with the declared schema — the format round-trip is the
+    contract (write parquet→csv→read)."""
+    from serverless_etl_aws_spark.queries.extras import scan_csv
+
+    plan = plan_of(scan_csv(spark, sf_dir))
+    assert "FileScan csv" in plan
+    assert "FileScan parquet" not in plan
