@@ -123,6 +123,17 @@ def main() -> None:
     # inside BENCH_DETAIL.json next to the spread data and survives
     # regeneration. Keys: registry key → "round: verdict".
     ADJUDICATIONS = {
+        "_suite_r13": (
+            "r13: warm_total 305.6s vs r12's 297.2 - flat. This round's "
+            "committed BENCH_DETAIL was taken on a RECORDED-idle box "
+            "(box_env: loadavg_1m 0.22, 0 other Spark JVMs) after a "
+            "scratch clean; a first run on a dirty scratch measured "
+            "345.5s with the excess concentrated in the I/O-heavy "
+            "rollup/maintenance/stream_stateful keys (stream_stateful "
+            "spread 5.98 dirty vs 0.46 clean) - consistent with the "
+            "r12 'post-sweep dirty box' note, now a recorded fact via "
+            "box_env instead of an inference."
+        ),
         "_suite": (
             "r12: warm_total 327s vs r11's 204s is a UNIFORM x1.37 "
             "median ratio across all 261 keys including untouched "
