@@ -269,3 +269,46 @@ def test_event_type_labels_match_pinned_vocabulary():
             f"for every class; extend EVENT_TYPES (and the oracle SQL "
             f"generator) deliberately"
         )
+
+
+def test_events_ms_unit_reads_and_matches_oracle(spark, tmp_path):
+    """A timestamp[ms] events file — the third storage unit a writer
+    could plausibly emit after the ns→µs fixture drift — reads through
+    events_reader_setup's µs-schema branch (Spark converts ms→µs on
+    read) and stays oracle-parity (probed round 13; pinned so a future
+    reader refactor can't silently break the ms path)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from serverless_etl_aws_spark.catalog import events_ts_unit
+    from serverless_etl_aws_spark.compare import run_all
+
+    src = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(src, "events.parquet")):
+        pytest.skip("no sf0.001 fixture")
+    dst = str(tmp_path / "msfix")
+    os.makedirs(dst)
+    for f in os.listdir(src):
+        if not f.endswith(".parquet"):
+            continue
+        if f == "events.parquet":
+            tbl = pq.read_table(os.path.join(src, f))
+            i = tbl.schema.get_field_index("ts")
+            # floor to ms first: a genuine ms writer never stored sub-ms
+            col = pc.floor_temporal(tbl["ts"], unit="millisecond").cast(
+                pa.timestamp("ms")
+            )
+            tbl = tbl.set_column(i, "ts", col)
+            pq.write_table(tbl, os.path.join(dst, f))
+        else:
+            shutil.copy(os.path.join(src, f), os.path.join(dst, f))
+    assert events_ts_unit(os.path.join(dst, "events.parquet")) == "ms"
+    results = run_all(
+        spark, dst,
+        ["ts_gap_detect", "stream_tumbling", "win_lag_lead", "fn_date"],
+        strict=True,
+    )
+    for r in results:
+        assert r.ok, (r.key, r.detail)
