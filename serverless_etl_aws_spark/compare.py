@@ -21,12 +21,35 @@ from . import schemas
 from .catalog import table_path
 
 
+#: Spark declared type → DuckDB view type. The oracle views mirror the
+#: ENGINE's declared-schema read (catalog.load_table applies
+#: schemas.TABLES on scan), so a file whose physical types drifted
+#: narrower (int32 ids, float32 measures — the round-13 type-narrow
+#: axis) is widened identically on both sides. On a proper fixture
+#: every cast is an identity. Without this, DuckDB computes directly on
+#: the stored FLOAT and e.g. median interpolation runs in float32 —
+#: one ulp off the engine's widened-to-double arithmetic (caught by
+#: ml_auc/ts_anomaly_mad on the axis's first full run).
+_DUCK_TYPES = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "double": "DOUBLE",
+    "string": "VARCHAR",
+    "timestamp": "TIMESTAMP",
+    "array<float>": "FLOAT[]",
+}
+
+
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    """Register fixture views the way the driver does (plain read_parquet).
+    """Register fixture views the way the driver does (read_parquet),
+    normalized to the DECLARED schema types (see ``_DUCK_TYPES``).
 
     Directory-layout tables (Spark-written ``name.parquet/`` dirs, which
     ``catalog.load_table`` reads fine) get a recursive glob; quotes in the
-    path are SQL-escaped so an odd fixture dir can't break the DDL."""
+    path are SQL-escaped so an odd fixture dir can't break the DDL.
+    A raw epoch-ns INT64 ``ts`` (the legacy fixture encoding) mirrors the
+    engine's integer floor-division to µs (``make_timestamp``);
+    TIMESTAMP_NS casts truncate to µs on both engines identically."""
     import os
 
     con = duckdb.connect()
@@ -36,7 +59,30 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
             path = os.path.join(path, "**", "*.parquet")
         path_sql = path.replace("'", "''")
         con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path_sql}')"
+            f"CREATE VIEW raw_{name} AS "
+            f"SELECT * FROM read_parquet('{path_sql}')"
+        )
+        declared = {
+            f.name: _DUCK_TYPES[f.dataType.simpleString()]
+            for f in schemas.TABLES[name].fields
+        }
+        cols = []
+        for colname, dtype, *_ in con.execute(
+            f"DESCRIBE raw_{name}"
+        ).fetchall():
+            want = declared.get(colname)
+            have = dtype.upper()
+            if want is None or have == want:
+                cols.append(colname)
+            elif want == "TIMESTAMP" and have == "BIGINT":
+                cols.append(
+                    f"make_timestamp({colname} // 1000) AS {colname}"
+                )
+            else:
+                cols.append(f"CAST({colname} AS {want}) AS {colname}")
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT {', '.join(cols)} "
+            f"FROM raw_{name}"
         )
     return con
 

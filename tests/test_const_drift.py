@@ -1533,3 +1533,57 @@ def test_layout_fixture_column_order_is_pinned(spark, layout_sf_dir):
     assert events_ts_unit(
         os.path.join(layout_sf_dir, "events.parquet")
     ) == "us"
+
+
+# ---------------------------------------------------------------------------
+# 24th axis: PHYSICAL-TYPE DRIFT. A realistic writer regression stores
+# columns NARROWER than the declared schema (int32 ids from a C writer,
+# float32 measures from an ML pipeline) — the declared-schema read must
+# widen losslessly and identically on both engines. Probed CLEAN on
+# first run (round 13): Spark 4's vectorized parquet reader upcasts
+# int32→long and float→double under spark.read.schema, and DuckDB's
+# by-name bind widens the same way. Pinned because the failure mode if
+# either side ever stops widening is a LOUD read error or a silent
+# last-ulp drift — both caught here within one round.
+
+TYPE_NARROW = {
+    "events": {"value": "float32", "user_id": "int32"},
+    "lineitem": {"l_quantity": "float32"},
+    "orders": {"o_custkey": "int32"},
+    "customer": {"c_custkey": "int32"},
+}
+
+
+@pytest.fixture(scope="session")
+def typenarrow_sf_dir(tmp_path_factory) -> str:
+    """Fixture copy with NARROWED physical column types (values are the
+    narrowed values — both engines read the same file, so parity is
+    over identical inputs; the axis exercises the WIDENING read path,
+    scan pushdown over narrowed columns, and join keys whose two sides
+    now store different physical widths)."""
+    dst = str(tmp_path_factory.mktemp("typenarrowfix"))
+    for f in sorted(os.listdir(SRC)):
+        if not f.endswith(".parquet"):
+            continue
+        name = f[:-8]
+        tbl = pq.read_table(os.path.join(SRC, f))
+        for col, typ in TYPE_NARROW.get(name, {}).items():
+            idx = tbl.schema.get_field_index(col)
+            tbl = tbl.set_column(
+                idx, col, tbl[col].cast(pa.type_for_alias(typ))
+            )
+        pq.write_table(tbl, os.path.join(dst, f))
+    return dst
+
+
+@pytest.mark.parametrize("key", sorted(REGISTRY))
+def test_typenarrow_drift_parity(spark, typenarrow_sf_dir, key):
+    q = REGISTRY[key]
+    result = compare(
+        key, q.fn(spark, typenarrow_sf_dir), q.sql, typenarrow_sf_dir,
+        strict=True,
+    )
+    assert result.ok, (
+        f"{key}: {result.detail} "
+        f"(spark={result.rows_spark}, oracle={result.rows_oracle})"
+    )

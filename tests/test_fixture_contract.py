@@ -312,3 +312,69 @@ def test_events_ms_unit_reads_and_matches_oracle(spark, tmp_path):
     )
     for r in results:
         assert r.ok, (r.key, r.detail)
+
+
+def test_oracle_views_normalize_declared_types(tmp_path):
+    """duckdb_connect's views mirror the ENGINE's declared-schema read:
+    a float32-stored measure widens to DOUBLE (median interpolation in
+    float32 was one ulp off — round-13 type-narrow axis), an int32 id
+    widens to BIGINT, and a legacy raw epoch-ns INT64 ts mirrors the
+    engine's integer floor-division to µs."""
+    import shutil
+
+    import pyarrow as pa
+
+    from serverless_etl_aws_spark.compare import duckdb_connect
+
+    src = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(src, "events.parquet")):
+        pytest.skip("no sf0.001 fixture")
+    dst = str(tmp_path / "narrow")
+    os.makedirs(dst)
+    for f in os.listdir(src):
+        if not f.endswith(".parquet"):
+            continue
+        if f == "events.parquet":
+            tbl = pq.read_table(os.path.join(src, f))
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("value"), "value",
+                tbl["value"].cast(pa.float32()),
+            )
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("user_id"), "user_id",
+                tbl["user_id"].cast(pa.int32()),
+            )
+            # legacy encoding: ts as raw epoch-ns INT64
+            ns = pa.compute.multiply(
+                tbl["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                pa.scalar(1000, pa.int64()),
+            )
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("ts"), "ts", ns
+            )
+            pq.write_table(tbl, os.path.join(dst, f))
+        else:
+            shutil.copy(os.path.join(src, f), os.path.join(dst, f))
+    con = duckdb_connect(dst)
+    try:
+        types = {
+            r[0]: r[1]
+            for r in con.execute("DESCRIBE events").fetchall()
+        }
+        assert types["value"] == "DOUBLE"
+        assert types["user_id"] == "BIGINT"
+        assert types["ts"] == "TIMESTAMP"
+        # µs values round-trip exactly through the ns encoding
+        got = con.execute(
+            "SELECT CAST(MIN(ts) AS VARCHAR), CAST(MAX(ts) AS VARCHAR) "
+            "FROM events"
+        ).fetchone()
+        ref = duckdb_connect(src)
+        want = ref.execute(
+            "SELECT CAST(MIN(ts) AS VARCHAR), CAST(MAX(ts) AS VARCHAR) "
+            "FROM events"
+        ).fetchone()
+        ref.close()
+        assert got == want
+    finally:
+        con.close()

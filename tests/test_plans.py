@@ -2591,3 +2591,174 @@ def test_scan_csv_reads_csv_source(spark, sf_dir):
     plan = plan_of(scan_csv(spark, sf_dir))
     assert "FileScan csv" in plan
     assert "FileScan parquet" not in plan
+
+
+# Third round-13 wave: the window family's canonical single-shuffle
+# shapes, the remaining streaming/pipeline materialized-read contracts,
+# and the text keys' fused-scan contracts.
+
+
+def test_repeat_ngram_fused_single_scan(spark, sf_dir):
+    """llm_repeat_ngram: the repeated-n-gram ratio computes entirely in
+    fused JVM array expressions over one scan — no explode-shuffle, no
+    Python."""
+    from serverless_etl_aws_spark.queries.llm import llm_repeat_ngram
+
+    plan = plan_of(llm_repeat_ngram(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_token_count_fused_single_scan(spark, sf_dir):
+    """llm_token_count: BPE-ish regex token counting stays one fused
+    scan — the 100 TB text-statistics shape (no shuffle, no Python)."""
+    from serverless_etl_aws_spark.queries.llm import llm_token_count
+
+    plan = plan_of(llm_token_count(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_fn_date_arith_fused_single_scan(spark, sf_dir):
+    """fn_date_arith: date arithmetic is one codegen span, one scan."""
+    from serverless_etl_aws_spark.queries.extras10 import fn_date_arith
+
+    plan = plan_of(fn_date_arith(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange" not in plan
+    assert "*(1)" in plan
+
+
+def test_mm_feature_extract_single_arrow_pass(spark, sf_dir):
+    """mm_feature_extract: one Arrow-batched MapInPandas pass, no
+    shuffle (multimodal batch-transform contract)."""
+    from serverless_etl_aws_spark.queries.llm import mm_feature_extract
+
+    plan = plan_of(mm_feature_extract(spark, sf_dir))
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange" not in plan
+
+
+def test_join_asof_window_shape_no_product(spark, sf_dir):
+    """join_asof: the as-of pick is bucketed equi-join + window rank —
+    never a time-range product or nested-loop spread."""
+    from serverless_etl_aws_spark.queries.joins import join_asof
+
+    plan = plan_of(join_asof(spark, sf_dir))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_window_family_single_shuffle_shapes(spark, sf_dir):
+    """The canonical window keys are ONE Window over ONE exchange over
+    ONE scan with no join — the shape that scales to any partition
+    count (win_cume_dist / win_frame_rows / win_lag_lead /
+    win_frame_range / llm_fingerprint / dim_scd2)."""
+    from serverless_etl_aws_spark.queries.extras import win_frame_range
+    from serverless_etl_aws_spark.queries.extras5 import win_cume_dist
+    from serverless_etl_aws_spark.queries.extras6 import dim_scd2
+    from serverless_etl_aws_spark.queries.llm import llm_fingerprint
+    from serverless_etl_aws_spark.queries.windows import (
+        win_frame_rows,
+        win_lag_lead,
+    )
+
+    for fn in (win_cume_dist, win_frame_rows, win_lag_lead,
+               win_frame_range, llm_fingerprint, dim_scd2):
+        plan = plan_of(fn(spark, sf_dir))
+        assert plan.count("Window") >= 1, fn.__name__
+        assert plan.count("Exchange") == 1, fn.__name__
+        assert plan.count("FileScan parquet") == 1, fn.__name__
+        assert "Join" not in plan, fn.__name__
+
+
+def test_dedup_exact_uses_window_group_limit(spark, sf_dir):
+    """dedup_exact: keep-earliest rides WindowGroupLimit (per-partition
+    rank pruning BEFORE the full window sort) over one shuffle — the
+    exact-dedup shape that survives 100 TB."""
+    from serverless_etl_aws_spark.queries.relational import dedup_exact
+
+    plan = plan_of(dedup_exact(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_snapshot_diff_sort_merge_no_product(spark, sf_dir):
+    """dim_snapshot_diff: the two snapshots FULL-OUTER sort-merge on the
+    business key — never a product, never a nested loop."""
+    from serverless_etl_aws_spark.queries.extras10 import dim_snapshot_diff
+
+    plan = plan_of(dim_snapshot_diff(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_set_except_all_counted_not_joined(spark, sf_dir):
+    """set_except_all: bag EXCEPT ALL resolves via per-key count
+    deltas + Generate replication — no join node at all (the
+    shuffle-once shape; a join formulation would shuffle both sides
+    then still need the multiplicity arithmetic)."""
+    from serverless_etl_aws_spark.queries.extras7 import set_except_all
+
+    plan = plan_of(set_except_all(spark, sf_dir))
+    assert "Generate" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+
+
+def test_streaming_family_results_are_materialized_reads(spark, sf_dir):
+    """Every remaining EAGER streaming/pipeline key returns a read of
+    its committed result — re-consuming never re-runs the stream
+    (stream_sliding / stream_late_data / ingest_incremental)."""
+    from serverless_etl_aws_spark.queries.pipeline_ops import (
+        ingest_incremental,
+    )
+    from serverless_etl_aws_spark.queries.streaming_ops import (
+        stream_late_data,
+        stream_sliding,
+    )
+
+    for fn in (stream_sliding, stream_late_data, ingest_incremental):
+        plan = plan_of(fn(spark, sf_dir))
+        assert "Scan ExistingRDD" in plan, fn.__name__
+        for node in ("Join", "Window", "FileScan parquet"):
+            assert node not in plan, (fn.__name__, node)
+
+
+def test_sink_partitioned_readback_aggregates_partially(spark, sf_dir):
+    """sink_partitioned (EAGER): the verification readback of the
+    partitioned sink is a partial-aggregated scan — no join."""
+    from serverless_etl_aws_spark.queries.pipeline_ops import sink_partitioned
+
+    plan = plan_of(sink_partitioned(spark, sf_dir))
+    assert plan.count("HashAggregate") == 2
+    assert "Join" not in plan
+
+
+def test_text_stats_no_product(spark, sf_dir):
+    """llm_text_stats: the corpus-percentile attach is broadcast equi —
+    the doc relation never meets a product; shingle explosion is
+    Generate."""
+    from serverless_etl_aws_spark.queries.llm import llm_text_stats
+
+    plan = plan_of(llm_text_stats(spark, sf_dir))
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mix_weights_scalar_attach_only(spark, sf_dir):
+    """llm_mix_weights: the only product-shaped node is the 1×1 scalar
+    total attach (BroadcastNestedLoopJoin with a 1-row build) — never a
+    true cartesian, never a sort-merge of the doc relation."""
+    from serverless_etl_aws_spark.queries.extras6 import llm_mix_weights
+
+    plan = plan_of(llm_mix_weights(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
