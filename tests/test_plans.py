@@ -2762,3 +2762,180 @@ def test_mix_weights_scalar_attach_only(spark, sf_dir):
     plan = plan_of(llm_mix_weights(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+# Fourth round-13 wave: the §2B contract staples that until now were
+# covered only by sibling-key pins (filter_pred/project_rename stood in
+# for the whole scan family) get their OWN pins, plus the remaining
+# cheap scalar/set/sample keys.
+
+
+def test_scan_family_fused_single_scans(spark, sf_dir):
+    """scan_parquet / filter_null / fn_string / fn_date /
+    fn_higher_order / sample_stratified: one fused codegen span over
+    one scan, no exchange, no Python — per-row work must never shuffle."""
+    from serverless_etl_aws_spark.queries.extras4 import sample_stratified
+    from serverless_etl_aws_spark.queries.extras9 import fn_higher_order
+    from serverless_etl_aws_spark.queries.relational import (
+        filter_null,
+        scan_parquet,
+    )
+    from serverless_etl_aws_spark.queries.scalar_fns import fn_date, fn_string
+
+    for fn in (scan_parquet, filter_null, fn_string, fn_date,
+               fn_higher_order, sample_stratified):
+        plan = plan_of(fn(spark, sf_dir))
+        assert plan.count("FileScan parquet") == 1, fn.__name__
+        assert "Exchange" not in plan, fn.__name__
+        assert "EvalPython" not in plan, fn.__name__
+        assert "*(1)" in plan, fn.__name__
+
+
+def test_join_family_broadcasts_filtered_side(spark, sf_dir):
+    """join_inner / join_left / join_anti: the filtered orders side
+    reduces to ONE broadcast exchange — the probe side never shuffles,
+    and nothing sort-merges at dimension scale."""
+    from serverless_etl_aws_spark.queries.joins import (
+        join_anti,
+        join_inner,
+        join_left,
+    )
+
+    for fn in (join_inner, join_left, join_anti):
+        plan = plan_of(fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, fn.__name__
+        assert plan.count("Exchange") == 1, fn.__name__
+        assert "SortMergeJoin" not in plan, fn.__name__
+
+
+def test_win_rank_uses_window_group_limit(spark, sf_dir):
+    """win_rank: the rank ≤ k filter pushes into WindowGroupLimit —
+    per-partition pruning before the full window sort."""
+    from serverless_etl_aws_spark.queries.windows import win_rank
+
+    plan = plan_of(win_rank(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_win_running_and_ntile_single_window(spark, sf_dir):
+    """win_running / win_ntile_first_last: one Window, one exchange,
+    one scan, no join."""
+    from serverless_etl_aws_spark.queries.extras import win_ntile_first_last
+    from serverless_etl_aws_spark.queries.windows import win_running
+
+    for fn in (win_running, win_ntile_first_last):
+        plan = plan_of(fn(spark, sf_dir))
+        assert plan.count("Window") == 1, fn.__name__
+        assert plan.count("Exchange") == 1, fn.__name__
+        assert "Join" not in plan, fn.__name__
+
+
+def test_rollup_grouping_sets_expand_single_scan(spark, sf_dir):
+    """agg_rollup / agg_grouping_sets: like agg_cube, the grouping-set
+    lattice is ONE Expand in ONE aggregation pipeline over ONE fact
+    scan (the second scan is the broadcast dim) — never a per-set
+    union of re-scans."""
+    from serverless_etl_aws_spark.queries.aggregates import (
+        agg_grouping_sets,
+        agg_rollup,
+    )
+
+    for fn in (agg_rollup, agg_grouping_sets):
+        plan = plan_of(fn(spark, sf_dir))
+        assert plan.count("Expand") == 1, fn.__name__
+        assert "Union" not in plan, fn.__name__
+        assert plan.count("HashAggregate") == 2, fn.__name__
+
+
+def test_set_family_shapes(spark, sf_dir):
+    """set_union_all is pure concatenation (no shuffle, no agg);
+    set_union_distinct dedups via ONE two-phase aggregate; intersect /
+    except compile to broadcast equi-joins — none of the four may
+    product or sort-merge at this dim scale."""
+    from serverless_etl_aws_spark.queries.sorts_sets import (
+        set_except,
+        set_intersect,
+        set_union_all,
+        set_union_distinct,
+    )
+
+    plan = plan_of(set_union_all(spark, sf_dir))
+    assert "Exchange" not in plan and "HashAggregate" not in plan
+    plan = plan_of(set_union_distinct(spark, sf_dir))
+    assert plan.count("HashAggregate") == 2
+    assert "Join" not in plan
+    for fn in (set_intersect, set_except):
+        plan = plan_of(fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, fn.__name__
+        assert "SortMergeJoin" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_subquery_in_rewrites_to_semi_join(spark, sf_dir):
+    """subquery_in: the IN-subquery decorrelates to a broadcast
+    left-semi join — never a per-row subquery loop."""
+    from serverless_etl_aws_spark.queries.extras import subquery_in
+
+    plan = plan_of(subquery_in(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_udf_scalar_is_arrow_not_row_python(spark, sf_dir):
+    """udf_scalar: the scalar UDF runs as ArrowEvalPython (vectorized
+    Arrow batches), NEVER row-at-a-time BatchEvalPython — the 10-100×
+    UDF cliff the brief warns about."""
+    from serverless_etl_aws_spark.queries.udx import udf_scalar
+
+    plan = plan_of(udf_scalar(spark, sf_dir))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_explode_family_generate_no_shuffle(spark, sf_dir):
+    """udtf_explode / fn_array / llm_doc_chunk: row explosion is
+    Generate fused with the scan — no exchange before or after (the
+    downstream consumer decides whether to shuffle)."""
+    from serverless_etl_aws_spark.queries.llm import llm_doc_chunk
+    from serverless_etl_aws_spark.queries.scalar_fns import fn_array
+    from serverless_etl_aws_spark.queries.udx import udtf_explode
+
+    for fn in (udtf_explode, fn_array, llm_doc_chunk):
+        plan = plan_of(fn(spark, sf_dir))
+        assert "Generate" in plan, fn.__name__
+        assert plan.count("FileScan parquet") == 1, fn.__name__
+        assert "Exchange" not in plan, fn.__name__
+
+
+def test_agg_pivot_two_phase_no_rescan(spark, sf_dir):
+    """agg_pivot: the pivot compiles to aggregate pipelines over ONE
+    scan — never one scan per pivoted column."""
+    from serverless_etl_aws_spark.queries.extras import agg_pivot
+
+    plan = plan_of(agg_pivot(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Union" not in plan and "Join" not in plan
+
+
+def test_agg_collect_object_hash_partial(spark, sf_dir):
+    """agg_collect: collect_list/set aggregates partially map-side
+    (two ObjectHashAggregate stages around one exchange)."""
+    from serverless_etl_aws_spark.queries.extras import agg_collect
+
+    plan = plan_of(agg_collect(spark, sf_dir))
+    assert plan.count("ObjectHashAggregate") == 2
+    assert plan.count("Exchange") == 1
+
+
+def test_lang_filter_partial_agg_single_scan(spark, sf_dir):
+    """llm_lang_filter: the language histogram is one two-phase
+    aggregate over one scan — no join, no Python."""
+    from serverless_etl_aws_spark.queries.llm import llm_lang_filter
+
+    plan = plan_of(llm_lang_filter(spark, sf_dir))
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("FileScan parquet") == 1
+    assert "EvalPython" not in plan
