@@ -56,6 +56,13 @@ def get_spark(
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python UDTFs run row-at-a-time (BatchEvalPythonUDTF, pickled
+        # rows) unless the Arrow path is opted into — measured round 13:
+        # the flag flips udtf_python to ArrowEvalPythonUDTF with
+        # identical results (parity re-verified), putting the fourth
+        # Python API shape on the same Arrow-batch transport as
+        # pandas_udf/mapInPandas. Pinned by test_plans.py.
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
@@ -119,6 +126,7 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
         "spark.sql.parquet.filterPushdown": "true",
     }
     for k, v in runtime.items():

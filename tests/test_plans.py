@@ -2939,3 +2939,273 @@ def test_lang_filter_partial_agg_single_scan(spark, sf_dir):
     assert plan.count("HashAggregate") == 2
     assert plan.count("FileScan parquet") == 1
     assert "EvalPython" not in plan
+
+
+# Fifth round-13 wave: the staged-format scan family (each key's
+# contract IS that the returned relation reads its own format), the
+# remaining fused scalar keys, and the last eager materialized-read
+# contracts. Plan-pinned keys reach 245 of 261.
+
+
+def test_scan_formats_read_their_own_sources(spark, sf_dir):
+    """scan_json/orc/text/xml/binaryfile/jdbc/pydatasource: each key
+    stages the fixture into its format and the RETURNED relation scans
+    THAT source — the format round-trip is the contract."""
+    from serverless_etl_aws_spark.queries.extras import scan_json
+    from serverless_etl_aws_spark.queries.extras2 import scan_orc
+    from serverless_etl_aws_spark.queries.extras5 import scan_binaryfile
+    from serverless_etl_aws_spark.queries.extras7 import scan_text
+    from serverless_etl_aws_spark.queries.extras8 import scan_xml
+    from serverless_etl_aws_spark.queries.extras11 import scan_jdbc
+    from serverless_etl_aws_spark.queries.relational import scan_pydatasource
+
+    for fn, marker in (
+        (scan_json, "FileScan json"),
+        (scan_orc, "FileScan orc"),
+        (scan_text, "FileScan text"),
+        (scan_xml, "FileScan xml"),
+        (scan_binaryfile, "FileScan binaryFile"),
+        (scan_jdbc, "JDBCRelation"),
+        (scan_pydatasource, "BatchScan"),
+    ):
+        plan = plan_of(fn(spark, sf_dir))
+        assert marker in plan, (fn.__name__, marker)
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_fused_scalar_tail_single_scans(spark, sf_dir):
+    """fn_struct_map / fn_bitwise / fn_binary_codec /
+    fn_regexp_extract_all / llm_pii_scrub / llm_data_split /
+    llm_embed_quantize: one fused codegen span over one scan — no
+    exchange, no Python (the PII scrub and the md5 split are pure JVM
+    regex/hash expressions by design)."""
+    from serverless_etl_aws_spark.queries.extras2 import fn_struct_map
+    from serverless_etl_aws_spark.queries.extras4 import llm_data_split
+    from serverless_etl_aws_spark.queries.extras6 import (
+        fn_binary_codec,
+        fn_regexp_extract_all,
+    )
+    from serverless_etl_aws_spark.queries.extras7 import fn_bitwise
+    from serverless_etl_aws_spark.queries.llm import (
+        llm_embed_quantize,
+        llm_pii_scrub,
+    )
+
+    for fn in (fn_struct_map, fn_bitwise, fn_binary_codec,
+               fn_regexp_extract_all, llm_pii_scrub, llm_data_split,
+               llm_embed_quantize):
+        plan = plan_of(fn(spark, sf_dir))
+        assert plan.count("FileScan parquet") == 1, fn.__name__
+        assert "Exchange" not in plan, fn.__name__
+        assert "EvalPython" not in plan, fn.__name__
+
+
+def test_mm_decode_resize_single_arrow_pass(spark, sf_dir):
+    """mm_decode_meta / mm_resize: one Arrow-batched MapInPandas pass,
+    no shuffle — completes the multimodal family's plan pins."""
+    from serverless_etl_aws_spark.queries.llm import mm_decode_meta, mm_resize
+
+    for fn in (mm_decode_meta, mm_resize):
+        plan = plan_of(fn(spark, sf_dir))
+        assert plan.count("MapInPandas") == 1, fn.__name__
+        assert "Exchange" not in plan, fn.__name__
+
+
+def test_agg_histogram_two_phase_single_scan(spark, sf_dir):
+    """agg_histogram: bucket counts are one two-phase aggregate over
+    one scan — the floor-bucket histogram never joins or re-scans."""
+    from serverless_etl_aws_spark.queries.extras5 import agg_histogram
+
+    plan = plan_of(agg_histogram(spark, sf_dir))
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_pack_sequences_single_window(spark, sf_dir):
+    """llm_pack_sequences: greedy first-fit packing is a running-sum
+    window over one shuffle — never an iterative join."""
+    from serverless_etl_aws_spark.queries.llm import llm_pack_sequences
+
+    plan = plan_of(llm_pack_sequences(spark, sf_dir))
+    assert plan.count("Window") >= 1
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_stream_stateful_result_is_materialized_read(spark, sf_dir):
+    """stream_stateful (EAGER): the applyInPandasWithState run happens
+    at build; the returned relation reads materialized state — no scan
+    of the source, no join, no window."""
+    from serverless_etl_aws_spark.queries.streaming_ops import stream_stateful
+
+    plan = plan_of(stream_stateful(spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
+    for node in ("Join", "Window", "FileScan parquet"):
+        assert node not in plan, node
+
+
+def test_corpus_stats_scalar_attach_only(spark, sf_dir):
+    """llm_corpus_stats: the only product-shaped node is the 1×1
+    corpus-total attach — never a true cartesian or sort-merge."""
+    from serverless_etl_aws_spark.queries.llm import llm_corpus_stats
+
+    plan = plan_of(llm_corpus_stats(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sketch_merge_object_hash_partial(spark, sf_dir):
+    """agg_sketch_merge: sketch buffers aggregate partially map-side
+    (ObjectHashAggregate pairs) and merge after the exchange — raw rows
+    never ship to one node; no product."""
+    from serverless_etl_aws_spark.queries.aggregates import agg_sketch_merge
+
+    plan = plan_of(agg_sketch_merge(spark, sf_dir))
+    assert plan.count("ObjectHashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_maintenance_rollup_results_read_back_clean(spark, sf_dir):
+    """maintenance_vacuum / maintenance_delete_rows /
+    rollup_incremental / rollup_upsert / export_warehouse (EAGER
+    mutating keys): the commit/vacuum/rollup cycle runs at build and
+    the returned relation is a plain read of the committed table —
+    no join or product re-enters the final plan."""
+    from serverless_etl_aws_spark.queries.extras5 import maintenance_vacuum
+    from serverless_etl_aws_spark.queries.extras12 import (
+        maintenance_delete_rows,
+    )
+    from serverless_etl_aws_spark.queries.pipeline_ops import (
+        export_warehouse,
+        rollup_incremental,
+        rollup_upsert,
+    )
+
+    for fn in (maintenance_vacuum, maintenance_delete_rows,
+               rollup_incremental, rollup_upsert, export_warehouse):
+        plan = plan_of(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "Join" not in plan, fn.__name__
+
+
+# Final round-13 wave: the last unpinned keys — every registry key now
+# carries a plan assertion.
+
+
+def test_udtf_python_runs_on_arrow_transport(spark, sf_dir):
+    """udtf_python: the Python UDTF executes as ArrowEvalPythonUDTF
+    (Arrow record batches), NEVER the row-pickling BatchEvalPythonUDTF
+    — the round-13 session default
+    (spark.sql.execution.pythonUDTF.arrow.enabled) that puts the fourth
+    Python API shape on the same transport as pandas_udf/mapInPandas.
+    The LATERAL fan-out itself stays Generate over the scan — no
+    shuffle."""
+    from serverless_etl_aws_spark.queries.udx import udtf_python
+
+    plan = plan_of(udtf_python(spark, sf_dir))
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPythonUDTF" not in plan
+    assert "Exchange" not in plan
+
+
+def test_approx_distinct_two_phase_single_scan(spark, sf_dir):
+    """agg_approx_distinct: the HLL++ sketch aggregates partially
+    map-side (sketch buffers merge after one exchange) — raw user ids
+    never ship whole."""
+    from serverless_etl_aws_spark.queries.aggregates import (
+        agg_approx_distinct,
+    )
+
+    plan = plan_of(agg_approx_distinct(spark, sf_dir))
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_anomaly_mad_no_product(spark, sf_dir):
+    """ts_anomaly_mad: the median/MAD branches attach per-type via
+    broadcast equi-joins — never a product, never a sort-merge of the
+    event stream against itself."""
+    from serverless_etl_aws_spark.queries.extras13 import ts_anomaly_mad
+
+    plan = plan_of(ts_anomaly_mad(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ann_family_one_arrow_pass_topk(spark, sf_dir):
+    """llm_sim_search_ivf / llm_sim_search_pq: the index probe is ONE
+    Arrow-batched MapInPandas pass over the corpus scan finished by
+    TakeOrderedAndProject — no shuffle of the corpus, no global sort,
+    no join (candidates are pruned INSIDE the batch)."""
+    from serverless_etl_aws_spark.queries.extras6 import llm_sim_search_pq
+    from serverless_etl_aws_spark.queries.llm import llm_sim_search_ivf
+
+    for fn in (llm_sim_search_ivf, llm_sim_search_pq):
+        plan = plan_of(fn(spark, sf_dir))
+        assert plan.count("MapInPandas") == 1, fn.__name__
+        assert "TakeOrderedAndProject" in plan, fn.__name__
+        assert "Exchange" not in plan, fn.__name__
+        assert "Join" not in plan, fn.__name__
+
+
+def test_tfidf_no_true_cartesian(spark, sf_dir):
+    """llm_tfidf (compute-eager): the returned relation reads
+    checkpointed state; the only product-shaped node is the 1×1
+    corpus-total attach — never a true cartesian."""
+    from serverless_etl_aws_spark.queries.llm import llm_tfidf
+
+    plan = plan_of(llm_tfidf(spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_train_final_plan_reads_checkpoint(spark, sf_dir):
+    """llm_bpe_train (compute-eager): the merge-iteration loop runs at
+    build; the returned vocabulary relation reads checkpointed state —
+    no join re-enters."""
+    from serverless_etl_aws_spark.queries.extras9 import llm_bpe_train
+
+    plan = plan_of(llm_bpe_train(spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
+    assert "Join" not in plan
+
+
+def test_set_intersect_all_counted_not_joined(spark, sf_dir):
+    """set_intersect_all: bag INTERSECT ALL resolves via per-key count
+    minima + Generate replication — no join node (set_except_all's
+    sibling shape)."""
+    from serverless_etl_aws_spark.queries.extras7 import set_intersect_all
+
+    plan = plan_of(set_intersect_all(spark, sf_dir))
+    assert "Generate" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+
+
+def test_remaining_streaming_results_are_materialized_reads(
+    spark, sf_dir
+):
+    """stream_dedup / stream_join / stream_stream_join /
+    stream_pydatasource return reads of their drained results;
+    stream_cdc returns the committed sink's parquet readback — none may
+    re-run the stream or carry a join in the final plan."""
+    from serverless_etl_aws_spark.queries.streaming_ops import (
+        stream_cdc,
+        stream_dedup,
+        stream_join,
+        stream_pydatasource,
+        stream_stream_join,
+    )
+
+    for fn in (stream_dedup, stream_join, stream_stream_join,
+               stream_pydatasource):
+        plan = plan_of(fn(spark, sf_dir))
+        assert "Scan ExistingRDD" in plan, fn.__name__
+        assert "Join" not in plan, fn.__name__
+    plan = plan_of(stream_cdc(spark, sf_dir))
+    assert "FileScan parquet" in plan
+    assert "Join" not in plan
