@@ -85,9 +85,16 @@ CONTRACT_2B: tuple[str, ...] = (
 # exposure (CORRECTNESS_r12; rotation record 33/33).
 # round 13: win_streak / agg_corr / join_lateral — named verbatim by
 # the round-12 VERDICT directive #1 (the next un-audited trio in the
+# pre-declared order). All three hash-passed on first exposure
+# (CORRECTNESS_r13; rotation record 36/36).
+# round 14: graph_bfs / sample_weighted / agg_mode — named verbatim by
+# the round-13 VERDICT directive #1 (the next un-audited trio in the
 # pre-declared order). All three are oracle-SQL keys, so all three
-# rows should be hash-green.
+# rows should be hash-green. graph_bfs is the first COMPUTE_EAGER key
+# to rotate through the window (iterative frontier expansion with
+# bounded localCheckpoints — safe to re-run, mutates nothing).
 PRIORITY_EXT: tuple[str, ...] = (
+    "graph_bfs", "sample_weighted", "agg_mode",
     "win_streak", "agg_corr", "join_lateral",
     "llm_ngram_novelty", "ts_anomaly_mad", "ts_gap_detect",
     "agg_heavy_hitters", "llm_dedup_apply", "llm_prefix_dedup",
@@ -100,11 +107,11 @@ PRIORITY_EXT: tuple[str, ...] = (
     "llm_dedup_embedding", "llm_decontaminate", "llm_knn_join",
     "llm_dedup_ngram", "llm_dedup_cluster", "llm_dedup_simhash",
     # round-5/6 additions not already rotated to the front
-    # (win_streak/agg_corr/join_lateral moved to slots 48-50 in r13)
-    "graph_bfs",
-    # round-6 fourth wave (weighted sampling, exact mode, rolling
-    # median, weekly seasonality — all oracle-SQL-checked)
-    "sample_weighted", "agg_mode", "win_rolling_median", "ts_seasonal",
+    # (graph_bfs/sample_weighted/agg_mode moved to slots 48-50 in r14;
+    # win_streak/agg_corr/join_lateral rotated r13, now in the head)
+    # round-6 fourth wave (rolling median, weekly seasonality — the
+    # other two of the wave rotated to the front in r14)
+    "win_rolling_median", "ts_seasonal",
     # round-6 sixth wave (CUSUM drift, lag autocorrelation, NB trainer,
     # collocation mining — all oracle-SQL-checked)
     "ts_cusum", "ts_autocorr", "ml_naive_bayes", "llm_collocations",

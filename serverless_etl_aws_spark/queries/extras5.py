@@ -569,8 +569,8 @@ SELECT CAST(floor(o_totalprice / {BUCKET_WIDTH}) AS BIGINT) AS bucket,
        COUNT(*) AS n_orders,
        MIN(o_totalprice) AS min_price,
        MAX(o_totalprice) AS max_price,
-       CAST(floor(o_totalprice / {BUCKET_WIDTH}) AS BIGINT) * {BUCKET_WIDTH}
-         AS bucket_lo
+       CAST(floor(o_totalprice / {BUCKET_WIDTH}) AS BIGINT)
+         * CAST({BUCKET_WIDTH} AS DOUBLE) AS bucket_lo
 FROM orders
 WHERE o_totalprice IS NULL OR isfinite(o_totalprice)
 GROUP BY 1

@@ -99,13 +99,13 @@ def test_driver_audit_window_is_contract_plus_rotation():
     from the audited window or reorder a rotated key out of it."""
     from serverless_etl_aws_spark.queries import CONTRACT_2B, build_registry
 
-    ROUND13_ROTATION = (
-        "win_streak", "agg_corr", "join_lateral",
+    ROUND14_ROTATION = (
+        "graph_bfs", "sample_weighted", "agg_mode",
     )
     window = list(build_registry())[:50]
-    assert set(window) == set(CONTRACT_2B) | set(ROUND13_ROTATION)
+    assert set(window) == set(CONTRACT_2B) | set(ROUND14_ROTATION)
     # and the rotation occupies slots 48-50 specifically
-    assert window[47:] == list(ROUND13_ROTATION)
+    assert window[47:] == list(ROUND14_ROTATION)
 
 
 def test_engine_explain_registry_key_and_sql(spark, sf_dir):
