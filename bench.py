@@ -169,16 +169,13 @@ def main() -> None:
         ),
         "stream_session": (
             "r13: r11->r12 delta +2.85s vs spread 2.18 - GC "
-            "sensitivity, not plan: code untouched r11->r12, the "
-            "result relation is pinned as a materialized read "
-            "(test_stream_session_result_is_materialized_read). "
-            "Idle-box re-runs WITH an explicit JVM System.gc between "
-            "runs sit at 1.68-2.01s; WITHOUT one the key escalates "
-            "4.9 -> 16 -> 21s as heap pressure from preceding keys "
-            "lands on its state-store/checkpoint I/O - the streaming "
-            "family's wall time is a GC barometer (matches the r12 "
-            "'post-sweep dirty box 3x' note). Read it from median + "
-            "spread + box_env, never the single number."
+            "sensitivity, not plan (idle-box runs WITH System.gc sat "
+            "at 1.68-2.01s; WITHOUT one the key escalated 4.9 -> 16 "
+            "-> 21s under preceding keys' heap pressure). RETIRED "
+            "r14: streaming state moved off-heap to the RocksDB "
+            "state-store provider (session.py) and the bench's "
+            "System.gc crutch was removed - the r14 bench is the "
+            "no-crutch re-measure."
         ),
         "topk_per_group": (
             "r12: r10→r11 delta +0.27s exceeded spread 0.077 — "
@@ -210,12 +207,12 @@ def main() -> None:
         # and the ContextCleaner runs; without this, later keys are timed
         # under the earlier keys' heap pressure (measured +12s on
         # stream_stateful when it runs after the dedup family). The JVM
-        # GC nudge only fires after expensive runs — a full System.gc()
-        # between every key costs more than it reclaims.
+        # System.gc nudge that used to fire after expensive runs is
+        # retired (r14): streaming state now lives off-heap in RocksDB
+        # (session.py providerClass), which removed the stream family's
+        # GC sensitivity the nudge papered over.
         del df
         gc.collect()
-        if elapsed > 3.0:
-            spark._jvm.System.gc()
         return elapsed
 
     detail_path = os.path.join(

@@ -125,6 +125,19 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
+        # Stateful streaming state lives OFF-HEAP in native RocksDB
+        # instead of on-heap HashMaps: the HDFS-backed provider's state
+        # maps made every stream key's wall time a GC barometer under a
+        # long session's accumulated heap pressure (r13 adjudication:
+        # stream_session escalated 4.9→16→21 s without an explicit
+        # System.gc between keys; with RocksDB the state no longer
+        # competes with the tenured heap). minBatchesToRetain is
+        # trimmed from 100: these drains are one-shot AvailableNow
+        # queries — nothing ever replays more than the last snapshot.
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        "spark.sql.streaming.minBatchesToRetain": "2",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
         "spark.sql.parquet.filterPushdown": "true",
