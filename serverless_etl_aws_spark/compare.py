@@ -62,10 +62,18 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
             f"CREATE VIEW raw_{name} AS "
             f"SELECT * FROM read_parquet('{path_sql}')"
         )
-        declared = {
-            f.name: _DUCK_TYPES[f.dataType.simpleString()]
-            for f in schemas.TABLES[name].fields
-        }
+        declared = {}
+        for f in schemas.TABLES[name].fields:
+            simple = f.dataType.simpleString()
+            try:
+                declared[f.name] = _DUCK_TYPES[simple]
+            except KeyError:
+                raise KeyError(
+                    f"_DUCK_TYPES has no DuckDB mapping for Spark type "
+                    f"{simple!r} (table {name!r}, column {f.name!r}) — "
+                    f"add it to compare._DUCK_TYPES so the oracle view "
+                    f"normalizes to the declared schema"
+                ) from None
         cols = []
         for colname, dtype, *_ in con.execute(
             f"DESCRIBE raw_{name}"

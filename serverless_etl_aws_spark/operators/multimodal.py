@@ -60,15 +60,19 @@ def synthesize_payloads(docs: DataFrame) -> DataFrame:
 #: QUARANTINE posture (round 12): at 100 TB-of-media scale, truncated
 #: objects are a statistical certainty, and one corrupt payload must
 #: never take down a whole stage. Contract:
-#:   * payload shorter than the 8-byte header, or an IMG1 header whose
+#:   * a payload too short to even carry a magic (<4 bytes), or an
+#:     IMG1 payload that is header-truncated (4-7 bytes) or whose
 #:     width field is non-numeric or zero → CORRUPT: extract_metadata
 #:     emits the row with fmt/width/height NULL and the ACTUAL byte
-#:     count (so corrupt volume stays countable/routable); the
-#:     transform passes (resize/frame/feature/audio/scene/phash) DROP
-#:     the row — no decodable media, nothing to transform.
-#:   * a COMPLETE header with an unknown magic stays a loud
-#:     NotImplementedError — that is the codec-injection seam, a
-#:     deployment gap rather than a data defect.
+#:     count (NULL payload → n_bytes NULL; so corrupt volume stays
+#:     countable/routable); the transform passes
+#:     (resize/frame/feature/audio/scene/phash) DROP the row — no
+#:     decodable media, nothing to transform.
+#:   * any payload ≥4 bytes whose magic is NOT a known format raises
+#:     the loud codec-gap NotImplementedError — even when the rest of
+#:     the header is truncated. That is the codec-injection seam, a
+#:     deployment gap rather than a data defect; 'unknown codec stays
+#:     loud' holds at every length that can be identified.
 #: The registry's mm_* oracles are unaffected: synthesize_payloads only
 #: emits well-formed headers, so the quarantine path is exercised by
 #: the direct operator tests (tests/test_multimodal.py).

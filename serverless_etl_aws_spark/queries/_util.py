@@ -34,6 +34,7 @@ isfinite CASE where ±Inf can reach the floor.
 from __future__ import annotations
 
 import os
+import urllib.parse
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -122,22 +123,34 @@ def clear_dim_mode_cache() -> None:
 
 
 def _content_key(emb: DataFrame) -> str | None:
-    """Content-bound cache key for a file-backed DataFrame: its source
-    files' (path, mtime_ns, size), or None when the lineage has no local
-    files (in-memory test frames, non-file URIs) — those stay uncached."""
+    """Content-bound cache key for a file-backed DataFrame: the analyzed
+    plan's semantic fingerprint plus its source files' (path, mtime_ns,
+    size), or None when the lineage has no local files (in-memory test
+    frames, non-file URIs) — those stay uncached.
+
+    The plan fingerprint keeps two DIFFERENT relations over the same
+    files apart (a filtered subset must not poison the raw table's
+    cached mode, and vice versa); the file stats bind the key to on-disk
+    content so a rewritten fixture invalidates naturally."""
     try:
         files = sorted(emb.inputFiles())
     except Exception:  # pragma: no cover — non-file-source plans
         return None
     if not files:
         return None
-    parts = []
+    try:
+        plan_fp = str(emb._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:  # pragma: no cover — fail safe: uncached
+        return None
+    parts = [plan_fp]
     for uri in files:
-        if not uri.startswith("file:"):
+        # file://HOST/path (authority form) is NOT a local path this
+        # process can stat — urlparse keeps the host separate instead of
+        # the old slash-stripping turning it into /HOST/path.
+        parsed = urllib.parse.urlparse(uri)
+        if parsed.scheme != "file" or parsed.netloc not in ("", "localhost"):
             return None
-        p = uri[len("file:"):]
-        while p.startswith("//"):
-            p = p[1:]
+        p = urllib.parse.unquote(parsed.path)
         try:
             st = os.stat(p)
         except OSError:
@@ -161,9 +174,14 @@ def vec_dim_mode(emb: DataFrame, col: str = "embedding") -> int | None:
     :func:`sql_vec_dim_ok`. Returns None on a corpus with no vectors
     (callers skip the filter — the relation is empty anyway).
 
-    Memoized per on-disk corpus content (``_DIM_MODE_CACHE``): the mode
-    is a corpus property, so one scan per fixture per process — not one
-    per DataFrame construction."""
+    Memoized per (analyzed-plan fingerprint, on-disk corpus content)
+    (``_DIM_MODE_CACHE``): the mode is a corpus property, so one scan
+    per fixture per process — not one per DataFrame construction. The
+    plan fingerprint in the key means a caller that passes a FILTERED
+    subset gets its own entry rather than poisoning (or inheriting)
+    the raw table's mode — but the contract is still "pass the RAW
+    table": the reference dim is a property of the whole corpus, and a
+    subset's mode is simply not that number."""
     ck = _content_key(emb)
     if ck is not None and (ck, col) in _DIM_MODE_CACHE:
         return _DIM_MODE_CACHE[(ck, col)]

@@ -1056,11 +1056,13 @@ def test_vec_dim_mode_memoized_per_corpus_content(spark, sf_dir, tmp_path):
     """vec_dim_mode is an EAGER O(1)-result job — without memoization
     every embedding key re-scans the corpus once per DataFrame
     CONSTRUCTION, including plan/explain-only paths (ADVICE r12). Pin:
-    (a) same on-disk corpus → one scan, cached result served to later
-    calls (including through a FILTERED lineage of the same files);
-    (b) the cache is content-bound — rewriting the corpus in place
-    invalidates it; (c) an in-memory DataFrame (no file lineage) stays
-    uncached and still computes correctly."""
+    (a) same on-disk corpus, same plan → one scan, cached result served
+    to later calls; (b) a DIFFERENT plan over the same files (filtered
+    lineage) gets its OWN entry — so a filtered first caller can never
+    poison the raw table's cached mode (ADVICE r13); (c) the cache is
+    content-bound — rewriting the corpus in place invalidates it;
+    (d) an in-memory DataFrame (no file lineage) stays uncached and
+    still computes correctly."""
     from serverless_etl_aws_spark.catalog import load_table
     from serverless_etl_aws_spark.queries import _util
     from serverless_etl_aws_spark.queries._util import (
@@ -1074,10 +1076,15 @@ def test_vec_dim_mode_memoized_per_corpus_content(spark, sf_dir, tmp_path):
         assert d1 is not None and d1 > 0
         assert len(_util._DIM_MODE_CACHE) == 1
         cached = dict(_util._DIM_MODE_CACHE)
-        # second call (filtered lineage, same source files): cache hit,
-        # no new entry, same answer
+        # same relation again: cache hit, no new entry
+        assert vec_dim_mode(load_table(spark, sf_dir, "embeddings")) == d1
+        assert _util._DIM_MODE_CACHE == cached
+        # filtered lineage over the SAME files: its own entry (the
+        # filtered mode happens to equal the raw mode here, but the key
+        # must differ — first-call-wins poisoning is the bug class)
         d2 = vec_dim_mode(raw.filter("vec_id >= 0"))
-        assert d2 == d1 and _util._DIM_MODE_CACHE == cached
+        assert d2 == d1 and len(_util._DIM_MODE_CACHE) == 2
+        assert set(cached).issubset(_util._DIM_MODE_CACHE)
 
         # content-bound: a DIFFERENT corpus file gets its own entry
         import pyspark.sql.functions as F
@@ -1089,10 +1096,10 @@ def test_vec_dim_mode_memoized_per_corpus_content(spark, sf_dir, tmp_path):
         small.coalesce(1).write.mode("overwrite").parquet(out)
         re = spark.read.parquet(out)
         assert vec_dim_mode(re) == 2
-        assert len(_util._DIM_MODE_CACHE) == 2
+        assert len(_util._DIM_MODE_CACHE) == 3
 
         # no file lineage: uncached but correct
         assert vec_dim_mode(small) == 2
-        assert len(_util._DIM_MODE_CACHE) == 2
+        assert len(_util._DIM_MODE_CACHE) == 3
     finally:
         clear_dim_mode_cache()
