@@ -175,7 +175,13 @@ class IncrementalIngest:
                 batch_df.withColumn("ingest_batch", F.lit(batch_id))
                 .observe(obs, *metrics)
                 .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
+                # UPPERCASE by design: Spark resolves this option with a
+                # default-locale toUpperCase before Enumeration.withName,
+                # so under a tr_TR JVM "dynamic" becomes "DYNAMİC"
+                # (dotted İ) and the write dies with NoSuchElementException
+                # (26th axis). An already-uppercase value is a no-op under
+                # every locale's casing rules.
+                .option("partitionOverwriteMode", "DYNAMIC")
                 .option("maxRecordsPerFile", self.max_records_per_file)
             )
             cols = ["ingest_batch"] + (

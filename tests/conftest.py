@@ -31,7 +31,7 @@ def sf_dir() -> str:
 #: hundreds of cases per axis, the bulk of suite wall-clock). Everything
 #: else is the CORE tier that runs every session (< 15 min). See
 #: pytest.ini for the two invocations (VERDICT r10 directive #7).
-SWEEP_MODULES = {"test_const_drift", "test_null_drift"}
+SWEEP_MODULES = {"test_const_drift", "test_null_drift", "test_session_axes"}
 
 
 def pytest_collection_modifyitems(config, items):

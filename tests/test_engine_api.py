@@ -200,3 +200,43 @@ def test_python_datasource_works_from_foreign_cwd(tmp_path):
         f"python-data-source keys broke from a foreign cwd:\n"
         f"stdout={proc.stdout[-1000:]}\nstderr={proc.stderr[-2000:]}"
     )
+
+
+def test_turkish_casing_hazard_is_real_and_engine_avoids_it(spark):
+    """Teeth for the 26th (locale) axis: prove the hazard exists in
+    THIS JVM — "dynamic".toUpperCase(tr) produces a dotted İ that no
+    ASCII enum name matches — and pin that the engine's partitioned
+    writer passes the partitionOverwriteMode value pre-uppercased, the
+    one spelling every locale's casing rules leave alone. (Spark
+    resolves that option with a default-locale toUpperCase before
+    Enumeration.withName; under tr_TR the lowercase spelling killed
+    every foreachBatch partitioned write. Full-registry proof runs in
+    the sweep tier: tests/test_session_axes.py.)"""
+    jvm = spark.sparkContext._jvm
+    gw = spark.sparkContext._gateway
+    tr = jvm.java.util.Locale("tr", "TR")
+    # py4j converts java.lang.String values to Python str, so call the
+    # locale-sensitive overload through reflection
+    str_cls = jvm.java.lang.Class.forName("java.lang.String")
+    loc_cls = jvm.java.lang.Class.forName("java.util.Locale")
+    sig = gw.new_array(jvm.java.lang.Class, 1)
+    sig[0] = loc_cls
+    to_upper = str_cls.getMethod("toUpperCase", sig)
+    args = gw.new_array(jvm.java.lang.Object, 1)
+    args[0] = tr
+    upper_tr = to_upper.invoke("dynamic", args)
+    assert upper_tr != "DYNAMIC"  # the hazard: i -> İ (U+0130)
+    assert "İ" in upper_tr
+    # already-uppercase input is locale-stable
+    assert to_upper.invoke("DYNAMIC", args) == "DYNAMIC"
+
+    import inspect
+
+    from serverless_etl_aws_spark.pipeline import ingest
+
+    src = inspect.getsource(ingest)
+    assert '.option("partitionOverwriteMode", "DYNAMIC")' in src, (
+        "pipeline/ingest.py must pass partitionOverwriteMode "
+        "pre-uppercased — a lowercase value dies under a tr_TR JVM"
+    )
+    assert '"partitionOverwriteMode", "dynamic"' not in src
