@@ -175,7 +175,18 @@ def main() -> None:
             "r14: streaming state moved off-heap to the RocksDB "
             "state-store provider (session.py) and the bench's "
             "System.gc crutch was removed - the r14 bench is the "
-            "no-crutch re-measure."
+            "no-crutch re-measure: warm 1.274 spread 0.098 "
+            "[1.274, 1.287, 1.189], stable without any explicit GC."
+        ),
+        "stream_late_data": (
+            "r14: vs the DRIVER's r13 single-run 1.59s the r14 warm "
+            "median 2.614 looks like +1.0s, but the r13 IDLE-BOX "
+            "record had warm 5.39 spread 4.906 (runs 3.0-7.96) - the "
+            "key was a GC barometer. r14 (RocksDB state store): "
+            "median 2.614 spread 0.26 - faster than the r13 idle "
+            "median and 19x tighter. Isolated A/B at sf0.1 confirms "
+            "the provider change helps this key: RocksDB warm "
+            "3.2-4.7s vs HDFS-backed 6.7-7.8s in the same harness."
         ),
         "topk_per_group": (
             "r12: r10→r11 delta +0.27s exceeded spread 0.077 — "
