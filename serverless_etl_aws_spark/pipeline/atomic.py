@@ -19,13 +19,16 @@ commit protocol (the Iceberg/Delta idea, reduced to its minimum):
   ``<root>/_manifests/manifest-N.json`` mapping each live partition
   directory name to the snapshot that owns it.
 - A commit writes its snapshot data fully, then publishes the new
-  manifest by writing a temp file and renaming it to its final
-  never-before-used name. The rename IS the commit point: it is atomic
-  on POSIX and HDFS (rename-to-fresh-path), so a kill at any earlier
-  moment leaves only invisible orphan files and the previous manifest
-  fully intact, and a kill after leaves the new state fully published.
-  There is no window in which a reader can observe a half-replaced
-  partition.
+  manifest by writing a temp file and atomically PUT-if-absent-ing it
+  to its final never-before-used name: ``link(2)`` on local
+  filesystems (Hadoop's local rename is check-then-act and silently
+  overwrites under a true race — see ``_write_file_atomic``), HDFS's
+  NameNode-atomic rename elsewhere. The publish IS the commit point:
+  a kill at any earlier moment leaves only invisible orphan files and
+  the previous manifest fully intact, and a kill after leaves the new
+  state fully published. There is no window in which a reader can
+  observe a half-replaced partition, and a racing writer for the same
+  version loses with a loud CommitConflict, never a silent overwrite.
 - Replaying a failed commit just writes the next snapshot number; orphan
   snapshots are ignored by readers and reaped by :meth:`vacuum`.
 
@@ -48,6 +51,7 @@ existing destination.
 from __future__ import annotations
 
 import json
+import os
 import time
 import uuid
 from collections.abc import Callable
@@ -171,7 +175,11 @@ class AtomicPartitionedTable:
            fail, not overwrite: two writers racing the same manifest
            version both "win" on an overwriting FS, and the loser's
            commit is silently dropped. This is probed with two scratch
-           files under ``_manifests/``.
+           files under ``_manifests/``. NOTE the probe is sequential,
+           so it cannot detect a check-then-act rename that only
+           overwrites under a true race (Hadoop's local FS) — which is
+           why ``_write_file_atomic`` publishes via ``link(2)`` on
+           ``file:`` instead of trusting rename at all.
 
         Raises :class:`UnsafeFilesystemError`; never mutates table state.
         """
@@ -224,9 +232,26 @@ class AtomicPartitionedTable:
 
     def _write_file_atomic(self, rel_dir: str, name: str, text: str) -> None:
         """Write ``text`` to ``<root>/<rel_dir>/<name>`` via temp file +
-        rename-to-fresh-path — the atomic publish primitive. Fails loudly
-        if the destination already exists (two writers racing the same
-        commit number: exactly one wins)."""
+        atomic PUT-if-absent — the publish primitive. Fails loudly if the
+        destination already exists (two writers racing the same commit
+        number: exactly one wins).
+
+        The publish step is scheme-dependent, because "fails if the
+        destination exists" must hold under TRUE CONCURRENCY, not just
+        sequentially:
+
+        * ``file:`` — ``link(2)`` on the fully-written temp.  Hadoop's
+          local rename (ChecksumFileSystem/RawLocalFileSystem) is
+          CHECK-THEN-ACT: an ``exists(dst)`` test followed by POSIX
+          ``rename(2)``, which silently overwrites — two racers can both
+          pass the test and both "succeed", and the loser's manifest is
+          silently replaced (a lost update; caught by the 8-writer soak
+          under load, ~1-in-6 at 24 racing publishes).  ``link(2)`` is a
+          kernel-atomic create: it raises EEXIST for exactly one racer.
+        * everything else — Hadoop ``rename``, which HDFS implements
+          atomically in the NameNode (fails if dst exists).  Object
+          stores never reach here (check_commit_safety's allowlist).
+        """
         fs = self._fs()
         tmp = self._jpath(rel_dir, f".tmp-{uuid.uuid4().hex}-{name}")
         final = self._jpath(rel_dir, name)
@@ -235,6 +260,22 @@ class AtomicPartitionedTable:
             stream.write(bytearray(text.encode("utf-8")))
         finally:
             stream.close()
+        if self._scheme() == "file":
+            tmp_local = str(tmp.toUri().getPath())
+            final_local = str(final.toUri().getPath())
+            if os.path.isabs(tmp_local) and os.path.isabs(final_local):
+                try:
+                    os.link(tmp_local, final_local)
+                except FileExistsError:
+                    fs.delete(tmp, False)
+                    raise CommitConflict(
+                        f"atomic commit conflict: {final} already exists "
+                        f"(concurrent writer)"
+                    ) from None
+                fs.delete(tmp, False)
+                return
+            # relative local root (no stable cwd contract): fall through
+            # to the rename path — single-process use only
         if not self._rename(tmp, final):
             fs.delete(tmp, False)
             raise CommitConflict(

@@ -788,3 +788,62 @@ def test_simsearch_empty_corpus_vs_stale_probe(spark):
     )
     with pytest.raises(ValueError, match="probe vec_id 99 not found"):
         brute_force_topk(corpus, probe_vec_id=99, k=5)
+
+
+def test_publish_primitive_put_if_absent_under_true_race(spark, tmp_path):
+    """The commit point must be PUT-if-absent under TRUE CONCURRENCY,
+    not just sequentially. Hadoop's local rename is check-then-act
+    (exists(dst) then POSIX rename(2), which overwrites) — under load,
+    two of 24 racing publishes intermittently both 'won' the same
+    manifest version and one commit was silently lost (caught by the
+    8-writer soak, r14). The primitive now publishes via link(2) on
+    file:; this pins the property deterministically: N threads racing
+    the SAME manifest name → exactly one winner, everyone else gets a
+    loud CommitConflict, and the winner's content is intact (never a
+    torn or second-writer overwrite)."""
+    import json
+    import threading
+
+    from serverless_etl_aws_spark.pipeline.atomic import CommitConflict
+
+    table = AtomicPartitionedTable(spark, str(tmp_path / "tbl"), "day")
+    # materialize the manifest dir the way a real commit would
+    table._fs().mkdirs(table._jpath(table.MANIFEST_DIR))
+
+    n = 16
+    outcomes: list = [None] * n
+    barrier = threading.Barrier(n)
+
+    def racer(i: int) -> None:
+        payload = json.dumps({"writer": i, "pad": "x" * 256})
+        barrier.wait()
+        try:
+            table._write_file_atomic(
+                table.MANIFEST_DIR, "manifest-999.json", payload
+            )
+            outcomes[i] = "won"
+        except CommitConflict:
+            outcomes[i] = "conflict"
+
+    threads = [threading.Thread(target=racer, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert outcomes.count("won") == 1, outcomes
+    assert outcomes.count("conflict") == n - 1
+    # winner's content round-trips whole (no torn write, no overwrite)
+    text = table._read_small_file(
+        table._jpath(table.MANIFEST_DIR, "manifest-999.json")
+    )
+    doc = json.loads(text)
+    assert doc["pad"] == "x" * 256
+    assert outcomes[doc["writer"]] == "won"
+    # no temp litter beyond the crc sidecar of the published file
+    litter = [
+        name
+        for name in table._list_names(table.MANIFEST_DIR)
+        if name.startswith(".tmp-")
+    ]
+    assert litter == [], litter
