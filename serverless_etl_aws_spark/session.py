@@ -55,6 +55,19 @@ def get_spark(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # Same off-heap streaming-state posture as tune_for_session: the
+        # r13 adjudication moved stateful-stream state to RocksDB, but
+        # only the driver-handed-session path got the conf — sessions
+        # built HERE (bench.py, tests, CLI) silently kept the on-heap
+        # HDFS-backed provider, so the bench's stream keys ran a
+        # different engine than the driver's correctness runs. One
+        # default, both paths.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        .config("spark.sql.streaming.minBatchesToRetain", "2")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Python UDTFs run row-at-a-time (BatchEvalPythonUDTF, pickled
         # rows) unless the Arrow path is opted into — measured round 13:

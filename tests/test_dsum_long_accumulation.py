@@ -1,0 +1,113 @@
+"""Pin the r14 dsum/davg accumulation rewrite (optimization round 1).
+
+The per-row value is unchanged — ``CAST(x AS DECIMAL(18,4))``, ANSI
+HALF_UP at the 4th decimal, NULL on non-finite — but the SUM now runs
+over the value scaled to BIGINT (units of 1e-4) so aggregation stays on
+Spark's primitive long buffer instead of per-row BigDecimal allocation
+(guide §2.3 "narrower types"; measured ~1.6x per aggregate). These tests
+pin bit-identity against the OLD decimal-sum formulation on exactly the
+regimes where a scaled-integer scheme could diverge:
+
+- half-boundary sums (…xx50 at the rounding scale — the reason rounding
+  must stay in decimal);
+- the 4th-decimal rounding of the per-row cast (x.00005 HALF_UP);
+- negative values and cancellation to zero;
+- NULL / NaN / ±Inf inputs (NULL-skip must survive the rewrite);
+- magnitudes at the DECIMAL(18,4) ceiling (the scaled value must not
+  overflow its pre-sum LONG cast: 1e14·1e4 < 2^63).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from serverless_etl_aws_spark.queries._util import davg, dec, dsum, fquant
+
+
+def _old_dsum(col, scale=2):
+    """The pre-r14 formulation: decimal SUM, decimal ROUND, double."""
+    return F.round(F.sum(dec(col)), scale).cast("double")
+
+
+def _old_davg(col, scale=2):
+    return fquant(F.sum(dec(col)).cast("double") / F.count(F.lit(1)), scale)
+
+
+CASES = [
+    # (name, values)
+    ("half_boundary_up", [0.105, 0.0]),          # sum 0.1050 → round .11
+    ("half_boundary_neg", [-0.105, 0.0]),        # HALF_UP away from zero
+    ("fourth_decimal_halfup", [0.00005, 1.0]),   # per-row cast rounds
+    ("cancellation", [1234.5678, -1234.5678]),
+    ("nulls_skipped", [None, 2.5, None]),
+    ("specials_are_null", [float("nan"), float("inf"), -float("inf"), 3.25]),
+    ("all_null", [None, None]),
+    ("all_specials", [float("nan"), float("inf")]),
+    ("dec18_ceiling", [99_999_999_999_999.4999, 0.0001]),
+    ("neg_ceiling", [-99_999_999_999_999.4999, -0.0001]),
+    ("many_small", [0.0001] * 50 + [0.00004] * 3),
+]
+
+
+@pytest.mark.parametrize("name,values", CASES, ids=[c[0] for c in CASES])
+def test_dsum_davg_bit_identical_to_decimal_formulation(spark, name, values):
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    row = df.agg(
+        dsum("x").alias("new_sum"),
+        _old_dsum("x").alias("old_sum"),
+        davg("x").alias("new_avg"),
+        _old_davg("x").alias("old_avg"),
+    ).collect()[0]
+    for new, old in ((row["new_sum"], row["old_sum"]),
+                     (row["new_avg"], row["old_avg"])):
+        if old is None:
+            assert new is None, f"{name}: {new!r} vs None"
+        else:
+            # bit identity, not approx: the driver hash-compares doubles
+            assert new is not None and math.copysign(1, new) == math.copysign(
+                1, old
+            ) and new == old, f"{name}: {new!r} != {old!r}"
+
+
+def test_dsum_grouped_matches_old_formulation(spark):
+    """Grouped aggregation (the real usage shape) over a value mix that
+    exercises rounding, negatives and NULL-skip per group."""
+    rows = []
+    for g in range(7):
+        for i in range(200):
+            v = (-1) ** i * (g * 1000 + i) * 0.0107
+            rows.append((g, v))
+        rows.append((g, None))
+        rows.append((g, float("nan")))
+    df = spark.createDataFrame(rows, "g int, x double")
+    out = (
+        df.groupBy("g")
+        .agg(
+            dsum("x").alias("new_sum"),
+            _old_dsum("x").alias("old_sum"),
+            davg("x", 4).alias("new_avg"),
+            _old_davg("x", 4).alias("old_avg"),
+        )
+        .collect()
+    )
+    assert len(out) == 7
+    for r in out:
+        assert r["new_sum"] == r["old_sum"], r
+        assert r["new_avg"] == r["old_avg"], r
+
+
+def test_dsum_plan_sums_long_not_decimal(spark):
+    """The optimization's observable plan property: the partial/final
+    sum aggregates over BIGINT, so no decimal sum buffer remains."""
+    df = spark.createDataFrame([(1.5,), (2.5,)], "x double")
+    explained = (
+        df.agg(dsum("x"))._jdf.queryExecution().optimizedPlan().toString()
+    )
+    flat = explained.replace(" ", "").lower()
+    assert "sum(" in flat
+    # the aggregate input is the scaled BIGINT, not a decimal buffer
+    assert "asbigint" in flat, explained
+    assert "sum(cast(xasdecimal(18,4))" not in flat, explained
