@@ -48,6 +48,75 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return catalog.load_table(spark, sf_dir, name)
 
 
+#: Row-group counts per fixture file, keyed (path, mtime_ns) — the
+#: splittability gate behind :func:`spread` (a parquet scan task cannot
+#: split a row group, so row groups bound a file's scan parallelism).
+_ROW_GROUP_CACHE: dict[tuple, int] = {}
+
+
+def natural_scan_tasks(sf_dir: str, name: str) -> int:
+    """Upper bound on the scan parallelism the fixture layout allows for
+    table ``name``: total parquet row groups across its member files
+    (each row group is read by exactly one task — Spark cannot split
+    one). Driver-side footer metadata only (cached per path+mtime); a
+    non-local path returns a large sentinel — cluster tables are
+    many-row-group by construction and the caller's gate must read
+    "already parallel enough" there."""
+    path = catalog.table_path(sf_dir, name)
+    if "://" in path and not path.startswith("file://"):
+        return 1 << 20
+    try:
+        st = os.stat(path)
+    except OSError:
+        return 1 << 20
+    key = (path, st.st_mtime_ns)
+    hit = _ROW_GROUP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        n = 0
+        for root, dirs, files in os.walk(path):
+            for fname in files:
+                if fname.endswith(".parquet") and not fname.startswith(
+                    (".", "_")
+                ):
+                    n += pq.ParquetFile(
+                        os.path.join(root, fname)
+                    ).metadata.num_row_groups
+    else:
+        n = pq.ParquetFile(path).metadata.num_row_groups
+    n = max(1, n)
+    _ROW_GROUP_CACHE[key] = n
+    return n
+
+
+def spread(df: DataFrame, sf_dir: str, table: str = "lineitem") -> DataFrame:
+    """Scale-adaptive parallelism repair before a compute-heavy stage
+    (optimization guide §2.5 "input skew: one huge unsplittable file").
+
+    A parquet file is splittable only at row-group boundaries, so a
+    single-row-group input (the fixture layout; also any badly-compacted
+    landing file in production) runs its ENTIRE pre-exchange pipeline —
+    scan, filters, per-row expressions, broadcast-join probes, explode —
+    on one core. When the driving table ``table`` cannot naturally feed
+    at least the session's parallelism, one round-robin exchange of the
+    (column-pruned) rows spreads that work across the cluster.
+
+    At scale this is a structural NO-OP, decided driver-side from footer
+    metadata (cached): a 100 TB table has thousands of row groups, the
+    gate ``natural >= defaultParallelism`` holds, and no exchange is
+    added — the repartition can never trigger on data that is already
+    parallel. Results are partition-count independent (environment axis
+    25 pins that property for every registry key)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if natural_scan_tasks(sf_dir, table) >= target:
+        return df
+    return df.repartition(target)
+
+
 def dec(col: str | Column) -> Column:
     """Cast to the engine's exact intermediate decimal type. Non-finite
     input yields NULL (Spark's ANSI double→decimal cast does this

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
 from . import Query
-from ._util import SQL_REVENUE_DEC, dsum, revenue_dec, sql_dsum, t
+from ._util import SQL_REVENUE_DEC, dsum, revenue_dec, spread, sql_dsum, t
 
 
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -194,7 +194,13 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         F.col("value").alias("purchase_value"),
     )
-    errors = ev.filter(F.col("event_type") == "error").select(
+    # The planner builds (broadcasts) the exploded purchase side, so the
+    # error side is the probe that GENERATES every output row — spread it
+    # (scale-adaptive, no-op on multi-row-group inputs) so match
+    # generation isn't serialized on the fixture's single scan task.
+    errors = spread(
+        ev.filter(F.col("event_type") == "error"), sf_dir, "events"
+    ).select(
         F.col("event_id").alias("error_id"),
         F.col("value").alias("error_value"),
         F.floor(F.col("value") / RANGE_BAND).alias("bucket"),

@@ -26,7 +26,7 @@ from ..operators.text import (
     sql_lang_score,
 )
 from . import Query
-from ._util import fquant, sql_vec_dim_ok, t, vec_dim_ok, vec_finite
+from ._util import fquant, spread, sql_vec_dim_ok, t, vec_dim_ok, vec_finite
 
 # ---------------------------------------------------------------- text ops
 
@@ -345,7 +345,8 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-Jaccard near-dup pairs (threshold 0.8, lang-blocked,
     stop-shingle cap active — see NGRAM_MAX_SHINGLE_DF)."""
     return ngram_jaccard_pairs(
-        t(spark, sf_dir, "documents"), threshold=0.8, block_col="lang",
+        spread(t(spark, sf_dir, "documents"), sf_dir, "documents"),
+        threshold=0.8, block_col="lang",
         max_shingle_df=NGRAM_MAX_SHINGLE_DF,
     )
 
@@ -381,7 +382,7 @@ def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     of each text only — see ARCHITECTURE.md §"Dedup family" (Edit
     distance) for the consumer-facing implications and the re-verify
     recipe for full-text identity."""
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"), sf_dir, "documents")
     cand = ngram_jaccard_pairs(
         docs, threshold=EDITDIST_BLOCK_JACCARD, block_col="lang",
         max_shingle_df=NGRAM_MAX_SHINGLE_DF,
@@ -461,7 +462,8 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^18-bucket collision-lossy sets; max observed delta 2e-4). The
     MLlib variant remains available and head-to-head-tested."""
     return minhash_banded_pairs(
-        t(spark, sf_dir, "documents"), dist_threshold=0.5
+        spread(t(spark, sf_dir, "documents"), sf_dir, "documents"),
+        dist_threshold=0.5,
     )
 
 
@@ -473,7 +475,10 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes via DuckDB's native ``md5_number_upper``, per-bit majority
     vote, 4×16-bit band blocking, popcount verify), so the exact pair
     set is checkable even though the operator is an approximation."""
-    return simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=6)
+    return simhash_pairs(
+        spread(t(spark, sf_dir, "documents"), sf_dir, "documents"),
+        max_hamming=6,
+    )
 
 
 LLM_DEDUP_SIMHASH_SQL = """
@@ -539,7 +544,7 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import embedding_cosine_pairs
 
     # poisoned-vector + ragged-dim exclusion (vec_finite / vec_dim_ok)
-    raw = t(spark, sf_dir, "embeddings")
+    raw = spread(t(spark, sf_dir, "embeddings"), sf_dir, "embeddings")
     emb = raw.filter(vec_dim_ok(raw) & vec_finite()).select(
         "vec_id", "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
@@ -1102,8 +1107,11 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     docs = t(spark, sf_dir, "documents")
+    # spread only the shingle-pass input: the nodes relation feeds the
+    # iterative component loop, where extra partitions inflate every
+    # round's fixed cost (measured +0.6 s when nodes were spread too)
     pairs = ngram_jaccard_pairs(
-        docs, threshold=0.8, block_col="lang",
+        spread(docs, sf_dir, "documents"), threshold=0.8, block_col="lang",
         max_shingle_df=NGRAM_MAX_SHINGLE_DF,
     ).select("doc_a", "doc_b")
     comp = connected_components(

@@ -49,6 +49,20 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalesce floor is 1 MiB of COMPRESSED shuffle bytes per
+        # partition (minPartitionSize) — at that floor a CPU-heavy stage
+        # over a few MB of shuffle (checksums, per-row expression work,
+        # percentile sorts) coalesces onto 1-3 cores and serializes
+        # (measured: ml_feature_screen ran its whole 2.4 s compute in a
+        # 3-task stage). 64 KiB keeps such stages at the session's
+        # parallelism; stages with ≥ cores×1 MiB of shuffle — every
+        # at-scale stage that matters — are unaffected because
+        # parallelismFirst sizing already spreads them. Env-tunable for
+        # clusters that prefer the stock floor.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
@@ -136,6 +150,10 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
         "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # same coalesce floor as get_spark (see comment there): without
+        # it CPU-heavy small-shuffle stages serialize onto 1-3 cores
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize":
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         # Stateful streaming state lives OFF-HEAP in native RocksDB
