@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import Query
-from ._util import dec, fquant, t
+from ._util import dec, fquant, spread, t
 
 # -------------------------------------------------------------- ts_anova_weekday
 
@@ -255,11 +255,18 @@ def ml_feature_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the four features unpivot via a compile-time stack (one
     scan, 4× rows of (feature, x, y) triples), then one
     map-side-combinable 4-group collapse."""
-    li = t(spark, sf_dir, "lineitem").filter(
-        F.col("l_quantity").isNotNull()
-        & F.col("l_extendedprice").isNotNull()
-        & F.col("l_discount").isNotNull()
-        & F.col("l_tax").isNotNull()
+    # spread AFTER the null filter (pushdown unaffected): the stack
+    # unpivot + scaled-decimal casts are per-row compute that would
+    # otherwise run on the single row-group's one scan task (guide §2.5).
+    li = spread(
+        t(spark, sf_dir, "lineitem").filter(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+            & F.col("l_discount").isNotNull()
+            & F.col("l_tax").isNotNull()
+        ),
+        sf_dir,
+        "lineitem",
     )
     y = (F.col("l_returnflag") == "R").cast("long")
     stacked = li.select(

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from . import Query
 from ._util import (
-    dsum, fquant, fresh_dir, scratch_root, sql_vec_dim_ok, t,
+    dsum, fquant, fresh_dir, scratch_root, spread, sql_vec_dim_ok, t,
     vec_dim_ok, vec_finite,
 )
 
@@ -438,7 +438,10 @@ def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     into one partial-aggregated count shuffle of O(vocab²-observed)
     groups; top-k via TakeOrderedAndProject with a total order (count
     desc, pair asc) so the cut is deterministic across engines."""
-    docs = t(spark, sf_dir, "documents")
+    # spread: the split + position explode fan-out is per-row compute
+    # that would otherwise run on the single row-group's one scan task
+    # (guide §2.5).
+    docs = spread(t(spark, sf_dir, "documents"), sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     pairs = (
         # The size >= 2 guard is load-bearing: Spark's sequence(1, 0)

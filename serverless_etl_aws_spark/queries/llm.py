@@ -671,9 +671,13 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("grams").alias("gram"))
         .distinct()
     )
-    corpus = eightgrams(docs.filter(F.col("doc_id") >= 10)).select(
-        "doc_id", F.explode("grams").alias("gram")
-    )
+    # spread the corpus side after its pushed-down filter: the 8-gram
+    # shingle explode + broadcast-join probe is per-row compute that
+    # would otherwise run on the single row-group's one scan task
+    # (guide §2.5); the eval side stays as-is (tiny by construction).
+    corpus = eightgrams(
+        spread(docs.filter(F.col("doc_id") >= 10), sf_dir, "documents")
+    ).select("doc_id", F.explode("grams").alias("gram"))
     contaminated = (
         corpus.join(F.broadcast(eval_grams), "gram")
         .groupBy("doc_id")
