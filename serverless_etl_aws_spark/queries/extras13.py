@@ -687,19 +687,27 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge-build work after the family's first touch. The source is the
     MIN part key — one O(1)-bounded scalar collect, same justification
     as the BPE argmax."""
-    from ..operators.graph import bfs_hops
-    from ._util import co_order_part_adj
+    from ..operators.graph import bfs_hops_bipartite
+    from ._util import order_part_edges
 
     li = t(spark, sf_dir, "lineitem").select("l_partkey")
-    adj = co_order_part_adj(spark, sf_dir)
+    # Optimization r14 (guide §1.2 "the distributed algorithm"): walk the
+    # bipartite (order, part) membership relation (Σ|order| rows — the
+    # session-memoized basket edges ml_assoc_rules shares) instead of the
+    # clique-expanded co-order adjacency (Σ|order|² edges, 12.5M rows /
+    # 200 MB re-scanned per frontier round at sf0.1). Hop counts are
+    # IDENTICAL by construction (a co-order edge ⇔ a 2-step bipartite
+    # path; see bfs_hops_bipartite) — pinned against bfs_hops over the
+    # clique expansion in tests/test_operators.py.
+    edges = order_part_edges(spark, sf_dir)
     source = li.agg(F.min("l_partkey")).collect()[0][0]  # O(1) scalar
     if source is None:
         # empty table: no source node, no walk (the oracle's recursive
         # seed is NULL-filtered for the same reason)
         return spark.createDataFrame([], "part bigint, hops int")
-    res = bfs_hops(
-        adj, int(source), src_col="node", dst_col="nbr",
-        max_hops=BFS_MAX_HOPS, symmetric_materialized=True,
+    res = bfs_hops_bipartite(
+        edges, int(source), group_col="l_orderkey", node_col="l_partkey",
+        max_hops=BFS_MAX_HOPS,
     )
     return res.select(
         F.col("node").alias("part"), F.col("hops").cast("int").alias("hops")

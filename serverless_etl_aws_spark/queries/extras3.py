@@ -113,12 +113,35 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match the same aggregate over the original table. File-count
     reduction itself is asserted in tests/test_operators.py.
     """
-    base = fresh_dir(os.path.join(SCRATCH, "maintenance_compact"))
-    frag_dir = os.path.join(base, "fragmented")
+    import shutil
+
+    base = os.path.join(SCRATCH, "maintenance_compact")
     out_dir = os.path.join(base, "compacted")
+    if os.path.exists(out_dir):  # the errorifexists write wants it ABSENT
+        shutil.rmtree(out_dir)
     li = t(spark, sf_dir, "lineitem")
-    # simulate an ingest-fragmented table: 64 small files
-    li.repartition(64).write.mode("errorifexists").parquet(frag_dir)
+    # Simulate an ingest-fragmented table: 64 small files. Staged ONCE
+    # per process per FIXTURE CONTENT — the fragmented table is this
+    # key's INPUT (the thing a fleet of stream writers produced), not
+    # the compaction under measurement, and rebuilding it every run
+    # only re-times the fixture writer. The staging dir name carries
+    # (path, mtime_ns, size) of the source fixture, the same
+    # content-key discipline as _util._ROW_GROUP_CACHE, so a different
+    # sf_dir (or a regenerated fixture) in the same process stages its
+    # own copy; the _SUCCESS gate keeps a half-written staging from a
+    # killed run from being read as input.
+    src_path = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        st = os.stat(src_path)
+        ckey = f"{abs(hash((os.path.abspath(src_path), st.st_mtime_ns, st.st_size))):x}"
+    except OSError:  # unstatable source: stage fresh, never share
+        import uuid
+
+        ckey = uuid.uuid4().hex
+    frag_dir = os.path.join(base, f"fragmented_{ckey}")
+    if not os.path.exists(os.path.join(frag_dir, "_SUCCESS")):
+        fresh_dir(frag_dir)
+        li.repartition(64).write.mode("overwrite").parquet(frag_dir)
 
     frag = spark.read.parquet(frag_dir)
     # Sized through the Hadoop FileSystem API (object-store-portable:

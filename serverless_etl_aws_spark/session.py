@@ -82,6 +82,20 @@ def get_spark(
             "RocksDBStateStoreProvider",
         )
         .config("spark.sql.streaming.minBatchesToRetain", "2")
+        # Changelog checkpointing: per-batch commits upload the small
+        # change set instead of re-zipping the whole RocksDB snapshot
+        # (snapshots move to the background maintenance thread).
+        # Idle-box A/B at sf0.1: stream_stream_join 3.34→2.90,
+        # stream_late_data 2.00→1.68, stream_session 1.35→1.19,
+        # stream_tumbling 0.90→0.81, stream_stateful neutral (7-run
+        # medians) — and at scale per-commit cost stops growing with
+        # state size, which is the production argument. Env-tunable for
+        # clusters that prefer full-snapshot commits.
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            os.environ.get("SPARK_GRAFT_ROCKSDB_CHANGELOG", "true"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Python UDTFs run row-at-a-time (BatchEvalPythonUDTF, pickled
         # rows) unless the Arrow path is opted into — measured round 13:
@@ -169,6 +183,11 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         "spark.sql.streaming.minBatchesToRetain": "2",
+        # same changelog-checkpointing posture as get_spark (see comment
+        # there): commit the per-batch change set, snapshot in background
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled":
+            os.environ.get("SPARK_GRAFT_ROCKSDB_CHANGELOG", "true"),
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
         "spark.sql.parquet.filterPushdown": "true",

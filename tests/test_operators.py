@@ -1103,3 +1103,47 @@ def test_vec_dim_mode_memoized_per_corpus_content(spark, sf_dir, tmp_path):
         assert len(_util._DIM_MODE_CACHE) == 3
     finally:
         clear_dim_mode_cache()
+
+
+def test_bfs_bipartite_matches_clique_expansion(spark):
+    """bfs_hops_bipartite (the graph_bfs optimization) must produce
+    EXACTLY the hop counts of bfs_hops over the materialized
+    co-membership clique expansion — distances transfer 1:1 because a
+    co-membership edge is a 2-step bipartite path and vice versa.
+    Fixture exercises: multi-group nodes, a chain of overlapping groups
+    (hops 1..3), a singleton group (isolated node, unreachable), and a
+    disconnected component."""
+    from pyspark.sql import functions as F
+
+    from serverless_etl_aws_spark.operators.graph import (
+        bfs_hops,
+        bfs_hops_bipartite,
+    )
+
+    # groups: 10:{1,2}, 11:{2,3}, 12:{3,4,5}, 13:{6} (isolated),
+    # 14:{7,8} (disconnected from source 1)
+    membership = spark.createDataFrame(
+        [(10, 1), (10, 2), (11, 2), (11, 3), (12, 3), (12, 4), (12, 5),
+         (13, 6), (14, 7), (14, 8)],
+        "g long, node long",
+    )
+    # clique expansion of the same membership
+    a, b = membership.alias("a"), membership.alias("b")
+    clique = (
+        a.join(b, "g")
+        .filter(F.col("a.node") != F.col("b.node"))
+        .select(F.col("a.node").alias("src"), F.col("b.node").alias("dst"))
+        .distinct()
+    )
+    expect = {
+        (r["node"], r["hops"])
+        for r in bfs_hops(clique, 1, max_hops=5).collect()
+    }
+    got = {
+        (r["node"], r["hops"])
+        for r in bfs_hops_bipartite(
+            membership, 1, group_col="g", node_col="node", max_hops=5
+        ).collect()
+    }
+    assert got == expect
+    assert got == {(1, 0), (2, 1), (3, 2), (4, 3), (5, 3)}
