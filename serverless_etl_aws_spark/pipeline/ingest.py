@@ -171,9 +171,25 @@ class IncrementalIngest:
                 metrics.append(
                     F.sum(pcol.isNull().cast("long")).alias("n_null_part")
                 )
+            staged = batch_df.withColumn("ingest_batch", F.lit(batch_id))
+            # Parallelism repair for the partitioned encode (guide §2.5):
+            # a batch that arrives as fewer source splits than the
+            # session's cores (here: one bronze file per trigger) would
+            # parquet-encode EVERY partition dir from that handful of
+            # tasks. One hash exchange on the partition column spreads
+            # the encode; at scale a batch is already many splits and the
+            # gate reads "already parallel" (file layout per dir is
+            # unchanged: one writer task per partition value either way).
+            parallelism = self.spark.sparkContext.defaultParallelism
+            if (
+                self.partition_by
+                and staged.rdd.getNumPartitions() < parallelism
+            ):
+                staged = staged.repartition(
+                    parallelism, F.col(self.partition_by)
+                )
             out = (
-                batch_df.withColumn("ingest_batch", F.lit(batch_id))
-                .observe(obs, *metrics)
+                staged.observe(obs, *metrics)
                 .write.mode("overwrite")
                 # UPPERCASE by design: Spark resolves this option with a
                 # default-locale toUpperCase before Enumeration.withName,
