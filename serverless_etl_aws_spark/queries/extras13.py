@@ -674,16 +674,19 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     both) — the traversal member of the graph family (PageRank = scoring,
     LPA = communities, triangles = local structure, components =
     reachability classes; BFS = DISTANCE). The engine runs
-    frontier-at-a-time rounds (operators/graph.py::bfs_hops): per round,
-    one frontier⋈edges join + one anti-join against visited — work is
-    O(frontier × degree), rounds = diameter, never O(V²). The oracle is
-    a recursive CTE whose UNION-dedup keeps (node, hops) rows distinct
-    and takes MIN(hops): exact shortest distances for every node within
-    the hop bound, identical by construction.
+    frontier-at-a-time rounds over the BIPARTITE (order, part)
+    membership relation (operators/graph.py::bfs_hops_bipartite): per
+    round, frontier → its orders → their members, minus visited — work
+    is O(frontier membership), rounds = diameter, never O(V²) and
+    never the Σ|order|² clique expansion. The oracle is a recursive CTE
+    whose UNION-dedup keeps (node, hops) rows distinct and takes
+    MIN(hops): exact shortest distances for every node within the hop
+    bound, identical by construction (a co-order edge ⇔ a 2-step
+    bipartite path, so clique-graph hops = bipartite hops / 2).
 
-    The adjacency is the session-memoized shared relation
-    (_util.co_order_part_adj — graph_degree_dist consumes the same
-    one), already symmetric/distinct/materialized, so this call adds no
+    The membership relation is the session-memoized shared basket-edge
+    relation (_util.order_part_edges — ml_assoc_rules consumes the
+    same one), already distinct/materialized, so this call adds no
     edge-build work after the family's first touch. The source is the
     MIN part key — one O(1)-bounded scalar collect, same justification
     as the BPE argmax."""
