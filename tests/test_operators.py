@@ -456,7 +456,13 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     def n_parquet(d):
         return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
 
-    n_frag = n_parquet(os.path.join(base, "fragmented"))
+    # the fragmented staging dir is content-keyed (fragmented_<key>) so
+    # different fixtures in one process never share a staging copy
+    frag_dirs = [
+        d for d in os.listdir(base) if d.startswith("fragmented")
+    ]
+    assert frag_dirs, f"no fragmented staging under {base}"
+    n_frag = max(n_parquet(os.path.join(base, d)) for d in frag_dirs)
     n_out = n_parquet(os.path.join(base, "compacted"))
     assert n_frag == 64
     assert n_out < n_frag // 8

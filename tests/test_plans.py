@@ -225,9 +225,14 @@ def test_compaction_plan_has_no_shuffle(spark, sf_dir):
     import os
 
     maintenance_compact(spark, sf_dir).collect()  # stages the scratch dirs
-    frag = spark.read.parquet(
-        os.path.join(SCRATCH, "maintenance_compact", "fragmented")
+    base = os.path.join(SCRATCH, "maintenance_compact")
+    # content-keyed staging dir (fragmented_<key>) — pick any staged copy
+    frag_dir = next(
+        os.path.join(base, d)
+        for d in sorted(os.listdir(base))
+        if d.startswith("fragmented")
     )
+    frag = spark.read.parquet(frag_dir)
     plan = plan_of(frag.coalesce(1))
     assert "Exchange" not in plan, plan
 
