@@ -274,8 +274,12 @@ def bfs_hops(
 
 #: Per-round broadcast ceiling for :func:`bfs_hops_bipartite`'s adaptive
 #: join strategy — a frontier / group / visited set at or under this many
-#: rows is broadcast (a few MB of longs; well inside the session's
-#: 64 MB auto-broadcast budget), larger sets fall back to shuffle joins.
+#: rows is broadcast-HINTED, larger sets fall back to shuffle joins. An
+#: explicit hint bypasses ``autoBroadcastJoinThreshold`` entirely, so this
+#: constant is the ONLY ceiling: 2M rows is a built hash relation of a
+#: few tens of MB held by the driver and every executor — sized against
+#: the session's 8 GB driver heap (and any sane executor), not against
+#: the auto-broadcast budget (ADVICE r14).
 BFS_BROADCAST_MAX_ROWS = 2_000_000
 
 

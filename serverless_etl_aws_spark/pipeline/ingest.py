@@ -178,16 +178,27 @@ class IncrementalIngest:
             # parquet-encode EVERY partition dir from that handful of
             # tasks. One hash exchange on the partition column spreads
             # the encode; at scale a batch is already many splits and the
-            # gate reads "already parallel" (file layout per dir is
-            # unchanged: one writer task per partition value either way).
+            # gate reads "already parallel". The exchange CAN change
+            # per-dir file counts (without it, a partition value spanning
+            # several source splits is written by several tasks); the
+            # dynamic-overwrite replay stays idempotent either way — the
+            # whole dir is replaced per batch (ADVICE r14). Gate order:
+            # the file count is free driver-side metadata; only a
+            # few-files batch pays the physical-planning cost of an exact
+            # .rdd partition count (a single LARGE file still splits into
+            # many scan partitions, which the exact check honors).
             parallelism = self.spark.sparkContext.defaultParallelism
-            if (
-                self.partition_by
-                and staged.rdd.getNumPartitions() < parallelism
-            ):
-                staged = staged.repartition(
-                    parallelism, F.col(self.partition_by)
-                )
+            if self.partition_by:
+                try:
+                    n_files = len(staged.inputFiles())
+                except Exception:
+                    n_files = 0
+                if n_files < parallelism and (
+                    staged.rdd.getNumPartitions() < parallelism
+                ):
+                    staged = staged.repartition(
+                        parallelism, F.col(self.partition_by)
+                    )
             out = (
                 staged.observe(obs, *metrics)
                 .write.mode("overwrite")

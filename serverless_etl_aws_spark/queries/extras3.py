@@ -133,15 +133,33 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_path = os.path.join(sf_dir, "lineitem.parquet")
     try:
         st = os.stat(src_path)
-        ckey = f"{abs(hash((os.path.abspath(src_path), st.st_mtime_ns, st.st_size))):x}"
+        # Stable digest, NOT builtin hash(): str hashing is salted per
+        # process (PYTHONHASHSEED), which made the "same content" key
+        # differ every run — each process staged a fresh 64-file copy
+        # and stale ones accumulated unboundedly (ADVICE r14).
+        import hashlib
+
+        ckey = hashlib.sha256(
+            repr(
+                (os.path.abspath(src_path), st.st_mtime_ns, st.st_size)
+            ).encode()
+        ).hexdigest()[:16]
     except OSError:  # unstatable source: stage fresh, never share
         import uuid
 
         ckey = uuid.uuid4().hex
     frag_dir = os.path.join(base, f"fragmented_{ckey}")
     if not os.path.exists(os.path.join(frag_dir, "_SUCCESS")):
+        # Prune staging copies whose key no longer matches the current
+        # source (regenerated fixture, or pre-fix salted-hash leftovers)
+        # before writing the fresh one.
+        if os.path.isdir(base):
+            for d in os.listdir(base):
+                if d.startswith("fragmented_") and d != f"fragmented_{ckey}":
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
         fresh_dir(frag_dir)
         li.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    maintenance_compact.last_frag_dir = frag_dir  # deterministic test hook
 
     frag = spark.read.parquet(frag_dir)
     # Sized through the Hadoop FileSystem API (object-store-portable:

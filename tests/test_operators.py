@@ -456,13 +456,11 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     def n_parquet(d):
         return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
 
-    # the fragmented staging dir is content-keyed (fragmented_<key>) so
-    # different fixtures in one process never share a staging copy
-    frag_dirs = [
-        d for d in os.listdir(base) if d.startswith("fragmented")
-    ]
-    assert frag_dirs, f"no fragmented staging under {base}"
-    n_frag = max(n_parquet(os.path.join(base, d)) for d in frag_dirs)
+    # the staging dir the call under test actually produced (content-
+    # keyed; the hook avoids asserting against a stale copy — ADVICE r14)
+    frag_dir = maintenance_compact.last_frag_dir
+    assert os.path.isdir(frag_dir), f"no fragmented staging under {base}"
+    n_frag = n_parquet(frag_dir)
     n_out = n_parquet(os.path.join(base, "compacted"))
     assert n_frag == 64
     assert n_out < n_frag // 8

@@ -218,20 +218,12 @@ def test_aqe_skew_join_splits_partitions(spark, sf_dir):
 def test_compaction_plan_has_no_shuffle(spark, sf_dir):
     """The compaction rewrite must be coalesce (merge in place), never a
     full exchange: read fragmented → coalesce(n) plans zero Exchange."""
-    from serverless_etl_aws_spark.queries.extras3 import (
-        SCRATCH,
-        maintenance_compact,
-    )
-    import os
+    from serverless_etl_aws_spark.queries.extras3 import maintenance_compact
 
     maintenance_compact(spark, sf_dir).collect()  # stages the scratch dirs
-    base = os.path.join(SCRATCH, "maintenance_compact")
-    # content-keyed staging dir (fragmented_<key>) — pick any staged copy
-    frag_dir = next(
-        os.path.join(base, d)
-        for d in sorted(os.listdir(base))
-        if d.startswith("fragmented")
-    )
+    # the staging dir this call actually produced (deterministic hook;
+    # globbing fragmented_* could pick a stale copy — ADVICE r14)
+    frag_dir = maintenance_compact.last_frag_dir
     frag = spark.read.parquet(frag_dir)
     plan = plan_of(frag.coalesce(1))
     assert "Exchange" not in plan, plan
