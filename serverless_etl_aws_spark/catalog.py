@@ -149,6 +149,20 @@ def _check_footer_names(path: str, schema) -> None:
     _FOOTER_CHECKED.add(key)
 
 
+#: Base-scan DataFrame memo, keyed (applicationId, path, mtime_ns, size,
+#: name). The cached object is the LAZY scan relation — no rows, no
+#: results; every execution still computes from the parquet files. What
+#: the memo removes is the per-call driver work of rebuilding an
+#: identical relation: schema ship + file listing + footer checks +
+#: eager re-analysis of the column-order projection (measured 23–46 ms
+#: per load_table call, 1–3 calls per registry key — a fixed per-key
+#: tax the scaling block showed no core count can touch). mtime_ns/size
+#: in the key invalidate on fixture regeneration; non-statable paths
+#: (object stores) skip the memo — a cluster's driver would hold its
+#: catalog's resolved relations the same way.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table with its declared schema.
 
@@ -157,19 +171,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     is pinned. ``events.ts`` goes through :func:`events_reader_setup`, which
     sniffs the stored timestamp unit from the parquet footer and branches —
     the fixtures have switched units between rounds, so the footer is the
-    source of truth.
+    source of truth. The built relation is memoized per session + on-disk
+    content (see :data:`_TABLE_CACHE`).
     """
     if name not in schemas.TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(schemas.TABLES)}")
     schema = schemas.TABLES[name]
-    _check_footer_names(table_path(sf_dir, name), schema)
+    path = table_path(sf_dir, name)
+    ckey = None
+    try:
+        st = os.stat(path)
+        ckey = (
+            spark.sparkContext.applicationId,
+            os.path.abspath(path),
+            st.st_mtime_ns,
+            st.st_size,
+            name,
+        )
+    except OSError:
+        pass  # non-local/missing: uncached, let the read surface it
+    if ckey is not None and ckey in _TABLE_CACHE:
+        return _TABLE_CACHE[ckey]
+    _check_footer_names(path, schema)
     if name == "events":
-        path = table_path(sf_dir, name)
         read_schema, normalize = events_reader_setup(spark, path)
         df = normalize(spark.read.schema(read_schema).parquet(path))
-        return df.select(*[f.name for f in schema.fields])
-    df = spark.read.schema(schema).parquet(table_path(sf_dir, name))
-    return df.select(*[f.name for f in schema.fields])
+        df = df.select(*[f.name for f in schema.fields])
+    else:
+        df = spark.read.schema(schema).parquet(path)
+        df = df.select(*[f.name for f in schema.fields])
+    if ckey is not None:
+        _TABLE_CACHE[ckey] = df
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
