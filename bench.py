@@ -117,12 +117,41 @@ def main() -> None:
     from serverless_etl_aws_spark.queries import CONTRACT_2B
 
     ALWAYS_MEDIAN3 = frozenset({"scan_jdbc"}) | frozenset(CONTRACT_2B)
+    # Stream-family keys get FIVE warm runs (VERDICT r14 #9): their
+    # medians carry RocksDB maintenance-thread and memory-sink GC noise
+    # that median-of-3 cannot adjudicate (stream_late_data's r14 spread
+    # was 2.74 s on 3 runs). Cost: ~2 extra runs × ~10 keys ≈ 30 s of
+    # bench time. The reported number is still the MEDIAN — methodology
+    # unchanged, just a tighter estimator for the noisiest family.
+    MEDIAN5_PREFIXES = ("stream_",)
     # Per-key wobble adjudications (VERDICT r11 low-severity note):
     # when a round-over-round delta exceeds the key's recorded spread,
     # the investigation's one-line verdict is recorded HERE so it ships
     # inside BENCH_DETAIL.json next to the spread data and survives
     # regeneration. Keys: registry key → "round: verdict".
     ADJUDICATIONS = {
+        "fn_json": (
+            "r15 (VERDICT r14 #4): the r14 ~1.0-1.1s readings did NOT "
+            "reproduce - round-start idle-box baseline measured warm "
+            "0.771 spread 0.052 [0.771, 0.762, 0.814] on code untouched "
+            "since r13. The r14 numbers were environment (all three r14 "
+            "samples were taken inside or right after full-suite runs); "
+            "no code change was made and none was needed."
+        ),
+        "_aqe_floor_r15": (
+            "r15 (VERDICT r14 #5): interleaved same-session A/B of "
+            "coalescePartitions.minPartitionSize 64k vs 1m on the "
+            "anti-scaling keys (join_semi, agg_grouping_sets, "
+            "filter_pred, stream_sliding, llm_dedup_minhash, "
+            "ml_feature_screen, agg_stats, agg_group) at local[32] AND "
+            "local[8]: every ratio within 0.88-1.14, i.e. noise. The "
+            "floor neither causes the anti-scaling nor measurably helps "
+            "any key since the r14 spread() waves landed; kept at 64k "
+            "(env-tunable) for the documented CPU-heavy-small-shuffle "
+            "posture. The 8-core speed advantage on tiny keys is "
+            "per-task scheduling overhead at 32-way fan-out, inherent "
+            "to sub-second stages."
+        ),
         "_suite_r14_opt": (
             "r14 optimization round: two back-to-back full benches at the "
             "same HEAD measured warm_total 255.7s then 228.3s - the first "
@@ -302,6 +331,10 @@ def main() -> None:
             if warm_runs[0] > MEDIAN3_THRESHOLD or key in ALWAYS_MEDIAN3:
                 # wobble-prone territory: median-of-3 + recorded spread
                 warm_runs += [run_once(q), run_once(q)]
+            if key.startswith(MEDIAN5_PREFIXES):
+                # stream family: median-of-5 (see MEDIAN5_PREFIXES)
+                while len(warm_runs) < 5:
+                    warm_runs.append(run_once(q))
             warm = sorted(warm_runs)[len(warm_runs) // 2]
             timings[key] = warm
             detail[key] = {"cold": cold, "warm": warm}
