@@ -393,3 +393,60 @@ def bfs_hops_bipartite(
         n_visited += n_frontier
         frontier = nxt
     return visited
+
+
+def kcore_peel(
+    adj: DataFrame,
+    k: int,
+    rounds: int,
+    node_col: str = "node",
+    nbr_col: str = "nbr",
+) -> DataFrame:
+    """Bounded k-core peeling with fixpoint early-exit: up to ``rounds``
+    times, drop every node whose degree in ``adj`` is below ``k``, then
+    return each survivor's residual degree as ``(node_col, d)``.
+
+    ``adj`` must be a symmetric distinct adjacency (both directions
+    present). Each round materializes the NODE-sized degree relation
+    once (eager, so the round's drop count rides that same job as an
+    observe() metric — the iterative-loop fusion posture of this
+    module) and stops at the fixpoint: when a round drops zero nodes,
+    every remaining round is the identity and the degree relation
+    already IS the answer — peeling past the fixpoint re-scans the full
+    edge relation once per skipped round for nothing. The result is
+    identical to running all ``rounds`` rounds unconditionally
+    (pinned: tests/test_operators.py early-exit-vs-full-unroll). When
+    peeling does continue, the two key-sized semi-joins broadcast the
+    survivor set read back from that tiny checkpoint (never
+    re-aggregating the edges), and the shrinking edge relation is
+    truncated lazily — it only materializes under the next round's
+    degree job. At billion-node scale the same loop runs with shuffle
+    semi-joins (drop the hint); the degree checkpoint stays node-sized.
+    """
+    from pyspark.sql import Observation
+
+    adj = adj.select(F.col(node_col).alias("node"), F.col(nbr_col).alias("nbr"))
+    deg = None
+    for _ in range(rounds):
+        obs = Observation()
+        deg = materialize(
+            adj.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .observe(
+                obs, F.sum((F.col("d") < k).cast("long")).alias("n_drop")
+            )
+        )
+        if not (obs.get["n_drop"] or 0):
+            break  # fixpoint — deg is the final residual degree
+        keep = F.broadcast(deg.filter(F.col("d") >= k).select("node"))
+        adj = materialize(
+            adj.join(keep, "node", "left_semi").join(
+                keep.select(F.col("node").alias("nbr")), "nbr", "left_semi"
+            ),
+            eager=False,
+        )
+        deg = None  # adj moved; the memoized degrees no longer describe it
+    if deg is None:
+        # rounds exhausted while still peeling: one final degree pass
+        deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    return deg.select(F.col("node").alias(node_col), "d")

@@ -192,37 +192,20 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the adjacency is the session-shared materialized relation
     (_util.co_order_part_adj — graph_bfs and graph_degree_dist consume
-    the same one); each peel round is one node-sized degree aggregate
-    plus two key-sized semi-joins on the shrinking edge relation, with
-    a lazy per-round lineage truncation — no driver-side action at all
-    (fixed rounds, no convergence collect), so the whole decomposition
-    is ONE Spark job at action time."""
-    from ..operators.graph import materialize
+    the same one); the peel itself is operators.graph.kcore_peel —
+    per-round node-sized degree checkpoints whose drop count rides the
+    checkpoint job as an observe() metric, with a fixpoint early-exit
+    (a round that drops nothing makes every remaining round the
+    identity, so the result is identical to the full KCORE_ROUNDS
+    unroll the oracle SQL runs — pinned by the operator's
+    early-exit-vs-full-unroll test)."""
+    from ..operators.graph import kcore_peel
     from ._util import co_order_part_adj
 
     adj = co_order_part_adj(spark, sf_dir)
-    for _ in range(KCORE_ROUNDS):
-        # the survivor set is NODE-sized (a filtered degree aggregate) —
-        # broadcast it to both semi-joins so the edge relation never
-        # re-shuffles inside a round. At billion-node scale the same
-        # loop runs with shuffle semi-joins (drop the hint); the edge
-        # relation still only moves when the checkpoint writes.
-        keep = F.broadcast(
-            adj.groupBy("node")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") >= KCORE_K)
-            .select("node")
-        )
-        adj = materialize(
-            adj.join(keep, "node", "left_semi")
-            .join(
-                keep.select(F.col("node").alias("nbr")), "nbr", "left_semi"
-            ),
-            eager=False,
-        )
-    return adj.groupBy("node").agg(
-        F.count(F.lit(1)).cast("long").alias("degree")
-    ).select(F.col("node").alias("part"), "degree")
+    return kcore_peel(adj, KCORE_K, KCORE_ROUNDS).select(
+        F.col("node").alias("part"), F.col("d").cast("long").alias("degree")
+    )
 
 
 def _kcore_sql() -> str:

@@ -1109,6 +1109,41 @@ def test_vec_dim_mode_memoized_per_corpus_content(spark, sf_dir, tmp_path):
         clear_dim_mode_cache()
 
 
+def test_kcore_peel_early_exit_matches_full_unroll(spark):
+    """kcore_peel's fixpoint early-exit (r15) must be invisible in the
+    result: on a graph where peeling CASCADES (dropping node 5 collapses
+    node 4 under the floor) and then converges at round 3 of 5, the
+    peel must equal the unconditional full-unroll reference the oracle
+    SQL runs. Triangle {1,2,3} + chain 3-4-5, k=2: round 1 drops 5
+    (degree 1), round 2 drops 4 (its degree fell to 1), round 3 drops
+    nothing — rounds 4-5 are identity and are skipped."""
+    from pyspark.sql import functions as F
+
+    from serverless_etl_aws_spark.operators.graph import kcore_peel
+
+    undirected = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    pairs = undirected + [(b, a) for a, b in undirected]
+    adj = spark.createDataFrame(pairs, "node long, nbr long")
+
+    got = {
+        (r["node"], r["d"]) for r in kcore_peel(adj, 2, 5).collect()
+    }
+
+    # unconditional full-unroll reference (no early exit), in Python
+    edges = set(pairs)
+    for _ in range(5):
+        deg: dict = {}
+        for a, _b in edges:
+            deg[a] = deg.get(a, 0) + 1
+        keep = {n for n, d in deg.items() if d >= 2}
+        edges = {(a, b) for a, b in edges if a in keep and b in keep}
+    expect_deg: dict = {}
+    for a, _b in edges:
+        expect_deg[a] = expect_deg.get(a, 0) + 1
+    assert got == set(expect_deg.items())
+    assert got == {(1, 2), (2, 2), (3, 2)}
+
+
 def test_bfs_bipartite_matches_clique_expansion(spark):
     """bfs_hops_bipartite (the graph_bfs optimization) must produce
     EXACTLY the hop counts of bfs_hops over the materialized
